@@ -1,0 +1,196 @@
+"""Geometry-core tests: quaternions, Lambert projection, detector."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from kikuchipy_tpu.geometry import quaternion as quat
+from kikuchipy_tpu.geometry.lambert import lambert_to_vector, vector_to_lambert
+from kikuchipy_tpu.geometry.detector import EBSDDetector
+
+
+class TestQuaternion:
+    def test_from_euler_identity(self):
+        q = np.asarray(quat.from_euler(jnp.zeros(3)))
+        np.testing.assert_allclose(q, [1, 0, 0, 0], atol=1e-12)
+
+    def test_from_euler_known(self):
+        # 90 deg about Z (alpha=pi/2): q = (cos(pi/4), 0, 0, -sin(pi/4))
+        # with the reference's sign convention (_utils/numba.py:44-56).
+        q = np.asarray(quat.from_euler(jnp.array([np.pi / 2, 0.0, 0.0])))
+        np.testing.assert_allclose(
+            q, [np.cos(np.pi / 4), 0, 0, -np.sin(np.pi / 4)], atol=1e-12
+        )
+
+    def test_euler_roundtrip(self):
+        rng = np.random.default_rng(42)
+        eu = np.stack(
+            [
+                rng.uniform(0, 2 * np.pi, 50),
+                rng.uniform(0.01, np.pi - 0.01, 50),
+                rng.uniform(0, 2 * np.pi, 50),
+            ],
+            axis=-1,
+        )
+        q = quat.from_euler(jnp.asarray(eu))
+        eu2 = np.asarray(quat.to_euler(q))
+        q2 = quat.from_euler(jnp.asarray(eu2))
+        ang = np.asarray(quat.angle_between(q, q2))
+        assert ang.max() < 1e-6
+
+    def test_rotate_vector_matches_matrix(self):
+        rng = np.random.default_rng(0)
+        q = rng.normal(size=(10, 4))
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        v = rng.normal(size=(10, 3))
+        out = np.asarray(quat.rotate_vector(jnp.asarray(q), jnp.asarray(v)))
+        # rotate_vector is the active rotation by q: to_matrix(q) @ v.
+        m = np.asarray(quat.to_matrix(jnp.asarray(q)))
+        expected = np.einsum("nij,nj->ni", m, v)
+        np.testing.assert_allclose(out, expected, atol=1e-12)
+
+    def test_multiply_conjugate_identity(self):
+        rng = np.random.default_rng(1)
+        q = rng.normal(size=(5, 4))
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        prod = np.asarray(quat.multiply(jnp.asarray(q), quat.conjugate(jnp.asarray(q))))
+        np.testing.assert_allclose(prod[:, 0], 1.0, atol=1e-12)
+        np.testing.assert_allclose(prod[:, 1:], 0.0, atol=1e-12)
+
+    def test_matrix_roundtrip(self):
+        rng = np.random.default_rng(2)
+        q = rng.normal(size=(100, 4))
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        q = np.where(q[:, :1] < 0, -q, q)
+        m = quat.to_matrix(jnp.asarray(q))
+        q2 = np.asarray(quat.from_matrix(m))
+        np.testing.assert_allclose(q2, q, atol=1e-8)
+
+
+class TestLambert:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(3)
+        v = rng.normal(size=(500, 3))
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        v[:, 2] = np.abs(v[:, 2])  # upper hemisphere
+        xy = vector_to_lambert(jnp.asarray(v))
+        v2 = np.array(lambert_to_vector(xy / np.sqrt(np.pi / 2)))
+        v2 /= np.linalg.norm(v2, axis=-1, keepdims=True)
+        np.testing.assert_allclose(v2, v, atol=1e-10)
+
+    def test_pole(self):
+        xy = np.asarray(vector_to_lambert(jnp.asarray([[0.0, 0.0, 1.0]])))
+        np.testing.assert_allclose(xy, [[0.0, 0.0]], atol=1e-12)
+
+    def test_equal_area(self):
+        # Lambert is area preserving: points uniform on the hemisphere
+        # map to points uniform on the square.
+        rng = np.random.default_rng(4)
+        v = rng.normal(size=(20000, 3))
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        v[:, 2] = np.abs(v[:, 2])
+        xy = np.asarray(vector_to_lambert(jnp.asarray(v))) / np.sqrt(np.pi / 2)
+        # Quadrant counts should be ~uniform
+        counts, *_ = np.histogram2d(xy[:, 0], xy[:, 1], bins=4, range=[[-1, 1], [-1, 1]])
+        assert counts.std() / counts.mean() < 0.12
+
+
+class TestEBSDDetector:
+    def test_defaults(self):
+        det = EBSDDetector()
+        assert det.shape == (1, 1)
+        np.testing.assert_allclose(det.pc, [[0.5, 0.5, 0.5]])
+        assert det.sample_tilt == 70.0
+
+    def test_gnomonic_bounds_centered_pc(self):
+        det = EBSDDetector(shape=(60, 60), pc=(0.5, 0.5, 0.5))
+        gb = det.gnomonic_bounds.squeeze()
+        np.testing.assert_allclose(gb, [-1, 1, -1, 1])
+
+    def test_gnomonic_known(self):
+        # Values checkable by hand from the Britton conventions
+        # (reference detectors/_ebsd_detector.py:731-833).
+        det = EBSDDetector(shape=(60, 80), pc=(0.4, 0.6, 0.5))
+        ar = 80 / 60
+        np.testing.assert_allclose(det.x_min, -ar * 0.4 / 0.5)
+        np.testing.assert_allclose(det.x_max, ar * 0.6 / 0.5)
+        np.testing.assert_allclose(det.y_min, -0.4 / 0.5)
+        np.testing.assert_allclose(det.y_max, 0.6 / 0.5)
+
+    def test_pc_conversions_roundtrip(self):
+        det = EBSDDetector(shape=(60, 70), px_size=59.2, binning=8, pc=(0.4, 0.6, 0.5))
+        for conv in ["tsl", "oxford", "emsoft", "emsoft4"]:
+            pc_conv = det.pc_in_convention(conv)
+            det2 = EBSDDetector(
+                shape=(60, 70), px_size=59.2, binning=8, pc=pc_conv, convention=conv
+            )
+            np.testing.assert_allclose(det2.pc, det.pc, atol=1e-12)
+
+    def test_pc_tsl_formula(self):
+        # tsl->bruker: y -> 1 - y, z -> z * min(r,c)/r
+        # (reference detectors/_ebsd_detector.py:2305-2309)
+        det = EBSDDetector(shape=(60, 80), pc=(0.4, 0.2, 0.6), convention="tsl")
+        np.testing.assert_allclose(det.pc, [[0.4, 0.8, 0.6]])
+
+    def test_sample_to_detector_tilt_only(self):
+        # With all angles zero the detector frame is X_d=Y_s, Y_d=Z_s,
+        # Z_d=X_s.
+        det = EBSDDetector(sample_tilt=0.0, tilt=0.0)
+        m = det.sample_to_detector
+        np.testing.assert_allclose(
+            m, [[0, 1, 0], [0, 0, 1], [1, 0, 0]], atol=1e-14
+        )
+
+    def test_sample_to_detector_orthonormal(self):
+        det = EBSDDetector(sample_tilt=70.0, tilt=8.3, azimuthal=4.0, twist=1.2)
+        m = det.sample_to_detector
+        np.testing.assert_allclose(m @ m.T, np.eye(3), atol=1e-12)
+        np.testing.assert_allclose(np.linalg.det(m), 1.0, atol=1e-12)
+
+    def test_pixel_gnomonic_roundtrip(self):
+        det = EBSDDetector(shape=(60, 60), pc=(0.42, 0.55, 0.5))
+        px = np.array([[10.0, 20.0], [0.0, 0.0], [59.0, 59.0]])
+        gn = det.to_gnomonic_coords(px)
+        px2 = det.to_pixel_coords(gn)
+        np.testing.assert_allclose(px2, px, atol=1e-12)
+
+    def test_crop(self):
+        det = EBSDDetector(shape=(60, 60), pc=(0.4, 0.6, 0.5))
+        det2 = det.crop((10, 50, 20, 60))
+        assert det2.shape == (40, 40)
+        # PC must still point at the same physical spot:
+        # pcx*ncols - col0 == pcx2*ncols2
+        np.testing.assert_allclose(det2.pcx * 40, det.pcx * 60 - 20)
+        np.testing.assert_allclose(det2.pcz * 40, det.pcz * 60)
+
+    def test_save_load_roundtrip(self, tmp_path):
+        det = EBSDDetector(
+            shape=(60, 60),
+            px_size=59.2,
+            binning=2,
+            tilt=5.0,
+            azimuthal=1.0,
+            twist=0.5,
+            sample_tilt=69.0,
+            pc=np.random.default_rng(0).uniform(0.3, 0.7, size=(3, 4, 3)),
+        )
+        fname = tmp_path / "det.txt"
+        det.save(fname)
+        det2 = EBSDDetector.load(fname)
+        assert det2.shape == det.shape
+        assert det2.navigation_shape == det.navigation_shape
+        np.testing.assert_allclose(det2.pc, det.pc, atol=1e-9)
+        assert det2.sample_tilt == det.sample_tilt
+
+    def test_multiple_pcs(self):
+        pc = np.arange(27, dtype=float).reshape((3, 3, 3))
+        pc = pc / pc.max()
+        det = EBSDDetector(shape=(3, 3), pc=pc)
+        assert det.navigation_shape == (3, 3)
+        assert det.navigation_size == 9
+        assert det.gnomonic_bounds.shape == (3, 3, 4)
+
+    def test_invalid_convention(self):
+        with pytest.raises(ValueError, match="Unrecognized"):
+            EBSDDetector(pc=(0.5, 0.5, 0.5), convention="nonsense")
