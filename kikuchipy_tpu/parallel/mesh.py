@@ -1,0 +1,182 @@
+"""Device-mesh parallelism for dictionary indexing.
+
+The reference has no distributed backend (SURVEY.md §2.12); the TPU
+design shards the problem over a 2D ``jax.sharding.Mesh``:
+
+- ``"scan"`` axis: experimental patterns, pure data parallelism over
+  beam positions;
+- ``"dict"`` axis: dictionary entries, model-parallel-style sharding of
+  the dictionary with a cross-shard top-k merge.
+
+Each device computes the NCC matmul of its (scan-shard x dict-shard)
+block plus a local top-k; an ``all_gather`` over the ``dict`` axis (ICI)
+then merges the per-shard candidates into the global top-k. Per-device
+FLOPs scale as 1/(n_scan * n_dict) with only O(keep_n) communication per
+pattern — the collective cost is negligible next to the matmul.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "sharded_match_topk", "sharded_dictionary_index"]
+
+
+def make_mesh(
+    n_scan: int | None = None,
+    n_dict: int | None = None,
+    devices=None,
+) -> Mesh:
+    """Build a ``("scan", "dict")`` mesh over the available devices.
+
+    With no arguments, uses all devices on the ``scan`` axis (the common
+    case: dictionary replicated, scan data-parallel).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n_scan is None and n_dict is None:
+        n_scan, n_dict = n, 1
+    elif n_scan is None:
+        n_scan = n // n_dict
+    elif n_dict is None:
+        n_dict = n // n_scan
+    if n_scan * n_dict != n:
+        raise ValueError(
+            f"mesh {n_scan}x{n_dict} does not match {n} devices"
+        )
+    dev_array = np.asarray(devices).reshape(n_scan, n_dict)
+    return Mesh(dev_array, axis_names=("scan", "dict"))
+
+
+@partial(jax.jit, static_argnames=("keep_n", "mesh"))
+def sharded_match_topk(
+    exp_prepared: jnp.ndarray,
+    dict_prepared: jnp.ndarray,
+    keep_n: int,
+    mesh: Mesh,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Match prepared experimental patterns against a prepared dictionary
+    on a ``("scan", "dict")`` mesh and return the global top-k.
+
+    ``exp_prepared (n, d)`` is sharded over ``scan`` rows,
+    ``dict_prepared (m, d)`` over ``dict`` rows. ``n`` must divide by the
+    scan axis size and ``m`` by the dict axis size. Returns
+    ``(scores, indices)`` of shape ``(n, keep_n)`` sharded over ``scan``
+    and replicated over ``dict``.
+    """
+    m = dict_prepared.shape[0]
+    n_dict = mesh.shape["dict"]
+    m_local = m // n_dict
+
+    def local_step(exp_local, dict_local):
+        sim = jnp.matmul(
+            exp_local,
+            dict_local.T,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=exp_local.dtype,
+        )
+        k_local = min(keep_n, m_local)
+        s, i = jax.lax.top_k(sim, k_local)
+        i = (i + jax.lax.axis_index("dict") * m_local).astype(jnp.int32)
+        # Merge candidates across dictionary shards over ICI.
+        s_all = jax.lax.all_gather(s, "dict", axis=1, tiled=True)
+        i_all = jax.lax.all_gather(i, "dict", axis=1, tiled=True)
+        k_out = min(keep_n, m)
+        s_out, pos = jax.lax.top_k(s_all, k_out)
+        i_out = jnp.take_along_axis(i_all, pos, axis=1)
+        return s_out, i_out
+
+    return jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("scan", None), P("dict", None)),
+        out_specs=(P("scan", None), P("scan", None)),
+        check_vma=False,
+    )(exp_prepared, dict_prepared)
+
+
+def sharded_dictionary_index(
+    experimental,
+    dictionary,
+    keep_n: int = 20,
+    metric="ncc",
+    mesh: Mesh | None = None,
+    signal_mask: np.ndarray | None = None,
+):
+    """Dictionary indexing over a device mesh.
+
+    Pads the scan and dictionary axes to multiples of the mesh axes,
+    prepares patterns on device with sharded layouts, matches with
+    :func:`sharded_match_topk`, and strips the padding. Returns
+    ``(scores, indices)`` as NumPy arrays.
+    """
+    from kikuchipy_tpu.indexing.metrics import get_metric, signal_mask_to_idx
+
+    metric = get_metric(metric)
+    if mesh is None:
+        mesh = make_mesh()
+
+    experimental = jnp.asarray(experimental)
+    if experimental.ndim > 2:
+        experimental = experimental.reshape(
+            (-1, experimental.shape[-2] * experimental.shape[-1])
+        )
+    dictionary = jnp.asarray(dictionary)
+    if dictionary.ndim > 2:
+        dictionary = dictionary.reshape(
+            (-1, dictionary.shape[-2] * dictionary.shape[-1])
+        )
+
+    n, d = experimental.shape
+    m = dictionary.shape[0]
+    keep_idx = signal_mask_to_idx(signal_mask, d)
+    keep_idx = None if keep_idx is None else jnp.asarray(keep_idx)
+
+    n_scan, n_dict = mesh.shape["scan"], mesh.shape["dict"]
+    n_pad = (-n) % n_scan
+    m_pad = (-m) % n_dict
+    if n_pad:
+        experimental = jnp.concatenate(
+            [experimental, jnp.zeros((n_pad, d), experimental.dtype)], axis=0
+        )
+    if m_pad:
+        # Padding patterns are all-zero; after centering they normalize
+        # to nan — replace with -inf-scoring constants instead: use the
+        # first dictionary row so scores are valid, then mask by index.
+        pad_rows = jnp.broadcast_to(dictionary[:1], (m_pad, dictionary.shape[1]))
+        dictionary = jnp.concatenate([dictionary, pad_rows], axis=0)
+
+    exp_sharding = NamedSharding(mesh, P("scan", None))
+    dict_sharding = NamedSharding(mesh, P("dict", None))
+    experimental = jax.device_put(experimental, exp_sharding)
+    dictionary = jax.device_put(dictionary, dict_sharding)
+
+    prepare = jax.jit(
+        metric.prepare, out_shardings=exp_sharding
+    )
+    exp_prepared = prepare(experimental, keep_idx)
+    prepare_d = jax.jit(metric.prepare, out_shardings=dict_sharding)
+    dict_prepared = prepare_d(dictionary, keep_idx)
+
+    keep_n_eff = min(keep_n, m)
+    k_query = min(keep_n_eff + m_pad, m + m_pad) if m_pad else keep_n_eff
+    scores, idx = sharded_match_topk(exp_prepared, dict_prepared, k_query, mesh)
+    scores = np.asarray(scores)[:n]
+    idx = np.asarray(idx)[:n]
+    if m_pad:
+        # Drop padded dictionary entries (indices >= m), keep first
+        # keep_n_eff valid entries per row.
+        out_s = np.empty((n, keep_n_eff), scores.dtype)
+        out_i = np.empty((n, keep_n_eff), idx.dtype)
+        for row in range(n):
+            valid = idx[row] < m
+            out_s[row] = scores[row][valid][:keep_n_eff]
+            out_i[row] = idx[row][valid][:keep_n_eff]
+        scores, idx = out_s, out_i
+    return scores, idx

@@ -1,0 +1,306 @@
+"""User-facing EBSD scan object.
+
+The TPU-native replacement for the reference's HyperSpy-based ``EBSD``
+signal (``/root/reference/src/kikuchipy/signals/ebsd.py:118``): a thin
+dataclass over a batched pattern array plus the custom attributes the
+reference preserves through operations (``detector``, ``xmap``,
+``static_background``; reference ``ebsd.py:186-263``). All compute
+delegates to the pure-function kernel library in
+:mod:`kikuchipy_tpu.ops`; there is no lazy/eager subclass split — jit
+and sharding replace Dask laziness.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+import jax.numpy as jnp
+
+from kikuchipy_tpu.crystallography.crystal_map import CrystalMap, Phase, PhaseList
+from kikuchipy_tpu.geometry.detector import EBSDDetector
+from kikuchipy_tpu.indexing.di import dictionary_index
+from kikuchipy_tpu.ops import pattern as _ops
+
+__all__ = ["EBSD"]
+
+
+@dataclasses.dataclass
+class EBSD:
+    """A 4D EBSD scan: a navigation grid of detector patterns.
+
+    Attributes
+    ----------
+    data
+        Pattern array ``(ny, nx, sy, sx)`` (or ``(n, sy, sx)``).
+    detector
+        :class:`~kikuchipy_tpu.geometry.detector.EBSDDetector`.
+    static_background
+        Optional ``(sy, sx)`` static background.
+    xmap
+        Optional :class:`~kikuchipy_tpu.crystallography.crystal_map.
+        CrystalMap` of indexing results.
+    metadata
+        Free-form metadata dict (vendor headers etc.).
+    """
+
+    data: Any
+    detector: EBSDDetector | None = None
+    static_background: np.ndarray | None = None
+    xmap: CrystalMap | None = None
+    metadata: dict = dataclasses.field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.detector is None:
+            self.detector = EBSDDetector(shape=self.signal_shape)
+
+    # ------------------------- Shape helpers ------------------------- #
+
+    @property
+    def signal_shape(self) -> tuple[int, int]:
+        return tuple(self.data.shape[-2:])
+
+    @property
+    def navigation_shape(self) -> tuple[int, ...]:
+        return tuple(self.data.shape[:-2])
+
+    @property
+    def navigation_size(self) -> int:
+        return int(np.prod(self.navigation_shape)) if self.navigation_shape else 1
+
+    def _replace_data(self, data) -> "EBSD":
+        return dataclasses.replace(self, data=data)
+
+    # ---------------------- Preprocessing ops ------------------------ #
+    # Each returns a NEW EBSD; op semantics in kikuchipy_tpu.ops.pattern.
+
+    def rescale_intensity(self, **kwargs) -> "EBSD":
+        return self._replace_data(_ops.rescale_intensity(self.data, **kwargs))
+
+    def normalize_intensity(self, **kwargs) -> "EBSD":
+        return self._replace_data(_ops.normalize_intensity(self.data, **kwargs))
+
+    def remove_static_background(
+        self,
+        operation: str = "subtract",
+        static_bg: np.ndarray | None = None,
+        scale_bg: bool = False,
+        **kwargs,
+    ) -> "EBSD":
+        """Remove the static background (reference ``ebsd.py:442``)."""
+        if static_bg is None:
+            static_bg = self.static_background
+        if static_bg is None:
+            raise ValueError(
+                "`static_bg` is not a valid NumPy array: none was passed and "
+                "the signal has no static_background attribute"
+            )
+        bg = np.asarray(static_bg)
+        if bg.shape != self.signal_shape:
+            raise ValueError(
+                f"Signal {self.signal_shape} and static background {bg.shape} "
+                "shapes are not identical"
+            )
+        out = _ops.remove_static_background(
+            self.data, bg, operation=operation, scale_bg=scale_bg, **kwargs
+        )
+        return self._replace_data(out)
+
+    def remove_dynamic_background(
+        self,
+        operation: str = "subtract",
+        filter_domain: str = "frequency",
+        std: float | None = None,
+        truncate: float = 4.0,
+        **kwargs,
+    ) -> "EBSD":
+        """Remove the dynamic background (reference ``ebsd.py:575``)."""
+        out = _ops.remove_dynamic_background(
+            self.data,
+            operation=operation,
+            filter_domain=filter_domain,
+            std=std,
+            truncate=truncate,
+            **kwargs,
+        )
+        return self._replace_data(out)
+
+    def get_dynamic_background(self, **kwargs) -> "EBSD":
+        return self._replace_data(_ops.get_dynamic_background(self.data, **kwargs))
+
+    def fft_filter(
+        self,
+        transfer_function,
+        function_domain: str = "frequency",
+        shift: bool = False,
+    ) -> "EBSD":
+        """Frequency-domain filter (reference ``ebsd.py:805``). With
+        ``function_domain="spatial"``, the transfer function is a spatial
+        kernel convolved via the Barnes rFFT filter."""
+        if function_domain == "frequency":
+            out = _ops.fft_filter(
+                self.data.astype(jnp.float32), transfer_function, shift=shift
+            )
+            out = _ops.rescale_intensity(out, dtype_out=np.asarray(self.data).dtype)
+        elif function_domain == "spatial":
+            from kikuchipy_tpu.ops.fft_barnes import FFTFilterPlan, barnes_fft_filter
+
+            plan = FFTFilterPlan(self.signal_shape, np.asarray(transfer_function))
+            out = barnes_fft_filter(jnp.asarray(self.data, jnp.float32), plan)
+            out = _ops.rescale_intensity(out, dtype_out=np.asarray(self.data).dtype)
+        else:
+            raise ValueError(
+                f"function_domain must be 'frequency' or 'spatial', got "
+                f"{function_domain!r}"
+            )
+        return self._replace_data(out)
+
+    def downsample(self, factor: int, **kwargs) -> "EBSD":
+        """Integer-factor binning + rescale (reference ``ebsd.py:1113``);
+        adjusts the detector shape and binning accordingly."""
+        out = _ops.downsample(self.data, factor, **kwargs)
+        new = self._replace_data(out)
+        if self.detector is not None:
+            det = self.detector
+            new.detector = dataclasses.replace(
+                det,
+                shape=tuple(out.shape[-2:]),
+                binning=det.binning * factor,
+                pc=det.pc.copy(),
+            )
+        return new
+
+    def get_image_quality(self, normalize: bool = True) -> np.ndarray:
+        """Image-quality map (reference ``ebsd.py:1312``)."""
+        return np.asarray(_ops.get_image_quality(self.data, normalize=normalize))
+
+    def adaptive_histogram_equalization(
+        self, kernel_size=None, clip_limit: float = 0.0, nbins: int = 128
+    ) -> "EBSD":
+        from kikuchipy_tpu.ops.ahe import adaptive_histogram_equalization
+
+        return self._replace_data(
+            adaptive_histogram_equalization(
+                self.data, kernel_size=kernel_size, clip_limit=clip_limit,
+                nbins=nbins,
+            )
+        )
+
+    def average_neighbour_patterns(self, window=None, **kwargs) -> "EBSD":
+        from kikuchipy_tpu.ops.neighbors import average_neighbour_patterns
+
+        return self._replace_data(
+            average_neighbour_patterns(self.data, window=window, **kwargs)
+        )
+
+    def extract_grid(self, grid_shape: tuple[int, int]) -> "EBSD":
+        """Return a sub-scan of patterns on an evenly spaced grid
+        (reference ``ebsd.py:267``)."""
+        ny, nx = self.navigation_shape
+        gy, gx = grid_shape
+        iy = np.linspace(0, ny, gy, endpoint=False, dtype=int) + ny // (2 * gy)
+        ix = np.linspace(0, nx, gx, endpoint=False, dtype=int) + nx // (2 * gx)
+        data = np.asarray(self.data)[np.ix_(iy, ix)]
+        new = dataclasses.replace(self, data=data, xmap=None)
+        if self.detector is not None and self.detector.navigation_shape == (ny, nx):
+            new.detector = dataclasses.replace(
+                self.detector, pc=self.detector.pc[np.ix_(iy, ix)]
+            )
+        return new
+
+    # ------------------------- Indexing ----------------------------- #
+
+    def dictionary_indexing(
+        self,
+        dictionary: "EBSD",
+        metric: str = "ncc",
+        keep_n: int = 20,
+        n_per_iteration: int | None = None,
+        signal_mask: np.ndarray | None = None,
+        navigation_mask: np.ndarray | None = None,
+    ) -> CrystalMap:
+        """Match patterns against a dictionary signal and return a
+        crystal map (reference ``ebsd.py:1827``)."""
+        result = dictionary_index(
+            jnp.asarray(self.data),
+            dictionary=jnp.asarray(dictionary.data),
+            keep_n=keep_n,
+            n_per_iteration=n_per_iteration,
+            metric=metric,
+            signal_mask=signal_mask,
+            navigation_mask=navigation_mask,
+        )
+        dict_xmap = dictionary.xmap
+        if dict_xmap is None:
+            raise ValueError("dictionary has no xmap with rotations")
+        idx = result.simulation_indices
+        safe_idx = np.where(idx < 0, 0, idx)
+        rot = dict_xmap.best_rotations[safe_idx]
+        keep_n_eff = idx.shape[1]
+        if keep_n_eff == 1:
+            rot = rot[:, 0]
+        phases = dict_xmap.phases if len(dict_xmap.phases) else PhaseList(Phase())
+        nav_shape = self.navigation_shape
+        return CrystalMap(
+            rotations=rot,
+            shape=nav_shape if len(nav_shape) == 2 else (self.navigation_size,),
+            prop={
+                "scores": result.scores,
+                "simulation_indices": result.simulation_indices,
+            },
+            phases=phases,
+            is_in_data=(
+                ~np.asarray(navigation_mask).ravel()
+                if navigation_mask is not None
+                else None
+            ),
+        )
+
+    def refine_orientation(self, *args, **kwargs):
+        from kikuchipy_tpu.indexing.refinement import refine_orientation
+
+        return refine_orientation(self, *args, **kwargs)
+
+    def refine_projection_center(self, *args, **kwargs):
+        from kikuchipy_tpu.indexing.refinement import refine_projection_center
+
+        return refine_projection_center(self, *args, **kwargs)
+
+    def refine_orientation_projection_center(self, *args, **kwargs):
+        from kikuchipy_tpu.indexing.refinement import (
+            refine_orientation_projection_center,
+        )
+
+        return refine_orientation_projection_center(self, *args, **kwargs)
+
+    # --------------------------- Utility ----------------------------- #
+
+    def crop(self, extent: tuple[int, int, int, int]) -> "EBSD":
+        """Crop the detector (signal) axes to
+        ``(row0, row1, col0, col1)`` end-exclusive, adjusting detector
+        geometry and static background (reference ``ebsd.py:2726``)."""
+        r0, r1, c0, c1 = extent
+        data = np.asarray(self.data)[..., r0:r1, c0:c1]
+        new = dataclasses.replace(self, data=data)
+        if self.detector is not None:
+            new.detector = self.detector.crop(extent)
+        if self.static_background is not None:
+            new.static_background = np.asarray(self.static_background)[
+                r0:r1, c0:c1
+            ]
+        return new
+
+    def deepcopy(self) -> "EBSD":
+        return dataclasses.replace(self, data=np.array(np.asarray(self.data)))
+
+    def save(self, filename, **kwargs) -> None:
+        from kikuchipy_tpu.io import save
+
+        save(filename, self, **kwargs)
+
+    def __repr__(self) -> str:
+        return (
+            f"EBSD(nav={self.navigation_shape}, sig={self.signal_shape}, "
+            f"dtype={np.asarray(self.data).dtype})"
+        )

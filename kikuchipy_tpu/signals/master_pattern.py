@@ -1,0 +1,226 @@
+"""Master pattern signals and dictionary generation.
+
+TPU-native equivalent of the reference's ``EBSDMasterPattern``
+(``/root/reference/src/kikuchipy/signals/ebsd_master_pattern.py:48``) and
+``ECPMasterPattern``: holds the square-Lambert (or stereographic)
+hemispheres and projects dictionaries of simulated patterns onto a
+detector in device-sized batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kikuchipy_tpu.crystallography.crystal_map import CrystalMap, Phase, PhaseList
+from kikuchipy_tpu.geometry.detector import EBSDDetector
+from kikuchipy_tpu.projection.master_pattern import (
+    direction_cosines_from_detector,
+    project_patterns,
+)
+from kikuchipy_tpu.signals.ebsd import EBSD
+from kikuchipy_tpu.utils.dtypes import get_dtype_range
+
+__all__ = ["EBSDMasterPattern", "ECPMasterPattern"]
+
+
+@dataclasses.dataclass(repr=False)
+class KikuchiMasterPattern:
+    """Base master-pattern signal.
+
+    Attributes
+    ----------
+    data
+        Master pattern array: ``(npy, npx)`` for one hemisphere or
+        ``(2, npy, npx)`` for both (upper first); an extra leading
+        energy axis is allowed: ``(n_energy, [2,] npy, npx)``.
+    phase
+        The crystal :class:`Phase`.
+    hemisphere
+        "upper", "lower", or "both".
+    projection
+        "lambert" (square Lambert) or "stereographic".
+    energies
+        Optional array of accelerating voltages (kV), one per energy bin.
+    """
+
+    data: np.ndarray
+    phase: Phase = dataclasses.field(default_factory=Phase)
+    hemisphere: str = "both"
+    projection: str = "lambert"
+    energies: np.ndarray | None = None
+    metadata: dict = dataclasses.field(default_factory=dict)
+
+    @property
+    def signal_shape(self) -> tuple[int, int]:
+        return tuple(self.data.shape[-2:])
+
+    def _hemispheres_at_energy(self, energy: float | None = None) -> np.ndarray:
+        """Return packed hemispheres ``(2, npy, npx)`` at the requested
+        energy (highest if not given; reference
+        ``_kikuchi_master_pattern.py`` energy selection)."""
+        data = np.asarray(self.data)
+        # Normalize to (n_energy, n_hemi, npy, npx)
+        if data.ndim == 2:
+            data = data[None, None]
+        elif data.ndim == 3:
+            if self.hemisphere == "both":
+                data = data[None]  # (2, y, x) -> 1 energy
+            else:
+                data = data[:, None]  # (E, y, x) one hemisphere
+        elif data.ndim != 4:
+            raise ValueError(f"Cannot interpret master pattern shape {data.shape}")
+
+        if self.energies is not None and energy is not None:
+            i = int(np.abs(np.asarray(self.energies) - energy).argmin())
+        else:
+            i = data.shape[0] - 1  # highest energy
+        sel = data[i]
+        if sel.shape[0] == 1:
+            sel = np.concatenate([sel, sel], axis=0)
+        return sel
+
+    def __repr__(self) -> str:
+        return (
+            f"{type(self).__name__}(shape={self.data.shape}, "
+            f"phase={self.phase.name!r}, hemisphere={self.hemisphere!r}, "
+            f"projection={self.projection!r})"
+        )
+
+
+@dataclasses.dataclass(repr=False)
+class EBSDMasterPattern(KikuchiMasterPattern):
+    """EBSD master pattern with dictionary generation."""
+
+    def get_patterns(
+        self,
+        rotations: np.ndarray,
+        detector: EBSDDetector,
+        energy: float | None = None,
+        dtype_out=np.float32,
+        chunk_size: int = 1024,
+        signal_mask: np.ndarray | None = None,
+        compute: bool = True,
+    ) -> EBSD:
+        """Project simulated patterns for ``rotations`` onto
+        ``detector`` (reference ``signals/ebsd_master_pattern.py:97-329``).
+
+        Parameters
+        ----------
+        rotations
+            Unit quaternions ``(n, 4)`` (or ``(ny, nx, 4)``).
+        detector
+            Detector with one PC (shared) or one PC per rotation.
+        energy
+            Accelerating voltage (kV) selecting the master pattern
+            energy bin; highest if not given.
+        dtype_out
+            Output dtype; integer dtypes rescale each pattern to the
+            dtype range (reference behavior: rescale iff
+            ``dtype_out != master.dtype``).
+        chunk_size
+            Rotations per device batch.
+
+        Returns
+        -------
+        EBSD signal of shape ``rotations.shape[:-1] + detector.shape``
+        with an xmap holding the rotations.
+        """
+        if self.projection != "lambert":
+            raise ValueError(
+                "Master pattern must be in the square Lambert projection"
+            )
+        rotations = np.asarray(rotations)
+        nav_shape = rotations.shape[:-1]
+        rot_flat = rotations.reshape(-1, 4)
+        n = rot_flat.shape[0]
+
+        if detector.navigation_size not in (1, n):
+            raise ValueError(
+                "detector must have exactly one projection center, or as "
+                f"many as there are rotations ({n}); it has "
+                f"{detector.navigation_size}"
+            )
+
+        master = self._hemispheres_at_energy(energy)
+        dtype_out = np.dtype(dtype_out)
+        rescale = dtype_out != master.dtype
+        if rescale:
+            out_min, out_max = get_dtype_range(dtype_out)
+        else:
+            out_min, out_max = 0.0, 1.0
+
+        npy, npx = master.shape[-2:]
+        scale = (npx - 1) / 2
+        master_dev = jnp.asarray(master, dtype=jnp.float32)
+        dc = direction_cosines_from_detector(detector, signal_mask=signal_mask)
+
+        sig_shape = detector.shape
+        out = np.empty((n,) + sig_shape, dtype=dtype_out)
+        per_pc = detector.navigation_size == n
+        for start in range(0, n, chunk_size):
+            end = min(start + chunk_size, n)
+            dc_block = dc[start:end] if per_pc else dc
+            block = project_patterns(
+                jnp.asarray(rot_flat[start:end], dtype=jnp.float32),
+                dc_block,
+                master_dev,
+                npx,
+                npy,
+                scale,
+                rescale=rescale,
+                out_min=float(out_min),
+                out_max=float(out_max),
+            )
+            out[start:end] = np.asarray(block, dtype=dtype_out).reshape(
+                (end - start,) + sig_shape
+            )
+
+        xmap = CrystalMap(
+            rotations=rot_flat,
+            shape=nav_shape if nav_shape else (1,),
+            phases=PhaseList(self.phase),
+        )
+        return EBSD(
+            data=out.reshape(nav_shape + sig_shape),
+            detector=detector,
+            xmap=xmap,
+        )
+
+    def projector(
+        self,
+        detector: EBSDDetector,
+        energy: float | None = None,
+        signal_mask: np.ndarray | None = None,
+    ):
+        """Return a jittable ``project_fn(rotations) -> (n, n_pixels)``
+        closure for fused dictionary-generation-and-matching (see
+        :func:`kikuchipy_tpu.indexing.di.dictionary_index`)."""
+        if detector.navigation_size != 1:
+            raise ValueError("projector requires a single-PC detector")
+        master = self._hemispheres_at_energy(energy)
+        npy, npx = master.shape[-2:]
+        scale = (npx - 1) / 2
+        master_dev = jnp.asarray(master, dtype=jnp.float32)
+        dc = direction_cosines_from_detector(detector, signal_mask=signal_mask)
+
+        def project_fn(rot_block: jnp.ndarray) -> jnp.ndarray:
+            return project_patterns(
+                jnp.asarray(rot_block, dtype=jnp.float32),
+                dc,
+                master_dev,
+                npx,
+                npy,
+                scale,
+            )
+
+        return project_fn
+
+
+@dataclasses.dataclass(repr=False)
+class ECPMasterPattern(KikuchiMasterPattern):
+    """Electron channeling pattern master pattern (reference
+    ``signals/ecp_master_pattern.py:34``)."""

@@ -1,0 +1,141 @@
+"""Symmetry, FZ sampling, and CrystalMap tests."""
+
+import numpy as np
+import pytest
+
+from kikuchipy_tpu.crystallography.symmetry import (
+    get_point_group,
+    point_group_from_space_group,
+    proper_rotations,
+)
+from kikuchipy_tpu.crystallography.sampling import (
+    in_fundamental_zone,
+    reduce_to_fundamental_zone,
+    sample_fundamental_zone,
+    super_fibonacci,
+)
+from kikuchipy_tpu.crystallography.crystal_map import CrystalMap, Phase, PhaseList
+
+
+class TestSymmetry:
+    @pytest.mark.parametrize(
+        "name, order",
+        [
+            ("C1", 1), ("C2", 2), ("C3", 3), ("C4", 4), ("C6", 6),
+            ("D2", 4), ("D3", 6), ("D4", 8), ("D6", 12), ("T", 12), ("O", 24),
+        ],
+    )
+    def test_group_orders(self, name, order):
+        g = proper_rotations(name)
+        assert g.shape == (order, 4)
+        np.testing.assert_allclose(np.linalg.norm(g, axis=1), 1.0, atol=1e-12)
+
+    def test_group_closure(self):
+        # O must be closed: product of any two elements is an element.
+        g = proper_rotations("O")
+        keys = {tuple(np.round(q if q[np.abs(q) > 1e-8][0] > 0 else -q, 6)) for q in g}
+
+        def mult(q1, q2):
+            a1, b1, c1, d1 = q1
+            a2, b2, c2, d2 = q2
+            return np.array([
+                a1*a2 - b1*b2 - c1*c2 - d1*d2,
+                a1*b2 + b1*a2 + c1*d2 - d1*c2,
+                a1*c2 - b1*d2 + c1*a2 + d1*b2,
+                a1*d2 + b1*c2 - c1*b2 + d1*a2,
+            ])
+
+        for q1 in g[:6]:
+            for q2 in g:
+                p = mult(q1, q2)
+                p = p if p[np.abs(p) > 1e-8][0] > 0 else -p
+                assert tuple(np.round(p, 6)) in keys
+
+    def test_point_group_mapping(self):
+        assert get_point_group("m-3m").proper_name == "O"
+        assert get_point_group("4/mmm").proper_name == "D4"
+        assert get_point_group("-3m").proper_name == "D3"
+        assert get_point_group("1").order == 1
+
+    def test_space_group_mapping(self):
+        assert point_group_from_space_group(225).name == "m-3m"  # Fm-3m (Ni)
+        assert point_group_from_space_group(227).name == "m-3m"  # Fd-3m (Si)
+        assert point_group_from_space_group(1).name == "1"
+        with pytest.raises(ValueError):
+            point_group_from_space_group(300)
+
+    def test_unknown_group(self):
+        with pytest.raises(ValueError):
+            get_point_group("zzz")
+
+
+class TestSampling:
+    def test_super_fibonacci_unit(self):
+        q = super_fibonacci(1000)
+        np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=1e-12)
+        assert np.all(q[:, 0] >= 0)
+
+    def test_super_fibonacci_uniform(self):
+        # Haar density of the rotation angle is p(t) = (1 - cos t) / pi,
+        # so the fraction with angle < 90 deg is (pi/2 - 1)/pi ~ 0.1817.
+        q = super_fibonacci(200_000)
+        angles = 2 * np.arccos(np.clip(np.abs(q[:, 0]), 0, 1))
+        frac = (angles < np.pi / 2).mean()
+        expected = (np.pi / 2 - 1) / np.pi
+        assert abs(frac - expected) < 0.01
+
+    def test_fz_fraction_matches_group_order(self):
+        q = super_fibonacci(100_000)
+        for name, order in [("O", 24), ("D4", 8), ("C2", 2)]:
+            frac = in_fundamental_zone(q, name).mean()
+            assert abs(frac * order - 1) < 0.05, (name, frac)
+
+    def test_reduce_to_fz(self):
+        q = super_fibonacci(5000)
+        red = reduce_to_fundamental_zone(q, "O")
+        assert in_fundamental_zone(red, "O").all()
+        # Reduction preserves misorientation to identity modulo symmetry:
+        # the reduced rotation angle is the disorientation angle, <= 62.8
+        # deg for O (cubic FZ max angle).
+        ang = 2 * np.degrees(np.arccos(np.clip(np.abs(red[:, 0]), 0, 1)))
+        assert ang.max() <= 62.9
+
+    def test_sample_fundamental_zone_density(self):
+        q = sample_fundamental_zone(6.0, "m-3m")
+        # Cubochoric calibration: ~103k total / 24 ~ 4.3k
+        assert 3000 < q.shape[0] < 6000
+        assert in_fundamental_zone(q, "O").all()
+
+    def test_identity_in_fz(self):
+        q = np.array([[1.0, 0, 0, 0]])
+        assert in_fundamental_zone(q, "O").all()
+
+
+class TestCrystalMap:
+    def test_basic(self):
+        rot = super_fibonacci(9)
+        xmap = CrystalMap(
+            rotations=rot,
+            shape=(3, 3),
+            prop={"scores": np.arange(9.0)},
+            phases=PhaseList(Phase("ni", space_group=225)),
+        )
+        assert xmap.size == 9
+        assert xmap.rotations_per_point == 1
+        assert xmap.get_map("scores").shape == (3, 3)
+        assert xmap.phases.names == ["ni"]
+        assert xmap.phases[0].get_point_group().proper_name == "O"
+        np.testing.assert_array_equal(xmap.x[:4], [0, 1, 2, 0])
+
+    def test_multi_match(self):
+        rot = super_fibonacci(20).reshape(5, 4, 4)
+        xmap = CrystalMap(rotations=rot)
+        assert xmap.rotations_per_point == 4
+        assert xmap.best_rotations.shape == (5, 4)
+
+    def test_phase_list(self):
+        pl = PhaseList([Phase("a"), Phase("b")])
+        assert pl.ids == [0, 1]
+        assert len(pl) == 2
+        pl.add(2, Phase("c"))
+        assert pl.names == ["a", "b", "c"]

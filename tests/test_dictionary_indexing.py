@@ -1,0 +1,174 @@
+"""Dictionary indexing engine tests.
+
+Mirrors the reference's self-matching strategy
+(/root/reference/tests/test_indexing/test_dictionary_indexing.py:27-60):
+a dictionary equal to the experimental patterns must index every pattern
+to itself with NCC score ~1.
+"""
+
+import numpy as np
+import pytest
+
+from kikuchipy_tpu.indexing.di import dictionary_index, merge_topk
+from kikuchipy_tpu.indexing.metrics import get_metric, ncc, ndp, signal_mask_to_idx
+
+
+@pytest.fixture
+def exp(dummy_patterns):
+    return dummy_patterns.reshape(9, 3, 3).astype(np.float32)
+
+
+class TestSelfMatching:
+    def test_self_match_ncc(self, exp):
+        res = dictionary_index(exp, dictionary=exp, keep_n=1)
+        np.testing.assert_allclose(res.scores[:, 0], 1.0, atol=1e-6)
+        np.testing.assert_array_equal(res.simulation_indices[:, 0], np.arange(9))
+
+    def test_self_match_ndp(self, exp):
+        res = dictionary_index(exp, dictionary=exp, keep_n=1, metric="ndp")
+        np.testing.assert_allclose(res.scores[:, 0], 1.0, atol=1e-6)
+        np.testing.assert_array_equal(res.simulation_indices[:, 0], np.arange(9))
+
+    def test_keep_n_clamped(self, exp):
+        res = dictionary_index(exp, dictionary=exp, keep_n=100)
+        assert res.scores.shape == (9, 9)
+        # Scores sorted descending per row
+        assert np.all(np.diff(res.scores, axis=1) <= 1e-7)
+
+    def test_4d_nav_input(self, dummy_patterns):
+        res = dictionary_index(
+            dummy_patterns.astype(np.float32),
+            dictionary=dummy_patterns.reshape(9, 3, 3).astype(np.float32),
+            keep_n=1,
+        )
+        np.testing.assert_array_equal(res.simulation_indices[:, 0], np.arange(9))
+
+
+class TestChunking:
+    @pytest.mark.parametrize("tile", [1, 2, 3, 4, 9])
+    def test_tile_size_invariance(self, exp, tile):
+        full = dictionary_index(exp, dictionary=exp, keep_n=3)
+        tiled = dictionary_index(exp, dictionary=exp, keep_n=3, n_per_iteration=tile)
+        np.testing.assert_allclose(tiled.scores, full.scores, atol=1e-6)
+        np.testing.assert_array_equal(
+            tiled.simulation_indices, full.simulation_indices
+        )
+
+    def test_streamed_tiles_match_resident(self, exp):
+        rng = np.random.default_rng(7)
+        dictionary = rng.normal(size=(50, 3, 3)).astype(np.float32)
+        resident = dictionary_index(exp, dictionary=dictionary, keep_n=5)
+        tiles = [
+            (s, dictionary[s : s + 7]) for s in range(0, 50, 7)
+        ]
+        streamed = dictionary_index(
+            exp, dictionary_tiles=tiles, dictionary_size=50, keep_n=5
+        )
+        np.testing.assert_allclose(streamed.scores, resident.scores, atol=1e-6)
+        np.testing.assert_array_equal(
+            streamed.simulation_indices, resident.simulation_indices
+        )
+
+    def test_project_fn_virtual_dictionary(self, exp):
+        rng = np.random.default_rng(8)
+        dictionary = rng.normal(size=(30, 9)).astype(np.float32)
+
+        def project_fn(rot_block):
+            # "rotations" here are just indices into the fake dictionary
+            idx = np.asarray(rot_block).astype(int)
+            return dictionary[idx]
+
+        resident = dictionary_index(
+            exp, dictionary=dictionary.reshape(30, 3, 3), keep_n=4
+        )
+        virtual = dictionary_index(
+            exp,
+            project_fn=project_fn,
+            rotations=np.arange(30),
+            keep_n=4,
+            n_per_iteration=11,
+        )
+        np.testing.assert_allclose(virtual.scores, resident.scores, atol=1e-6)
+        np.testing.assert_array_equal(
+            virtual.simulation_indices, resident.simulation_indices
+        )
+
+
+class TestMasks:
+    def test_signal_mask(self, exp):
+        # Excluding pixels changes scores but self-match must survive.
+        mask = np.zeros((3, 3), dtype=bool)
+        mask[0, 0] = True  # exclude one pixel
+        res = dictionary_index(exp, dictionary=exp, keep_n=1, signal_mask=mask)
+        np.testing.assert_allclose(res.scores[:, 0], 1.0, atol=1e-6)
+        np.testing.assert_array_equal(res.simulation_indices[:, 0], np.arange(9))
+
+    def test_signal_mask_to_idx(self):
+        mask = np.array([[True, False], [False, True]])
+        idx = signal_mask_to_idx(mask, 4)
+        np.testing.assert_array_equal(idx, [1, 2])
+
+    def test_navigation_mask(self, exp):
+        nav_mask = np.zeros(9, dtype=bool)
+        nav_mask[[2, 5]] = True
+        res = dictionary_index(
+            exp, dictionary=exp, keep_n=1, navigation_mask=nav_mask
+        )
+        assert np.isnan(res.scores[2, 0]) and np.isnan(res.scores[5, 0])
+        assert res.simulation_indices[2, 0] == -1
+        kept = np.setdiff1d(np.arange(9), [2, 5])
+        np.testing.assert_array_equal(res.simulation_indices[kept, 0], kept)
+
+    def test_bad_masks_raise(self, exp):
+        with pytest.raises(ValueError, match="signal_mask"):
+            dictionary_index(exp, dictionary=exp, signal_mask=np.zeros(5, bool))
+        with pytest.raises(ValueError, match="navigation_mask"):
+            dictionary_index(exp, dictionary=exp, navigation_mask=np.zeros(5, bool))
+
+
+class TestMergeTopk:
+    def test_merge(self):
+        import jax.numpy as jnp
+
+        s1 = jnp.asarray([[0.9, 0.5], [0.3, 0.2]])
+        i1 = jnp.asarray([[0, 1], [2, 3]], dtype=jnp.int32)
+        s2 = jnp.asarray([[0.7, 0.6], [0.9, 0.1]])
+        i2 = jnp.asarray([[10, 11], [12, 13]], dtype=jnp.int32)
+        s, i = merge_topk(s1, i1, s2, i2, 2)
+        np.testing.assert_allclose(np.asarray(s), [[0.9, 0.7], [0.9, 0.3]])
+        np.testing.assert_array_equal(np.asarray(i), [[0, 10], [12, 2]])
+
+
+class TestMetricValidation:
+    def test_unknown_metric(self, exp):
+        with pytest.raises(ValueError, match="Unknown metric"):
+            get_metric("xcorr")
+
+    def test_metric_objects(self):
+        assert ncc.centered and not ndp.centered
+
+    def test_no_dictionary_raises(self, exp):
+        with pytest.raises(ValueError, match="Provide one of"):
+            dictionary_index(exp)
+
+    def test_ncc_matches_manual(self, exp):
+        rng = np.random.default_rng(9)
+        dictionary = rng.normal(size=(20, 9)).astype(np.float32)
+        res = dictionary_index(exp, dictionary=dictionary, keep_n=20)
+        # Manual NCC in float64
+        e = exp.reshape(9, -1).astype(np.float64)
+        e -= e.mean(axis=1, keepdims=True)
+        e /= np.linalg.norm(e, axis=1, keepdims=True)
+        d = dictionary.astype(np.float64)
+        d -= d.mean(axis=1, keepdims=True)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        expected = e @ d.T
+        # res keeps all 20 scores; compare score at each reported index.
+        expected_at_idx = np.take_along_axis(
+            expected, res.simulation_indices, axis=1
+        )
+        np.testing.assert_allclose(res.scores, expected_at_idx, atol=1e-5)
+        # And the reported order must be the descending sort of all 20.
+        np.testing.assert_allclose(
+            res.scores, -np.sort(-expected, axis=1), atol=1e-5
+        )

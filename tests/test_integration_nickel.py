@@ -1,0 +1,142 @@
+"""End-to-end integration: preprocess + dictionary-index the real
+nickel_ebsd_small scan against a dictionary generated from the real
+EMsoft nickel master pattern, and check the indexed orientations agree
+with the scan's stored (reference-indexed) orientations.
+
+This mirrors BASELINE.json config 2 and the reference's DI benchmark
+(/root/reference/benchmarks/indexing/test_dictionary_indexing.py).
+"""
+
+import numpy as np
+import pytest
+
+import kikuchipy_tpu as kp
+from kikuchipy_tpu.crystallography.sampling import (
+    disorientation_angle,
+    sample_fundamental_zone,
+)
+from kikuchipy_tpu.filters.window import Window
+
+
+@pytest.fixture(scope="module")
+def nickel(nickel_ebsd_small_path):
+    return kp.load(nickel_ebsd_small_path)
+
+
+@pytest.fixture(scope="module")
+def master(nickel_master_pattern_path):
+    return kp.load(
+        nickel_master_pattern_path, projection="lambert", hemisphere="both"
+    )
+
+
+# module-scoped path fixtures (conftest ones are function-scoped)
+@pytest.fixture(scope="module")
+def nickel_ebsd_small_path():
+    from pathlib import Path
+
+    p = Path("/root/reference/src/kikuchipy/data/kikuchipy_h5ebsd/patterns.h5")
+    if not p.exists():
+        pytest.skip("reference data not available")
+    return p
+
+
+@pytest.fixture(scope="module")
+def nickel_master_pattern_path():
+    from pathlib import Path
+
+    p = Path(
+        "/root/reference/src/kikuchipy/data/emsoft_ebsd_master_pattern/"
+        "ni_mc_mp_20kv_uint8_gzip_opts9.h5"
+    )
+    if not p.exists():
+        pytest.skip("reference data not available")
+    return p
+
+
+class TestLoadedSignal:
+    def test_scan_attributes(self, nickel):
+        assert nickel.navigation_shape == (3, 3)
+        assert nickel.signal_shape == (60, 60)
+        assert nickel.static_background is not None
+        assert nickel.detector.navigation_shape == (3, 3)
+        assert nickel.xmap is not None and nickel.xmap.size == 9
+        np.testing.assert_allclose(
+            nickel.detector.pc_average, [0.425, 0.213, 0.501], atol=0.01
+        )
+
+    def test_master_pattern(self, master):
+        assert master.signal_shape == (401, 401)
+        assert master.phase.space_group == 225
+        assert master.hemisphere == "both"
+
+
+class TestEndToEndDI:
+    def test_dictionary_indexing_recovers_orientations(self, nickel, master):
+        s = nickel.remove_static_background()
+        s = s.remove_dynamic_background()
+
+        det = kp.detectors.EBSDDetector(
+            shape=(60, 60),
+            pc=nickel.detector.pc_average,
+            sample_tilt=nickel.detector.sample_tilt,
+        )
+        rot = sample_fundamental_zone(4.0, "m-3m")
+        dictionary = master.get_patterns(rot, det, dtype_out=np.float32)
+        assert dictionary.data.shape == (rot.shape[0], 60, 60)
+
+        signal_mask = ~np.asarray(
+            Window("circular", shape=(60, 60)), dtype=bool
+        )
+        xmap = s.dictionary_indexing(
+            dictionary, keep_n=10, signal_mask=signal_mask
+        )
+
+        scores = xmap.prop["scores"]
+        assert scores.shape == (9, 10)
+        # The reference's own DI benchmark reports mean top-NCC ~ 0.1887
+        # at 6 deg sampling with a circular mask
+        # (/root/reference/benchmarks/indexing/test_dictionary_indexing.py
+        # :54-63); at 4 deg with the average PC we land slightly higher.
+        assert scores[:, 0].min() > 0.15
+        assert scores[:, 0].mean() > 0.2
+        # Descending scores
+        assert np.all(np.diff(scores, axis=1) <= 1e-6)
+
+        # Indexed orientations within ~2x dictionary resolution of the
+        # stored (reference-produced) orientations.
+        stored = nickel.xmap.best_rotations
+        got = xmap.best_rotations
+        ang = np.degrees(disorientation_angle(stored, got, "m-3m"))
+        assert ang.max() < 8.0, ang
+
+    def test_fused_projection_di_matches_materialized(self, nickel, master):
+        """The virtual-dictionary path (project_fn fused into the DI
+        loop) must agree with materializing the dictionary first."""
+        from kikuchipy_tpu.indexing.di import dictionary_index
+
+        s = nickel.remove_static_background().remove_dynamic_background()
+        det = kp.detectors.EBSDDetector(
+            shape=(60, 60),
+            pc=nickel.detector.pc_average,
+            sample_tilt=nickel.detector.sample_tilt,
+        )
+        rot = sample_fundamental_zone(8.0, "m-3m")
+        dictionary = master.get_patterns(rot, det, dtype_out=np.float32)
+
+        materialized = dictionary_index(
+            np.asarray(s.data), dictionary=dictionary.data, keep_n=5
+        )
+        fused = dictionary_index(
+            np.asarray(s.data),
+            project_fn=master.projector(det),
+            rotations=rot,
+            keep_n=5,
+            n_per_iteration=512,
+        )
+        np.testing.assert_array_equal(
+            fused.simulation_indices, materialized.simulation_indices
+        )
+        np.testing.assert_allclose(
+            fused.scores, materialized.scores, atol=1e-5
+        )

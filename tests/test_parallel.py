@@ -1,0 +1,84 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from kikuchipy_tpu.indexing.di import dictionary_index
+from kikuchipy_tpu.parallel.mesh import (
+    make_mesh,
+    sharded_dictionary_index,
+)
+
+
+@pytest.fixture(scope="module")
+def devices():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return devs
+
+
+@pytest.fixture
+def problem():
+    rng = np.random.default_rng(0)
+    exp = rng.normal(size=(24, 60, 60)).astype(np.float32)
+    dictionary = rng.normal(size=(160, 60, 60)).astype(np.float32)
+    # Plant exact matches so top-1 indices are unambiguous
+    dictionary[7] = exp[0]
+    dictionary[100] = exp[5]
+    return exp, dictionary
+
+
+class TestMakeMesh:
+    def test_default(self, devices):
+        mesh = make_mesh()
+        assert mesh.shape == {"scan": 8, "dict": 1}
+
+    def test_2d(self, devices):
+        mesh = make_mesh(n_scan=2, n_dict=4)
+        assert mesh.shape == {"scan": 2, "dict": 4}
+
+    def test_mismatch_raises(self, devices):
+        with pytest.raises(ValueError, match="does not match"):
+            make_mesh(n_scan=3, n_dict=3)
+
+
+class TestShardedDI:
+    @pytest.mark.parametrize("mesh_shape", [(8, 1), (1, 8), (2, 4), (4, 2)])
+    def test_matches_single_device(self, devices, problem, mesh_shape):
+        exp, dictionary = problem
+        ref = dictionary_index(exp, dictionary=dictionary, keep_n=5)
+        mesh = make_mesh(*mesh_shape)
+        scores, idx = sharded_dictionary_index(
+            exp, dictionary, keep_n=5, mesh=mesh
+        )
+        np.testing.assert_array_equal(idx, ref.simulation_indices)
+        np.testing.assert_allclose(scores, ref.scores, atol=1e-5)
+
+    def test_padding_path(self, devices, problem):
+        # 23 experimental patterns and 157 dictionary entries: neither
+        # divides the mesh axes, exercising the padding logic.
+        exp, dictionary = problem
+        exp, dictionary = exp[:23], dictionary[:157]
+        ref = dictionary_index(exp, dictionary=dictionary, keep_n=4)
+        mesh = make_mesh(n_scan=4, n_dict=2)
+        scores, idx = sharded_dictionary_index(
+            exp, dictionary, keep_n=4, mesh=mesh
+        )
+        np.testing.assert_array_equal(idx, ref.simulation_indices)
+        np.testing.assert_allclose(scores, ref.scores, atol=1e-5)
+
+    def test_signal_mask(self, devices, problem):
+        exp, dictionary = problem
+        mask = np.zeros((60, 60), dtype=bool)
+        mask[:10] = True
+        ref = dictionary_index(
+            exp, dictionary=dictionary, keep_n=3, signal_mask=mask
+        )
+        scores, idx = sharded_dictionary_index(
+            exp, dictionary, keep_n=3, mesh=make_mesh(2, 4), signal_mask=mask
+        )
+        np.testing.assert_array_equal(idx, ref.simulation_indices)
+        np.testing.assert_allclose(scores, ref.scores, atol=1e-5)
