@@ -103,9 +103,12 @@ def from_rodrigues(r: jnp.ndarray) -> jnp.ndarray:
 
 
 def from_axis_angle(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
-    """Quaternion for a rotation of ``angle`` (radians) about ``axis``."""
+    """Quaternion for a rotation of ``angle`` (radians, scalar or
+    broadcastable to the leading axes of ``axis``) about ``axis``."""
     axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
-    half = 0.5 * jnp.asarray(angle)[..., None]
+    angle = jnp.asarray(angle, dtype=axis.dtype)
+    half = jnp.broadcast_to(0.5 * angle[..., None] if angle.ndim else
+                            0.5 * angle, axis.shape[:-1] + (1,))
     return jnp.concatenate(
         [jnp.cos(half), jnp.sin(half) * axis], axis=-1
     )

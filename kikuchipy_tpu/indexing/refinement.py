@@ -1,0 +1,391 @@
+"""Orientation / projection-center refinement.
+
+Re-designed TPU-first from the reference's refinement engine
+(``/root/reference/src/kikuchipy/indexing/_refinement/_refinement.py:340,
+577,705`` and ``_solvers.py``): instead of a Python loop running SciPy
+Nelder-Mead per map point, ALL map points are refined simultaneously by
+a batched Nelder-Mead (one simplex per point, lockstep iterations) whose
+objective — project-one-pattern-then-NCC — is itself a batched device
+kernel. The objective math matches the reference's
+(``_objective_functions.py:36,77,135``): minimize ``1 - NCC`` between
+the centered experimental pattern and the pattern projected at the
+candidate Euler angles / PC.
+
+Supported modes (same as the reference):
+- :func:`refine_orientation` — Euler triplet per point, fixed PC(s);
+- :func:`refine_projection_center` — PC triplet per point, fixed
+  orientations;
+- :func:`refine_orientation_projection_center` — joint 6-parameter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kikuchipy_tpu.crystallography.crystal_map import CrystalMap
+from kikuchipy_tpu.geometry import quaternion as quat
+from kikuchipy_tpu.projection.master_pattern import (
+    direction_cosines,
+    direction_cosines_from_detector,
+    lambert_interpolation_weights,
+    project_patterns,
+)
+from kikuchipy_tpu.utils.optimize import nelder_mead_batched
+
+__all__ = [
+    "RefinementResult",
+    "refine_orientation",
+    "refine_projection_center",
+    "refine_orientation_projection_center",
+]
+
+
+@dataclasses.dataclass
+class RefinementResult:
+    """Refinement output.
+
+    Attributes
+    ----------
+    xmap
+        Crystal map with refined rotations and ``scores`` (NCC) +
+        ``num_evals`` properties.
+    detector
+        Detector with refined PCs (PC/joint modes; original otherwise).
+    """
+
+    xmap: CrystalMap
+    detector: object = None
+
+
+def _prepare_experimental(patterns, signal_mask_idx) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Rescale each pattern to [-1, 1], apply mask, center; return the
+    centered patterns and their squared norms (reference
+    ``_solvers.py:50-72``)."""
+    p = jnp.asarray(patterns, dtype=jnp.float32)
+    p = p.reshape((p.shape[0], -1)) if p.ndim == 2 else p.reshape((-1, p.shape[-2] * p.shape[-1]))
+    imin = jnp.min(p, axis=1, keepdims=True)
+    imax = jnp.max(p, axis=1, keepdims=True)
+    p = (p - imin) / (imax - imin) * 2.0 - 1.0
+    if signal_mask_idx is not None:
+        p = jnp.take(p, signal_mask_idx, axis=1)
+    p = p - jnp.mean(p, axis=1, keepdims=True)
+    sq_norm = jnp.sum(jnp.square(p), axis=1)
+    return p, sq_norm
+
+
+def _ncc_centered(exp_centered, exp_sq_norm, sim):
+    """NCC of centered experimental vs raw simulated patterns
+    (reference ``_normalized_cross_correlation.py:200-225``)."""
+    sim = sim - jnp.mean(sim, axis=-1, keepdims=True)
+    num = jnp.sum(exp_centered * sim, axis=-1)
+    den = jnp.sqrt(exp_sq_norm * jnp.sum(jnp.square(sim), axis=-1))
+    return num / den
+
+
+def _project_at(quats_b, dc, master, npx, npy, scale):
+    """Project one pattern per batch element; dc is (n, m, 3) or (m, 3)."""
+    rotated = quat.rotate_vector(
+        quats_b[:, None, :], dc if dc.ndim == 3 else dc[None, :, :]
+    )
+    nii, nij, niip, nijp, w = lambert_interpolation_weights(rotated, npx, npy, scale)
+    hemi = (rotated[..., 2] < 0).astype(jnp.int32)
+    flat = master.reshape(-1)
+    base = hemi * (npy * npx)
+    taps = jnp.stack(
+        [
+            flat[base + nii * npx + nij],
+            flat[base + niip * npx + nij],
+            flat[base + nii * npx + nijp],
+            flat[base + niip * npx + nijp],
+        ],
+        axis=-1,
+    )
+    return jnp.sum(taps * w, axis=-1)
+
+
+def _dc_for_pc(pc_b, nrows, ncols, om_d2s, mask_idx):
+    """Direction cosines per batch element for candidate PCs
+    ``(n, 3)`` (reference ``_objective_functions.py:77-106``)."""
+    aspect = ncols / nrows
+    pcx, pcy, pcz = pc_b[:, 0], pc_b[:, 1], pc_b[:, 2]
+    gb = jnp.stack(
+        [
+            -aspect * pcx / pcz,
+            aspect * (1 - pcx) / pcz,
+            -(1 - pcy) / pcz,
+            pcy / pcz,
+        ],
+        axis=-1,
+    )
+    return direction_cosines(
+        gb, pcz, nrows, ncols, om_d2s, signal_mask=mask_idx
+    )
+
+
+def _mask_bool_to_idx(signal_mask, sig_size):
+    if signal_mask is None:
+        return None
+    mask = np.asarray(signal_mask).ravel()
+    if mask.size != sig_size:
+        raise ValueError(
+            f"signal_mask has {mask.size} elements, expected {sig_size}"
+        )
+    return np.nonzero(~mask)[0].astype(np.int32)
+
+
+def _master_arrays(master_pattern, energy):
+    master = master_pattern._hemispheres_at_energy(energy)
+    npy, npx = master.shape[-2:]
+    return (
+        jnp.asarray(master, dtype=jnp.float32),
+        npx,
+        npy,
+        (npx - 1) / 2,
+    )
+
+
+def _finalize_xmap(xmap, rotations, scores, n_iter, nav_shape):
+    from kikuchipy_tpu.crystallography.crystal_map import PhaseList
+
+    return CrystalMap(
+        rotations=rotations,
+        phase_id=None if xmap is None else np.asarray(xmap.phase_id),
+        shape=nav_shape,
+        prop={"scores": scores, "num_evals": n_iter},
+        phases=xmap.phases if xmap is not None else PhaseList(),
+    )
+
+
+def refine_orientation(
+    signal,
+    xmap: CrystalMap | None = None,
+    detector=None,
+    master_pattern=None,
+    energy: float | None = None,
+    signal_mask: np.ndarray | None = None,
+    trust_region=None,
+    max_iters: int = 150,
+    rtol: float = 1e-4,
+) -> RefinementResult:
+    """Refine orientations by maximizing NCC over Euler angles
+    (reference ``EBSD.refine_orientation``, ``signals/ebsd.py:1986``).
+
+    ``trust_region``: optional ``(3,)`` half-widths in degrees bounding
+    each Euler angle around its start value.
+    """
+    xmap = xmap if xmap is not None else signal.xmap
+    detector = detector if detector is not None else signal.detector
+    nav_shape = signal.navigation_shape
+    n = signal.navigation_size
+
+    mask_idx = _mask_bool_to_idx(signal_mask, int(np.prod(signal.signal_shape)))
+    exp, sq_norm = _prepare_experimental(
+        jnp.asarray(signal.data).reshape((n,) + signal.signal_shape),
+        None if mask_idx is None else jnp.asarray(mask_idx),
+    )
+    master, npx, npy, scale = _master_arrays(master_pattern, energy)
+
+    if detector.navigation_size == 1:
+        dc = direction_cosines_from_detector(detector)
+        if mask_idx is not None:
+            dc = jnp.take(dc, jnp.asarray(mask_idx), axis=0)
+    else:
+        dc = direction_cosines_from_detector(detector)
+        dc = dc.reshape((n, -1, 3))
+        if mask_idx is not None:
+            dc = jnp.take(dc, jnp.asarray(mask_idx), axis=1)
+
+    euler0 = np.asarray(quat.to_euler(jnp.asarray(xmap.best_rotations)))
+
+    def objective(euler_b):
+        q = quat.from_euler(euler_b).astype(jnp.float32)
+        sim = _project_at(q, dc, master, npx, npy, scale)
+        return 1.0 - _ncc_centered(exp, sq_norm, sim)
+
+    lb = ub = None
+    if trust_region is not None:
+        tr = np.deg2rad(np.asarray(trust_region, dtype=np.float64))
+        lb = jnp.asarray(euler0 - tr, dtype=jnp.float32)
+        ub = jnp.asarray(euler0 + tr, dtype=jnp.float32)
+
+    res = nelder_mead_batched(
+        objective,
+        jnp.asarray(euler0, dtype=jnp.float32),
+        initial_step=np.deg2rad(1.0),
+        max_iters=max_iters,
+        fatol=rtol,
+        xatol=1e-4,
+        lower_bounds=lb,
+        upper_bounds=ub,
+    )
+    refined_rot = np.asarray(quat.from_euler(res.x.astype(jnp.float64)))
+    scores = 1.0 - np.asarray(res.fun)
+    new_xmap = _finalize_xmap(
+        xmap, refined_rot, scores, np.asarray(res.n_iter), nav_shape
+    )
+    return RefinementResult(xmap=new_xmap, detector=detector)
+
+
+def refine_projection_center(
+    signal,
+    xmap: CrystalMap | None = None,
+    detector=None,
+    master_pattern=None,
+    energy: float | None = None,
+    signal_mask: np.ndarray | None = None,
+    trust_region=None,
+    max_iters: int = 150,
+    rtol: float = 1e-4,
+) -> RefinementResult:
+    """Refine projection centers with fixed orientations (reference
+    ``EBSD.refine_projection_center``, ``signals/ebsd.py:2187``).
+
+    ``trust_region``: optional ``(3,)`` half-widths (PC fractions).
+    """
+    xmap = xmap if xmap is not None else signal.xmap
+    detector = detector if detector is not None else signal.detector
+    nav_shape = signal.navigation_shape
+    n = signal.navigation_size
+
+    sig_size = int(np.prod(signal.signal_shape))
+    mask_idx = _mask_bool_to_idx(signal_mask, sig_size)
+    mask_idx_j = None if mask_idx is None else jnp.asarray(mask_idx)
+    exp, sq_norm = _prepare_experimental(
+        jnp.asarray(signal.data).reshape((n,) + signal.signal_shape), mask_idx_j
+    )
+    master, npx, npy, scale = _master_arrays(master_pattern, energy)
+    nrows, ncols = detector.shape
+    om = jnp.asarray(detector.sample_to_detector.T, dtype=jnp.float32)
+    mask_np = None if mask_idx is None else mask_idx
+
+    q0 = jnp.asarray(xmap.best_rotations, dtype=jnp.float32)
+    pc0 = np.broadcast_to(
+        detector.pc.reshape(-1, 3), (n, 3)
+    ).astype(np.float32)
+
+    mask_static = None
+    if mask_np is not None:
+        mask_bool = np.zeros(sig_size, dtype=bool)
+        mask_bool[mask_np] = True
+        mask_static = mask_bool
+
+    def objective(pc_b):
+        dc = _dc_for_pc(
+            pc_b.astype(jnp.float32), nrows, ncols, om, mask_static
+        )
+        sim = _project_at(q0, dc, master, npx, npy, scale)
+        return 1.0 - _ncc_centered(exp, sq_norm, sim)
+
+    lb = ub = None
+    if trust_region is not None:
+        tr = np.asarray(trust_region, dtype=np.float32)
+        lb = jnp.asarray(pc0 - tr)
+        ub = jnp.asarray(pc0 + tr)
+
+    res = nelder_mead_batched(
+        objective,
+        jnp.asarray(pc0),
+        initial_step=0.01,
+        max_iters=max_iters,
+        fatol=rtol,
+        xatol=1e-5,
+        lower_bounds=lb,
+        upper_bounds=ub,
+    )
+    new_pc = np.asarray(res.x, dtype=np.float64)
+    new_detector = dataclasses.replace(
+        detector, pc=new_pc.reshape(nav_shape + (3,) if len(nav_shape) == 2 else (-1, 3))
+    )
+    scores = 1.0 - np.asarray(res.fun)
+    new_xmap = _finalize_xmap(
+        xmap, np.asarray(xmap.best_rotations), scores, np.asarray(res.n_iter),
+        nav_shape,
+    )
+    return RefinementResult(xmap=new_xmap, detector=new_detector)
+
+
+def refine_orientation_projection_center(
+    signal,
+    xmap: CrystalMap | None = None,
+    detector=None,
+    master_pattern=None,
+    energy: float | None = None,
+    signal_mask: np.ndarray | None = None,
+    trust_region=None,
+    max_iters: int = 200,
+    rtol: float = 1e-4,
+) -> RefinementResult:
+    """Jointly refine orientations and PCs (reference
+    ``EBSD.refine_orientation_projection_center``,
+    ``signals/ebsd.py:2376``).
+
+    ``trust_region``: optional ``(6,)``: three Euler half-widths in
+    degrees then three PC half-widths.
+    """
+    xmap = xmap if xmap is not None else signal.xmap
+    detector = detector if detector is not None else signal.detector
+    nav_shape = signal.navigation_shape
+    n = signal.navigation_size
+
+    sig_size = int(np.prod(signal.signal_shape))
+    mask_idx = _mask_bool_to_idx(signal_mask, sig_size)
+    mask_idx_j = None if mask_idx is None else jnp.asarray(mask_idx)
+    exp, sq_norm = _prepare_experimental(
+        jnp.asarray(signal.data).reshape((n,) + signal.signal_shape), mask_idx_j
+    )
+    master, npx, npy, scale = _master_arrays(master_pattern, energy)
+    nrows, ncols = detector.shape
+    om = jnp.asarray(detector.sample_to_detector.T, dtype=jnp.float32)
+
+    mask_static = None
+    if mask_idx is not None:
+        mask_bool = np.zeros(sig_size, dtype=bool)
+        mask_bool[mask_idx] = True
+        mask_static = mask_bool
+
+    euler0 = np.asarray(quat.to_euler(jnp.asarray(xmap.best_rotations)))
+    pc0 = np.broadcast_to(detector.pc.reshape(-1, 3), (n, 3))
+    x0 = np.concatenate([euler0, pc0], axis=1).astype(np.float32)
+
+    def objective(x_b):
+        q = quat.from_euler(x_b[:, :3]).astype(jnp.float32)
+        dc = _dc_for_pc(x_b[:, 3:].astype(jnp.float32), nrows, ncols, om, mask_static)
+        sim = _project_at(q, dc, master, npx, npy, scale)
+        return 1.0 - _ncc_centered(exp, sq_norm, sim)
+
+    lb = ub = None
+    if trust_region is not None:
+        tr = np.asarray(trust_region, dtype=np.float64).copy()
+        tr[:3] = np.deg2rad(tr[:3])
+        lb = jnp.asarray(x0 - tr, dtype=jnp.float32)
+        ub = jnp.asarray(x0 + tr, dtype=jnp.float32)
+
+    res = nelder_mead_batched(
+        objective,
+        jnp.asarray(x0),
+        initial_step=jnp.asarray(
+            [np.deg2rad(1.0)] * 3 + [0.01] * 3, dtype=jnp.float32
+        ),
+        max_iters=max_iters,
+        fatol=rtol,
+        xatol=1e-5,
+        lower_bounds=lb,
+        upper_bounds=ub,
+    )
+    x = np.asarray(res.x, dtype=np.float64)
+    refined_rot = np.asarray(quat.from_euler(jnp.asarray(x[:, :3])))
+    new_pc = x[:, 3:]
+    new_detector = dataclasses.replace(
+        detector,
+        pc=new_pc.reshape(nav_shape + (3,) if len(nav_shape) == 2 else (-1, 3)),
+    )
+    scores = 1.0 - np.asarray(res.fun)
+    new_xmap = _finalize_xmap(
+        xmap, refined_rot, scores, np.asarray(res.n_iter), nav_shape
+    )
+    return RefinementResult(xmap=new_xmap, detector=new_detector)
