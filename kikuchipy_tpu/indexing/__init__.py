@@ -5,14 +5,26 @@ from kikuchipy_tpu.indexing.di import (
     dictionary_index,
     merge_topk,
 )
+from kikuchipy_tpu.indexing.merge import merge_crystal_maps
 from kikuchipy_tpu.indexing.metrics import SimilarityMetric, get_metric, ncc, ndp
+from kikuchipy_tpu.indexing.osm import orientation_similarity_map
+from kikuchipy_tpu.indexing.refinement import (
+    refine_orientation,
+    refine_orientation_projection_center,
+    refine_projection_center,
+)
 
 __all__ = [
     "DictionaryIndexingResult",
     "SimilarityMetric",
     "dictionary_index",
     "get_metric",
+    "merge_crystal_maps",
     "merge_topk",
     "ncc",
     "ndp",
+    "orientation_similarity_map",
+    "refine_orientation",
+    "refine_orientation_projection_center",
+    "refine_projection_center",
 ]

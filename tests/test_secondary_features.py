@@ -1,0 +1,260 @@
+"""Tests for neighbour ops, CLAHE, OSM, merge_crystal_maps, and VBSE."""
+
+import numpy as np
+import pytest
+
+from kikuchipy_tpu.crystallography.crystal_map import CrystalMap, Phase, PhaseList
+from kikuchipy_tpu.crystallography.sampling import super_fibonacci
+from kikuchipy_tpu.indexing.merge import merge_crystal_maps
+from kikuchipy_tpu.indexing.osm import orientation_similarity_map
+from kikuchipy_tpu.ops.ahe import adaptive_histogram_equalization
+from kikuchipy_tpu.ops.neighbors import (
+    average_dot_product_map,
+    average_neighbour_patterns,
+    neighbour_dot_product_matrices,
+)
+from kikuchipy_tpu.imaging.vbse import VirtualBSEImager, get_rgb_image
+from kikuchipy_tpu.signals.ebsd import EBSD
+
+
+class TestAverageNeighbourPatterns:
+    def test_identity_window_noop(self, dummy_patterns):
+        with np.testing.assert_no_warnings():
+            out = average_neighbour_patterns(
+                dummy_patterns, window=np.ones((1, 1))
+            )
+        np.testing.assert_array_equal(np.asarray(out), dummy_patterns)
+
+    def test_averaging_smooths(self, dummy_patterns):
+        out = np.asarray(average_neighbour_patterns(dummy_patterns))
+        assert out.shape == dummy_patterns.shape
+        assert out.dtype == np.uint8
+        # Full-range rescale per pattern
+        assert (out.min(axis=(2, 3)) == 0).all()
+        assert (out.max(axis=(2, 3)) == 255).all()
+
+    def test_uniform_map_stays_uniform(self):
+        # If all patterns are identical, averaging must reproduce them
+        # exactly (after the per-pattern rescale).
+        p = np.tile(np.arange(9, dtype=np.uint8).reshape(1, 1, 3, 3), (4, 4, 1, 1))
+        out = np.asarray(average_neighbour_patterns(p))
+        expected = np.asarray(
+            average_neighbour_patterns(p[:1, :1], window=np.ones((1, 1)))
+        )
+        # rescaled original
+        from kikuchipy_tpu.ops.pattern import rescale_intensity
+
+        exp = np.asarray(rescale_intensity(p[0, 0]))
+        np.testing.assert_array_equal(out[2, 2], exp)
+
+    def test_matches_scipy_correlate(self, dummy_patterns):
+        from scipy.ndimage import correlate
+
+        w = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], dtype=float)
+        out = np.asarray(
+            average_neighbour_patterns(dummy_patterns, window=w)
+        )
+        # Reference semantics: correlate patterns and window sums over
+        # nav axes with zero-extension, divide, per-pattern rescale.
+        p = dummy_patterns.astype(np.float32)
+        num = correlate(p, w[:, :, None, None], mode="constant")
+        den = correlate(
+            np.ones((3, 3), dtype=float), w, mode="constant"
+        )
+        # The reference divides and rescales in float32 (numba kernel,
+        # pattern/chunk.py:147-165) after scipy's f64-accumulated
+        # correlate; mirror that op order exactly.
+        avg = (num / den[:, :, None, None]).astype(np.float32)
+        imin = avg.min(axis=(2, 3), keepdims=True)
+        imax = avg.max(axis=(2, 3), keepdims=True)
+        expected = (
+            (avg - imin) / (imax - imin) * np.float32(255)
+        ).astype(np.uint8)
+        np.testing.assert_array_equal(out, expected)
+
+
+class TestNeighbourDotProducts:
+    def test_adp_map(self, dummy_patterns):
+        adp = average_dot_product_map(dummy_patterns)
+        assert adp.shape == (3, 3)
+        assert np.isfinite(adp).all()
+        assert (adp <= 1.0 + 1e-6).all()
+
+    def test_identical_patterns_give_one(self):
+        p = np.tile(np.arange(9, dtype=np.uint8).reshape(1, 1, 3, 3), (4, 4, 1, 1))
+        adp = average_dot_product_map(p)
+        np.testing.assert_allclose(adp, 1.0, atol=1e-6)
+
+    def test_matrices(self, dummy_patterns):
+        m = neighbour_dot_product_matrices(dummy_patterns)
+        assert m.shape == (3, 3, 3, 3)
+        # Corner coefficients of the circular window are NaN
+        assert np.isnan(m[0, 0, 0, 0])
+        # Center value is the squared norm of the normalized pattern = 1
+        np.testing.assert_allclose(m[1, 1, 1, 1], 1.0, atol=1e-6)
+        # Symmetric: dp(a->b) == dp(b->a)
+        np.testing.assert_allclose(m[1, 1, 1, 2], m[1, 2, 1, 0], atol=1e-6)
+
+
+class TestAHE:
+    def test_shape_dtype(self, dummy_patterns):
+        # Tiny patterns: kernel floor 1x1
+        out = adaptive_histogram_equalization(dummy_patterns, kernel_size=(2, 2))
+        assert np.asarray(out).shape == dummy_patterns.shape
+        assert np.asarray(out).dtype == np.uint8
+
+    def test_equalizes_real_pattern(self):
+        # A low-contrast gradient image gets its histogram flattened.
+        rng = np.random.default_rng(0)
+        img = (
+            np.linspace(100, 156, 64 * 64)
+            .reshape(64, 64)
+            .astype(np.float32)
+        )
+        img += rng.normal(scale=2, size=img.shape)
+        out = np.asarray(
+            adaptive_histogram_equalization(
+                img.astype(np.uint8), kernel_size=(16, 16)
+            )
+        )
+        assert out.min() == 0 and out.max() == 255
+        # Histogram must be flatter: std of histogram counts decreases
+        h_in, _ = np.histogram(img, bins=32, range=(0, 255))
+        h_out, _ = np.histogram(out, bins=32, range=(0, 255))
+        assert h_out.std() < h_in.std()
+
+    def test_monotone_within_tile(self):
+        # CLAHE preserves intensity order within a single-tile image.
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 255, size=(32, 32)).astype(np.uint8)
+        out = np.asarray(
+            adaptive_histogram_equalization(img, kernel_size=(32, 32))
+        )
+        order_in = np.argsort(img.ravel(), kind="stable")
+        assert (np.diff(out.ravel()[order_in].astype(int)) >= 0).all()
+
+
+class TestOSM:
+    def test_identical_lists_give_n(self):
+        sim = np.tile(np.arange(5), (9, 1))
+        xmap = CrystalMap(
+            rotations=super_fibonacci(9),
+            shape=(3, 3),
+            prop={"simulation_indices": sim, "scores": np.ones((9, 5))},
+        )
+        osm = orientation_similarity_map(xmap)
+        np.testing.assert_allclose(osm, 5.0)
+
+    def test_disjoint_lists_give_zero(self):
+        sim = (np.arange(9)[:, None] * 10) + np.arange(5)
+        xmap = CrystalMap(
+            rotations=super_fibonacci(9),
+            shape=(3, 3),
+            prop={"simulation_indices": sim, "scores": np.ones((9, 5))},
+        )
+        osm = orientation_similarity_map(xmap)
+        np.testing.assert_allclose(osm, 0.0)
+
+    def test_normalize_and_from_n_best(self):
+        sim = np.tile(np.arange(5), (9, 1))
+        xmap = CrystalMap(
+            rotations=super_fibonacci(9),
+            shape=(3, 3),
+            prop={"simulation_indices": sim, "scores": np.ones((9, 5))},
+        )
+        osm = orientation_similarity_map(xmap, normalize=True)
+        np.testing.assert_allclose(osm, 1.0)
+        osms = orientation_similarity_map(xmap, n_best=5, from_n_best=3)
+        assert osms.shape == (3, 3, 3)
+
+    def test_n_best_too_large(self):
+        xmap = CrystalMap(
+            rotations=super_fibonacci(9),
+            shape=(3, 3),
+            prop={"simulation_indices": np.zeros((9, 2), int), "scores": np.ones((9, 2))},
+        )
+        with pytest.raises(ValueError, match="cannot be greater"):
+            orientation_similarity_map(xmap, n_best=5)
+
+
+class TestMergeCrystalMaps:
+    def _make_map(self, scores, name, sim_offset=0):
+        n, k = scores.shape
+        return CrystalMap(
+            rotations=super_fibonacci(n * k).reshape(n, k, 4),
+            shape=(n,),
+            prop={
+                "scores": scores,
+                "simulation_indices": np.arange(n * k).reshape(n, k) + sim_offset,
+            },
+            phases=PhaseList(Phase(name, space_group=225)),
+        )
+
+    def test_phase_assignment(self):
+        s1 = np.array([[0.9, 0.8], [0.2, 0.1], [0.5, 0.4]])
+        s2 = np.array([[0.3, 0.2], [0.7, 0.6], [0.6, 0.5]])
+        m1 = self._make_map(s1, "a")
+        m2 = self._make_map(s2, "b")
+        merged = merge_crystal_maps([m1, m2])
+        np.testing.assert_array_equal(merged.phase_id, [0, 1, 1])
+        np.testing.assert_allclose(merged.prop["scores"][0], s1[0])
+        np.testing.assert_allclose(merged.prop["scores"][1], s2[1])
+        # merged_scores is the descending sort of all scores
+        np.testing.assert_allclose(
+            merged.prop["merged_scores"][0], [0.9, 0.8, 0.3, 0.2]
+        )
+        assert merged.phases.names == ["a", "b"]
+
+    def test_mean_n_best(self):
+        # First map has best top-1 but worse top-2 mean.
+        s1 = np.array([[0.9, 0.1]])
+        s2 = np.array([[0.8, 0.7]])
+        m1, m2 = self._make_map(s1, "a"), self._make_map(s2, "b")
+        top1 = merge_crystal_maps([m1, m2], mean_n_best=1)
+        top2 = merge_crystal_maps([m1, m2], mean_n_best=2)
+        assert top1.phase_id[0] == 0
+        assert top2.phase_id[0] == 1
+
+    def test_single_map_raises(self):
+        m = self._make_map(np.ones((2, 2)), "a")
+        with pytest.raises(ValueError, match="at least two"):
+            merge_crystal_maps([m])
+
+
+class TestVBSE:
+    @pytest.fixture
+    def signal(self, dummy_patterns):
+        return EBSD(data=dummy_patterns)
+
+    def test_grid(self, signal):
+        imager = VirtualBSEImager(signal)
+        imager.grid_shape = (3, 3)
+        assert imager.roi_from_grid((1, 1)) == (1, 2, 1, 2)
+
+    def test_intensity_sum(self, signal, dummy_patterns):
+        imager = VirtualBSEImager(signal)
+        roi = (0, 2, 0, 2)
+        img = imager.get_virtual_bse_intensity(roi)
+        expected = dummy_patterns[..., 0:2, 0:2].astype(np.float32).sum(axis=(2, 3))
+        np.testing.assert_allclose(img, expected)
+
+    def test_images_from_grid(self, signal):
+        imager = VirtualBSEImager(signal)
+        imager.grid_shape = (3, 3)
+        images = imager.get_images_from_grid()
+        assert images.shape == (3, 3, 3, 3)
+
+    def test_rgb_image(self, signal):
+        imager = VirtualBSEImager(signal)
+        imager.grid_shape = (3, 3)
+        rgb = imager.get_rgb_image(r=(0, 0), g=(1, 1), b=(2, 2))
+        assert rgb.shape == (3, 3, 3)
+        assert rgb.dtype == np.uint8
+
+    def test_rgb_percentiles(self, signal):
+        imager = VirtualBSEImager(signal)
+        imager.grid_shape = (3, 3)
+        rgb = imager.get_rgb_image(
+            r=(0, 0), g=(1, 1), b=(2, 2), percentiles=(1, 99)
+        )
+        assert rgb.dtype == np.uint8
