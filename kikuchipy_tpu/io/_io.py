@@ -53,8 +53,11 @@ def _sniff_hdf5_plugin(path: Path) -> str:
 
     with h5py.File(path, "r") as f:
         # Manufacturer string at top level (kikuchipy/EDAX/Bruker style).
-        for key in ("manufacturer", "Manufacturer"):
-            if key in f:
+        # Some vendor files have stray whitespace in the key (e.g. EDAX
+        # writes " Manufacturer").
+        man_keys = [k for k in f.keys() if k.strip().lower() == "manufacturer"]
+        for key in man_keys:
+            if isinstance(f[key], h5py.Dataset):
                 value = f[key][()]
                 if isinstance(value, (bytes, str)):
                     man = value

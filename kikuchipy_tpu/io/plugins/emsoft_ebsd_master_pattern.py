@@ -19,13 +19,10 @@ import numpy as np
 from kikuchipy_tpu.crystallography.crystal_map import Phase
 from kikuchipy_tpu.signals.master_pattern import EBSDMasterPattern
 
-__all__ = ["file_reader"]
-
-_DATA_GROUP = "EMData/EBSDmaster"
-_SIGNAL_CLASS = EBSDMasterPattern
+__all__ = ["file_reader", "read_emsoft_master_pattern"]
 
 
-def _read_phase(f: h5py.File) -> Phase:
+def _read_phase(f: h5py.File, data_group: str) -> Phase:
     phase = Phase(name="")
     if "CrystalData" in f:
         cd = f["CrystalData"]
@@ -33,7 +30,7 @@ def _read_phase(f: h5py.File) -> Phase:
             phase.space_group = int(np.asarray(cd["SpaceGroupNumber"]).ravel()[0])
         if "LatticeParameters" in cd:
             phase.lattice = tuple(np.asarray(cd["LatticeParameters"]).ravel())
-    name_ds = f.get(f"{_DATA_GROUP}/xtalname")
+    name_ds = f.get(f"{data_group}/xtalname")
     if name_ds is not None:
         raw = np.asarray(name_ds).ravel()[0]
         name = raw.decode() if isinstance(raw, bytes) else str(raw)
@@ -62,7 +59,29 @@ def file_reader(
         Single energy (kV) or ``(min, max)`` range to keep; all energy
         bins if not given.
     """
-    data_group = _DATA_GROUP
+    return read_emsoft_master_pattern(
+        filename,
+        data_group="EMData/EBSDmaster",
+        energy_string="EkeVs",
+        signal_class=EBSDMasterPattern,
+        projection=projection,
+        hemisphere=hemisphere,
+        energy=energy,
+    )
+
+
+def read_emsoft_master_pattern(
+    filename: str | Path,
+    data_group: str,
+    energy_string: str,
+    signal_class,
+    projection: str = "stereographic",
+    hemisphere: str = "upper",
+    energy: float | tuple[float, float] | None = None,
+):
+    """Shared EMsoft master-pattern reading core (EBSD/ECP/TKD variants
+    differ only in data group and energy dataset name; reference
+    ``io/plugins/_emsoft_master_pattern.py``)."""
     with h5py.File(filename, "r") as f:
         if data_group not in f:
             raise IOError(
@@ -70,7 +89,7 @@ def file_reader(
                 f"{data_group})"
             )
         g = f[data_group]
-        energies = np.atleast_1d(np.asarray(g["EkeVs"][()]))
+        energies = np.atleast_1d(np.asarray(g[energy_string][()]))
 
         if projection == "lambert":
             upper_name, lower_name = "mLPNH", "mLPSH"
@@ -119,9 +138,9 @@ def file_reader(
         if data.shape[0] == 1 and data.ndim >= 3:
             data = data[0]
 
-        phase = _read_phase(f)
+        phase = _read_phase(f, data_group)
 
-    return _SIGNAL_CLASS(
+    return signal_class(
         data=data,
         phase=phase,
         hemisphere=hemisphere,

@@ -1,0 +1,284 @@
+"""IO plugin tests: real vendor files from the reference's data dir
+where available, synthetic files (mirroring the reference's
+_dummy_files strategy, /root/reference/src/kikuchipy/data/_dummy_files/)
+otherwise."""
+
+from pathlib import Path
+
+import h5py
+import numpy as np
+import pytest
+
+import kikuchipy_tpu as kp
+from kikuchipy_tpu.io._io import plugins
+
+DATA = Path("/root/reference/src/kikuchipy/data")
+
+pytestmark = pytest.mark.skipif(
+    not DATA.exists(), reason="reference data files not available"
+)
+
+
+class TestLoadDispatch:
+    def test_plugins_registry(self):
+        p = plugins()
+        assert p["kikuchipy_h5ebsd"]["writes"]
+        assert not p["oxford_binary"]["writes"]
+        assert len(p) == 13
+
+    def test_missing_file(self):
+        with pytest.raises(FileNotFoundError):
+            kp.load("/nonexistent/file.h5")
+
+    def test_unknown_extension(self, tmp_path):
+        f = tmp_path / "x.xyz"
+        f.write_text("")
+        with pytest.raises(IOError, match="Could not read"):
+            kp.load(f)
+
+
+class TestKikuchipyH5EBSD:
+    def test_load(self):
+        s = kp.load(DATA / "kikuchipy_h5ebsd/patterns.h5")
+        assert s.navigation_shape == (3, 3)
+        assert s.signal_shape == (60, 60)
+        assert s.xmap is not None
+
+    def test_load_second_scan(self):
+        s = kp.load(DATA / "kikuchipy_h5ebsd/patterns.h5", scan_group_names="Scan 2")
+        assert s.navigation_shape == (3, 3)
+
+    def test_load_multiple(self):
+        scans = kp.load(
+            DATA / "kikuchipy_h5ebsd/patterns.h5",
+            scan_group_names=["Scan 1", "Scan 2"],
+        )
+        assert len(scans) == 2
+
+    def test_bad_scan_name(self):
+        with pytest.raises(IOError, match="not in"):
+            kp.load(DATA / "kikuchipy_h5ebsd/patterns.h5", scan_group_names="Scan 9")
+
+    def test_write_add_scan(self, tmp_path):
+        s = kp.load(DATA / "kikuchipy_h5ebsd/patterns.h5")
+        f = tmp_path / "out.h5"
+        s.save(f)
+        kp.save(f, s, scan_number=2, add_scan=True)
+        scans = kp.load(f, scan_group_names=["Scan 1", "Scan 2"])
+        np.testing.assert_array_equal(
+            np.asarray(scans[0].data), np.asarray(scans[1].data)
+        )
+        with pytest.raises(IOError, match="already exists"):
+            kp.save(f, s, scan_number=1, add_scan=True)
+
+
+class TestNordif:
+    def test_load(self):
+        s = kp.load(DATA / "nordif/Pattern.dat")
+        assert s.navigation_shape == (3, 3)
+        assert s.signal_shape == (60, 60)
+        assert s.static_background is not None
+        assert s.detector.sample_tilt == 70.0
+        assert s.metadata["beam_energy"] == 20.0
+        assert s.metadata["microscope"] == "Hitachi SU-6600"
+
+    def test_write_roundtrip(self, tmp_path):
+        s = kp.load(DATA / "nordif/Pattern.dat")
+        out = tmp_path / "Pattern.dat"
+        s.save(out)
+        s2 = kp.load(
+            out, scan_size=(3, 3), pattern_size=(60, 60),
+            setting_file=DATA / "nordif/Setting.txt",
+        )
+        np.testing.assert_array_equal(np.asarray(s2.data), np.asarray(s.data))
+
+    def test_no_settings_raises(self, tmp_path):
+        f = tmp_path / "naked.dat"
+        np.zeros(100, np.uint8).tofile(f)
+        with pytest.raises(ValueError, match="No setting file"):
+            kp.load(f)
+
+    def test_calibration_patterns(self):
+        from kikuchipy_tpu.io.plugins.nordif_calibration_patterns import (
+            file_reader,
+        )
+
+        s = file_reader(DATA / "nordif/Setting.txt")
+        assert s.data.ndim == 3
+        assert s.data.shape[0] == 2
+        assert len(s.metadata["calibration_coordinates"]) == 2
+
+
+class TestEdaxBinary:
+    def test_up1(self):
+        s = kp.load(DATA / "edax_binary/edax_binary.up1")
+        assert s.data.dtype == np.uint8
+        assert s.signal_shape == (60, 60)
+
+    def test_up2(self):
+        with pytest.warns(UserWarning, match="hexagonal"):
+            s = kp.load(DATA / "edax_binary/edax_binary.up2")
+        assert s.data.dtype == np.uint16
+
+
+class TestOxfordBinary:
+    def test_load(self):
+        s = kp.load(DATA / "oxford_binary/patterns.ebsp")
+        assert s.navigation_shape == (3, 3)
+        assert s.signal_shape == (60, 60)
+        assert s.metadata["step_x"] == 1.5
+
+    def test_patterns_sorted_into_map_order(self):
+        # The shipped file stores the first map pattern last; a correct
+        # reader must undo that. kikuchipy's own h5 file holds the same
+        # scan, so the two must agree per-pattern.
+        s_ebsp = kp.load(DATA / "oxford_binary/patterns.ebsp")
+        s_h5 = kp.load(DATA / "kikuchipy_h5ebsd/patterns.h5")
+        np.testing.assert_array_equal(
+            np.asarray(s_ebsp.data), np.asarray(s_h5.data)
+        )
+
+
+class TestEmsoftEBSD:
+    def test_load(self):
+        s = kp.load(DATA / "emsoft_ebsd/simulated_ebsd.h5")
+        assert s.data.ndim >= 3
+        assert s.xmap is not None
+        assert s.xmap.size == s.navigation_size
+
+
+class TestEmsoftMasterPatterns:
+    def test_ebsd_master(self):
+        mp = kp.load(
+            DATA / "emsoft_ebsd_master_pattern/ni_mc_mp_20kv_uint8_gzip_opts9.h5",
+            projection="lambert",
+            hemisphere="both",
+        )
+        assert mp.signal_shape == (401, 401)
+        assert mp.phase.space_group == 225
+
+    def test_stereographic_default(self):
+        mp = kp.load(
+            DATA / "emsoft_ebsd_master_pattern/ni_mc_mp_20kv_uint8_gzip_opts9.h5"
+        )
+        assert mp.projection == "stereographic"
+        assert mp.hemisphere == "upper"
+        assert mp.data.ndim == 2
+
+    def test_energy_selection(self):
+        mp = kp.load(
+            DATA / "emsoft_ebsd_master_pattern/ni_mc_mp_20kv_uint8_gzip_opts9.h5",
+            energy=20,
+        )
+        assert mp.energies.shape == (1,)
+
+    def test_invalid_projection(self):
+        with pytest.raises(ValueError, match="projection"):
+            kp.load(
+                DATA
+                / "emsoft_ebsd_master_pattern/ni_mc_mp_20kv_uint8_gzip_opts9.h5",
+                projection="gnomonic",
+            )
+
+
+class TestBrukerH5EBSD:
+    @pytest.fixture
+    def bruker_file(self, tmp_path, dummy_patterns, dummy_background):
+        """Synthetic Bruker h5ebsd (mirrors reference
+        data/_dummy_files/bruker_h5ebsd.py)."""
+        f = tmp_path / "bruker.h5"
+        with h5py.File(f, "w") as h:
+            h["Manufacturer"] = np.array([b"Bruker Nano"])
+            g = h.create_group("Scan 0/EBSD")
+            hdr = g.create_group("Header")
+            hdr["NROWS"] = np.array([3])
+            hdr["NCOLS"] = np.array([3])
+            hdr["PatternHeight"] = np.array([3])
+            hdr["PatternWidth"] = np.array([3])
+            hdr["PCX"] = np.array([0.45])
+            hdr["PCY"] = np.array([0.6])
+            hdr["DD"] = np.array([0.5])
+            hdr["CameraTilt"] = np.array([2.5])
+            hdr["Sample Tilt"] = np.array([69.0])
+            hdr["XSTEP"] = np.array([1.5])
+            hdr["YSTEP"] = np.array([1.5])
+            hdr["StaticBackground"] = dummy_background
+            g["Data/RawPatterns"] = dummy_patterns.reshape(9, 3, 3)
+            sem = g.create_group("SEM")
+            sem["KV"] = np.array([20.0])
+        return f
+
+    def test_load(self, bruker_file, dummy_patterns):
+        s = kp.load(bruker_file)
+        assert s.navigation_shape == (3, 3)
+        np.testing.assert_array_equal(
+            np.asarray(s.data), dummy_patterns
+        )
+        np.testing.assert_allclose(s.detector.pc, [[0.45, 0.6, 0.5]])
+        assert s.detector.tilt == 2.5
+        assert s.metadata["beam_energy"] == 20.0
+
+
+class TestEdaxH5EBSD:
+    def test_load(self):
+        s = kp.load(DATA / "edax_h5ebsd/patterns.h5")
+        assert s.navigation_shape == (3, 3)
+        assert s.signal_shape == (60, 60)
+        # The shipped file stores (0, 0, 0) in TSL convention, which is
+        # (0, 1, 0) in Bruker's (y flipped).
+        np.testing.assert_allclose(s.detector.pc, [[0.0, 1.0, 0.0]])
+
+
+class TestOxfordH5EBSD:
+    @pytest.fixture
+    def h5oina_file(self, tmp_path, dummy_patterns):
+        f = tmp_path / "scan.h5oina"
+        with h5py.File(f, "w") as h:
+            h["Format Version"] = np.array([b"5.0"])
+            g = h.create_group("1/EBSD")
+            hdr = g.create_group("Header")
+            hdr["Y Cells"] = np.array([3])
+            hdr["X Cells"] = np.array([3])
+            hdr["Pattern Height"] = np.array([3])
+            hdr["Pattern Width"] = np.array([3])
+            hdr["X Step"] = np.array([0.5])
+            hdr["Y Step"] = np.array([0.5])
+            hdr["Tilt Angle"] = np.array([np.deg2rad(3.0)])
+            hdr["Beam Voltage"] = np.array([20.0])
+            g["Data/Processed Patterns"] = dummy_patterns.reshape(9, 3, 3)
+            g["Data/Pattern Center X"] = np.full(9, 0.5)
+            g["Data/Pattern Center Y"] = np.full(9, 0.3)
+            g["Data/Detector Distance"] = np.full(9, 0.6)
+        return f
+
+    def test_load(self, h5oina_file, dummy_patterns):
+        s = kp.load(h5oina_file)
+        assert s.navigation_shape == (3, 3)
+        np.testing.assert_array_equal(np.asarray(s.data), dummy_patterns)
+        np.testing.assert_allclose(s.detector.tilt, 3.0)
+        assert s.detector.navigation_shape == (3, 3)
+
+
+class TestEBSDDirectory:
+    def test_load_grid(self, tmp_path, dummy_patterns):
+        from PIL import Image
+
+        for y in range(3):
+            for x in range(3):
+                Image.fromarray(dummy_patterns[y, x]).save(
+                    tmp_path / f"pattern_x{x}y{y}.tif"
+                )
+        s = kp.load(tmp_path)
+        assert s.navigation_shape == (3, 3)
+        np.testing.assert_array_equal(np.asarray(s.data), dummy_patterns)
+
+    def test_load_flat(self, tmp_path, dummy_patterns):
+        from PIL import Image
+
+        for i in range(5):
+            Image.fromarray(dummy_patterns[0, 0]).save(
+                tmp_path / f"pat{i:03d}.png"
+            )
+        with pytest.warns(UserWarning, match="one navigation dimension"):
+            s = kp.load(tmp_path)
+        assert s.data.shape[0] == 5
