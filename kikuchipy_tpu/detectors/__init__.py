@@ -1,6 +1,22 @@
-"""Detector geometry (public namespace mirroring the reference's
-``kikuchipy.detectors``)."""
+"""Detector geometry and PC calibration (public namespace mirroring the
+reference's ``kikuchipy.detectors``)."""
 
+from kikuchipy_tpu.detectors.calibration import (
+    PCCalibrationMovingScreen,
+    estimate_xtilt,
+    extrapolate_pc,
+    fit_pc_affine,
+    fit_pc_plane,
+    fit_pc_projective,
+)
 from kikuchipy_tpu.geometry.detector import EBSDDetector
 
-__all__ = ["EBSDDetector"]
+__all__ = [
+    "EBSDDetector",
+    "PCCalibrationMovingScreen",
+    "estimate_xtilt",
+    "extrapolate_pc",
+    "fit_pc_affine",
+    "fit_pc_plane",
+    "fit_pc_projective",
+]

@@ -1,0 +1,19 @@
+"""Visualization tools (public namespace mirroring ``kikuchipy.draw``)."""
+
+from kikuchipy_tpu.draw.detector_plot import (
+    plot_detector,
+    plot_detector_sample_geometry,
+)
+from kikuchipy_tpu.draw.navigators import get_rgb_navigator
+from kikuchipy_tpu.draw.markers import (
+    get_line_segment_list,
+    get_point_list,
+)
+
+__all__ = [
+    "get_line_segment_list",
+    "get_point_list",
+    "get_rgb_navigator",
+    "plot_detector",
+    "plot_detector_sample_geometry",
+]

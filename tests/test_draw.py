@@ -1,0 +1,63 @@
+"""Draw module smoke tests (Agg backend)."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+from kikuchipy_tpu.draw import (
+    get_line_segment_list,
+    get_point_list,
+    get_rgb_navigator,
+    plot_detector,
+    plot_detector_sample_geometry,
+)
+from kikuchipy_tpu.geometry.detector import EBSDDetector
+
+
+class TestDetectorPlot:
+    def test_plot_detector_pixel(self):
+        det = EBSDDetector(shape=(60, 60), pc=(0.4, 0.3, 0.5))
+        fig = plot_detector(
+            det, pattern=np.zeros((60, 60)), draw_gnomonic_circles=True,
+            return_figure=True,
+        )
+        assert fig is not None
+
+    def test_plot_detector_gnomonic(self):
+        det = EBSDDetector(shape=(60, 60), pc=(0.4, 0.3, 0.5))
+        ax = plot_detector(det, coordinates="gnomonic")
+        assert ax is not None
+
+    @pytest.mark.parametrize("mode", ["side", "top"])
+    def test_geometry_views(self, mode):
+        det = EBSDDetector(shape=(60, 60), sample_tilt=70, tilt=8)
+        fig = plot_detector_sample_geometry(det, mode=mode, return_figure=True)
+        assert fig is not None
+
+    def test_geometry_bad_mode(self):
+        det = EBSDDetector()
+        with pytest.raises(ValueError, match="mode"):
+            plot_detector_sample_geometry(det, mode="oblique")
+
+
+class TestMarkers:
+    def test_line_segments(self):
+        lines = np.array([[0, 0, 1, 1], [np.nan] * 4, [1, 0, 0, 1]])
+        lc = get_line_segment_list(lines)
+        assert len(lc.get_segments()) == 2
+
+    def test_points(self):
+        pts = np.array([[0, 0], [np.nan, 1], [2, 3]])
+        kw = get_point_list(pts)
+        assert len(kw["x"]) == 2
+
+
+class TestNavigator:
+    def test_rgb_navigator(self):
+        rgb = np.random.default_rng(0).uniform(size=(4, 5, 3))
+        nav = get_rgb_navigator(rgb)
+        assert nav.dtype == np.uint8
+        assert nav.max() == 255 and nav.min() == 0
