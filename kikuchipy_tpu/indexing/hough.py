@@ -1,0 +1,356 @@
+"""Hough/Radon-transform band detection and indexing.
+
+The reference bridges to the optional ``pyebsdindex`` package for this
+(``/root/reference/src/kikuchipy/indexing/_hough_indexing.py:187``);
+here it is implemented natively:
+
+1. :func:`radon_transform` - batched discrete Radon transform on device
+   (rotate-and-sum with bilinear gathers, one fused program for all
+   patterns and angles);
+2. :func:`detect_bands` - butterfly-convolution peak enhancement and
+   non-maximum-suppressed peak picking in Radon space;
+3. :func:`hough_indexing` - bands -> plane normals -> orientation via
+   interplanar-angle triplet voting against the phase's reflector
+   families and a Kabsch solve, scored by band inliers.
+
+Dictionary indexing remains the production path; this provides the
+reference's Hough capability without external dependencies.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from itertools import combinations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kikuchipy_tpu.crystallography.crystal_map import CrystalMap, Phase, PhaseList
+from kikuchipy_tpu.crystallography.sampling import reduce_to_fundamental_zone
+from kikuchipy_tpu.geometry import quaternion as quat
+
+__all__ = ["radon_transform", "detect_bands", "hough_indexing", "bands_to_normals"]
+
+
+@partial(jax.jit, static_argnames=("n_theta", "n_rho"))
+def radon_transform(
+    patterns: jnp.ndarray, n_theta: int = 90, n_rho: int = 96
+) -> jnp.ndarray:
+    """Discrete Radon transform of a pattern batch.
+
+    Parameters
+    ----------
+    patterns
+        ``(..., sy, sx)`` patterns.
+    n_theta
+        Number of projection angles in ``[0, pi)``.
+    n_rho
+        Number of radial bins across the inscribed circle.
+
+    Returns
+    -------
+    Sinograms ``(..., n_rho, n_theta)`` (float32), normalized per ray by
+    the number of contributing samples.
+    """
+    p = jnp.asarray(patterns, dtype=jnp.float32)
+    sy, sx = p.shape[-2:]
+    lead = p.shape[:-2]
+    flat = p.reshape((-1, sy, sx))
+
+    cy, cx = (sy - 1) / 2, (sx - 1) / 2
+    radius = min(cy, cx)
+    thetas = jnp.arange(n_theta) * (jnp.pi / n_theta)
+    rhos = jnp.linspace(-radius, radius, n_rho)
+    # Sample points along each ray: for angle theta and offset rho, the
+    # ray direction is (-sin t, cos t) and the normal (cos t, sin t).
+    t = jnp.linspace(-radius, radius, n_rho)  # positions along the ray
+    cos_t = jnp.cos(thetas)[None, :, None]
+    sin_t = jnp.sin(thetas)[None, :, None]
+    rho = rhos[:, None, None]
+    s = t[None, None, :]
+    x = cx + rho * cos_t - s * sin_t  # (n_rho, n_theta, n_s)
+    y = cy + rho * sin_t + s * cos_t
+
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    valid = (x0 >= 0) & (x0 < sx - 1) & (y0 >= 0) & (y0 < sy - 1)
+    x0c = jnp.clip(x0, 0, sx - 2)
+    y0c = jnp.clip(y0, 0, sy - 2)
+
+    idx00 = y0c * sx + x0c
+    idx01 = idx00 + 1
+    idx10 = idx00 + sx
+    idx11 = idx10 + 1
+    w00 = (1 - fy) * (1 - fx)
+    w01 = (1 - fy) * fx
+    w10 = fy * (1 - fx)
+    w11 = fy * fx
+
+    def per_pattern(img):
+        v = img.reshape(-1)
+        samples = (
+            v[idx00] * w00 + v[idx01] * w01 + v[idx10] * w10 + v[idx11] * w11
+        )
+        samples = jnp.where(valid, samples, 0.0)
+        count = jnp.sum(valid, axis=-1)
+        return jnp.sum(samples, axis=-1) / jnp.maximum(count, 1)
+
+    out = jax.vmap(per_pattern)(flat)
+    return out.reshape(lead + (n_rho, n_theta))
+
+
+def _butterfly_kernel() -> np.ndarray:
+    """9x9 band-enhancing "butterfly" convolution kernel (positive core
+    along constant rho, negative lobes above/below), as used in Hough
+    EBSD band detection (Krieger Lassen; also pyebsdindex's approach)."""
+    k = np.zeros((9, 9))
+    k[3:6, :] = 1.0
+    k[4, :] = 2.0
+    k[0:2, :] = -1.0
+    k[7:9, :] = -1.0
+    return k / np.abs(k).sum()
+
+
+@partial(jax.jit, static_argnames=("n_bands",))
+def detect_bands(
+    sinograms: jnp.ndarray, n_bands: int = 9
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Detect band peaks in Radon space.
+
+    Returns ``(rho_idx, theta_idx, intensity)`` each ``(..., n_bands)``,
+    peak-picked after butterfly enhancement with 3x3 non-maximum
+    suppression (theta axis wraps periodically with rho negation handled
+    by the caller via peak uniqueness).
+    """
+    s = jnp.asarray(sinograms, dtype=jnp.float32)
+    lead = s.shape[:-2]
+    n_rho, n_theta = s.shape[-2:]
+    flat = s.reshape((-1, 1, n_rho, n_theta))
+
+    kernel = jnp.asarray(_butterfly_kernel(), jnp.float32)[None, None]
+    # Periodic padding in theta (theta + pi == theta with rho -> -rho;
+    # approximate with wrap), reflect in rho.
+    padded = jnp.pad(flat, ((0, 0), (0, 0), (4, 4), (0, 0)), mode="edge")
+    padded = jnp.pad(padded, ((0, 0), (0, 0), (0, 0), (4, 4)), mode="wrap")
+    dn = jax.lax.conv_dimension_numbers(
+        padded.shape, kernel.shape, ("NCHW", "OIHW", "NCHW")
+    )
+    enhanced = jax.lax.conv_general_dilated(
+        padded, kernel, (1, 1), "VALID", dimension_numbers=dn
+    )[:, 0]
+
+    # 3x3 non-maximum suppression.
+    nms = jax.lax.reduce_window(
+        enhanced,
+        -jnp.inf,
+        jax.lax.max,
+        (1, 3, 3),
+        (1, 1, 1),
+        "SAME",
+    )
+    is_peak = (enhanced >= nms) & (enhanced > 0)
+    scores = jnp.where(is_peak, enhanced, -jnp.inf).reshape(flat.shape[0], -1)
+    top_scores, top_idx = jax.lax.top_k(scores, n_bands)
+    rho_idx = top_idx // n_theta
+    theta_idx = top_idx % n_theta
+    return (
+        rho_idx.reshape(lead + (n_bands,)),
+        theta_idx.reshape(lead + (n_bands,)),
+        top_scores.reshape(lead + (n_bands,)),
+    )
+
+
+def bands_to_normals(
+    rho_idx: np.ndarray,
+    theta_idx: np.ndarray,
+    detector,
+    n_theta: int = 90,
+    n_rho: int = 96,
+) -> np.ndarray:
+    """Convert detected Radon peaks to unit band-plane normals in the
+    sample frame ``(..., n_bands, 3)``.
+
+    A band at (rho, theta) in pixel coordinates about the pattern
+    center corresponds to the plane through the beam source containing
+    the detector line; its normal in the gnomonic frame is
+    ``(cos t, sin t, -rho_g)`` with ``rho_g`` the line's gnomonic
+    offset from the PC.
+    """
+    sy, sx = detector.shape
+    cy, cx = (sy - 1) / 2, (sx - 1) / 2
+    radius = min(cy, cx)
+    pc = detector.pc_average
+    pcx, pcy, pcz = pc
+
+    thetas = np.asarray(theta_idx) * (np.pi / n_theta)
+    rhos = np.asarray(rho_idx) / (n_rho - 1) * 2 * radius - radius
+
+    # Line in pixel coords (x cos t + y sin t = rho about center);
+    # shift to PC-centered gnomonic coordinates.
+    # Pixel of PC:
+    pc_px = np.array([pcx * sx, pcy * sy])
+    # Distance from PC to the line, in pixels:
+    d_px = rhos - (
+        (pc_px[0] - cx) * np.cos(thetas) + (pc_px[1] - cy) * np.sin(thetas)
+    )
+    # Gnomonic: x right, y UP; pixel y is down, so flip sin component.
+    rho_g = d_px / (pcz * sy)
+    n_det = np.stack(
+        [np.cos(thetas), -np.sin(thetas), -rho_g], axis=-1
+    )
+    n_det /= np.linalg.norm(n_det, axis=-1, keepdims=True)
+    # Detector -> sample frame
+    return n_det @ np.asarray(detector.detector_to_sample).T
+
+
+def _orientation_from_bands(
+    normals: np.ndarray,
+    g_unit: np.ndarray,
+    lut_angles: np.ndarray,
+    lut_pairs: np.ndarray,
+    angle_tol: float = np.deg2rad(2.0),
+) -> tuple[np.ndarray, float, int]:
+    """Estimate an orientation from detected band normals by triplet
+    voting + Kabsch. Returns (quaternion, fit_error, n_inliers)."""
+    nb = normals.shape[0]
+    best = (np.array([1.0, 0, 0, 0]), np.inf, 0)
+    for i, j in combinations(range(min(nb, 6)), 2):
+        ang = np.arccos(np.clip(abs(normals[i] @ normals[j]), 0, 1))
+        close = np.abs(lut_angles - ang) < angle_tol
+        for pair_idx in np.nonzero(close)[0][:8]:
+            a, b = lut_pairs[pair_idx]
+            for ga, gb in ((g_unit[a], g_unit[b]), (g_unit[b], g_unit[a])):
+                for sa in (1, -1):
+                    for sb in (1, -1):
+                        # Solve R n = g for the two pairs (Kabsch).
+                        A = np.stack([sa * ga, sb * gb]).T @ np.stack(
+                            [normals[i], normals[j]]
+                        )
+                        u, _, vt = np.linalg.svd(A)
+                        d = np.sign(np.linalg.det(u @ vt))
+                        R = u @ np.diag([1, 1, d]) @ vt
+                        # Score: how many detected bands map near a pole
+                        mapped = normals @ R.T  # R n_k
+                        cosang = np.abs(mapped @ g_unit.T).max(axis=1)
+                        inliers = cosang > np.cos(angle_tol)
+                        n_in = int(inliers.sum())
+                        err = float(np.mean(np.arccos(np.clip(cosang[inliers], 0, 1)))) if n_in else np.inf
+                        if n_in > best[2] or (n_in == best[2] and err < best[1]):
+                            q = np.asarray(
+                                quat.from_matrix(jnp.asarray(R[None]))
+                            )[0]
+                            best = (q, err, n_in)
+    return best
+
+
+def hough_indexing(
+    signal,
+    phase_list: PhaseList | Phase | None = None,
+    reflectors=None,
+    n_bands: int = 9,
+    n_theta: int = 90,
+    n_rho: int = 96,
+    angle_tol_deg: float = 2.0,
+    min_dspacing: float = 1.0,
+    voltage_kv: float = 20.0,
+) -> CrystalMap:
+    """Index a scan by Hough band detection and triplet voting.
+
+    Parameters
+    ----------
+    signal
+        :class:`EBSD` signal (preprocessed patterns work best).
+    phase_list
+        Phase (with lattice + space/point group) to index against.
+    reflectors
+        Optional :class:`ReciprocalLatticeVectors`; computed from the
+        phase's lattice when not given.
+
+    Returns
+    -------
+    CrystalMap with rotations, ``fit`` (mean inlier angle error, deg),
+    ``nbands`` (inlier band count) and ``band_intensity`` properties.
+    """
+    from kikuchipy_tpu.crystallography.reciprocal import (
+        Lattice,
+        ReciprocalLatticeVectors,
+    )
+
+    if isinstance(phase_list, Phase):
+        phase = phase_list
+    elif isinstance(phase_list, PhaseList):
+        phase = phase_list[phase_list.ids[0]]
+    else:
+        phase = signal.xmap.phases[0] if signal.xmap else None
+    if phase is None or phase.lattice is None:
+        raise ValueError(
+            "Hough indexing requires a phase with lattice parameters"
+        )
+
+    if reflectors is None:
+        lat = Lattice(*(float(v) for v in phase.lattice[:6]))
+        rlv = ReciprocalLatticeVectors.from_min_dspacing(lat, min_dspacing)
+        if phase.atoms:
+            rlv.calculate_structure_factor(phase.atoms)
+            rlv = rlv.allowed()
+        rlv.calculate_theta(voltage_kv)
+        reflectors = rlv
+    g_unit = reflectors.unit
+    # Unique poles (collapse +-g)
+    canon = np.where(
+        (g_unit[:, 2:3] < 0)
+        | ((g_unit[:, 2:3] == 0) & (g_unit[:, 1:2] < 0)),
+        -g_unit,
+        g_unit,
+    )
+    g_unit = np.unique(np.round(canon, 6), axis=0)
+
+    pairs = list(combinations(range(len(g_unit)), 2))
+    lut_pairs = np.asarray(pairs)
+    lut_angles = np.array(
+        [
+            np.arccos(np.clip(abs(g_unit[a] @ g_unit[b]), 0, 1))
+            for a, b in pairs
+        ]
+    )
+
+    sino = radon_transform(signal.data, n_theta=n_theta, n_rho=n_rho)
+    rho_idx, theta_idx, intensity = detect_bands(sino, n_bands=n_bands)
+    rho_idx = np.asarray(rho_idx).reshape(-1, n_bands)
+    theta_idx = np.asarray(theta_idx).reshape(-1, n_bands)
+    intensity = np.asarray(intensity).reshape(-1, n_bands)
+
+    normals = bands_to_normals(
+        rho_idx, theta_idx, signal.detector, n_theta=n_theta, n_rho=n_rho
+    )
+
+    n = normals.shape[0]
+    quats = np.zeros((n, 4))
+    fit = np.zeros(n)
+    nbands = np.zeros(n, dtype=np.int32)
+    tol = np.deg2rad(angle_tol_deg)
+    for k in range(n):
+        q, err, n_in = _orientation_from_bands(
+            normals[k], g_unit, lut_angles, lut_pairs, angle_tol=tol
+        )
+        quats[k] = q
+        fit[k] = np.rad2deg(err) if np.isfinite(err) else np.nan
+        nbands[k] = n_in
+
+    pg = phase.get_point_group()
+    quats = reduce_to_fundamental_zone(quats, pg.proper_name)
+
+    nav_shape = signal.navigation_shape
+    return CrystalMap(
+        rotations=quats,
+        shape=nav_shape if len(nav_shape) == 2 else (n,),
+        prop={
+            "fit": fit,
+            "nbands": nbands,
+            "band_intensity": intensity.mean(axis=1),
+        },
+        phases=PhaseList(phase),
+    )

@@ -1,0 +1,61 @@
+"""Pattern decomposition (PCA) and model reconstruction.
+
+TPU-native replacement for the reference's HyperSpy-delegated
+``decomposition`` + ``get_decomposition_model`` (reference
+``signals/ebsd.py:2665-2725``): PCA by economy SVD of the centered
+pattern matrix on device, with low-rank reconstruction and per-pattern
+rescale back to the storage dtype.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from kikuchipy_tpu.utils.dtypes import get_dtype_range
+
+__all__ = ["pca", "pca_reconstruct"]
+
+
+def pca(
+    patterns: jnp.ndarray, components: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """PCA of a pattern batch.
+
+    Returns ``(factors, loadings, mean)``: ``factors (components, d)``
+    are the principal pattern components, ``loadings (n, components)``
+    the per-pattern weights, and ``mean (d,)`` the mean pattern.
+    """
+    p = jnp.asarray(patterns, dtype=jnp.float32)
+    lead = p.shape[:-2]
+    n = int(np.prod(lead)) if lead else 1
+    x = p.reshape(n, -1)
+    mean = jnp.mean(x, axis=0)
+    xc = x - mean
+    # Economy SVD; n is usually << d for EBSD scans of small patterns.
+    u, s, vt = jnp.linalg.svd(xc, full_matrices=False)
+    k = min(components, s.shape[0])
+    factors = vt[:k]
+    loadings = u[:, :k] * s[:k]
+    return np.asarray(factors), np.asarray(loadings), np.asarray(mean)
+
+
+def pca_reconstruct(
+    patterns: jnp.ndarray, components: int, dtype_out=None
+) -> np.ndarray:
+    """Low-rank PCA reconstruction of the patterns, rescaled per pattern
+    to the output dtype range for integer dtypes."""
+    patterns = jnp.asarray(patterns)
+    shape = patterns.shape
+    factors, loadings, mean = pca(patterns, components)
+    recon = loadings @ factors + mean
+    recon = recon.reshape(shape)
+    if dtype_out is None:
+        return np.asarray(recon)
+    dtype_out = np.dtype(dtype_out)
+    if np.issubdtype(dtype_out, np.integer):
+        omin, omax = get_dtype_range(dtype_out)
+        imin = recon.min(axis=(-2, -1), keepdims=True)
+        imax = recon.max(axis=(-2, -1), keepdims=True)
+        recon = (recon - imin) / (imax - imin) * (omax - omin) + omin
+    return np.asarray(recon).astype(dtype_out)

@@ -108,7 +108,10 @@ def direction_cosines_from_detector(
     ``_get_direction_cosines_from_detector`` (reference
     ``signals/util/_master_pattern.py:83-124``).
     """
-    om = jnp.asarray(detector.detector_to_sample, dtype=jnp.float64)
+    import jax as _jax
+
+    f64 = jnp.float64 if _jax.config.jax_enable_x64 else jnp.float32
+    om = jnp.asarray(detector.detector_to_sample, dtype=f64)
     if detector.navigation_size == 1:
         gb = jnp.asarray(
             np.asarray(detector.gnomonic_bounds, dtype=np.float64).reshape(4)

@@ -194,6 +194,45 @@ class EBSD:
             average_neighbour_patterns(self.data, window=window, **kwargs)
         )
 
+    def get_neighbour_dot_product_matrices(self, window=None, **kwargs):
+        """Dot-product matrices with window neighbours (reference
+        ``ebsd.py:1221``)."""
+        from kikuchipy_tpu.ops.neighbors import neighbour_dot_product_matrices
+
+        return neighbour_dot_product_matrices(self.data, window=window, **kwargs)
+
+    def get_average_neighbour_dot_product_map(self, window=None, **kwargs):
+        """ADP map (reference ``ebsd.py:1377``)."""
+        from kikuchipy_tpu.ops.neighbors import average_dot_product_map
+
+        return average_dot_product_map(self.data, window=window, **kwargs)
+
+    def get_virtual_bse_intensity(self, roi) -> np.ndarray:
+        """Sum pattern intensities inside a detector ROI
+        ``(row0, row1, col0, col1)`` (reference ``ebsd.py:1555``)."""
+        from kikuchipy_tpu.imaging.vbse import VirtualBSEImager
+
+        return VirtualBSEImager(self).get_virtual_bse_intensity(roi)
+
+    def get_decomposition_model(self, components: int = 10) -> "EBSD":
+        """Reconstruct the scan from its first ``components`` principal
+        components (reference ``EBSD.get_decomposition_model``,
+        ``ebsd.py:2665``): a denoising PCA model of the patterns."""
+        from kikuchipy_tpu.ops.decomposition import pca_reconstruct
+
+        data = pca_reconstruct(
+            self.data, components, dtype_out=np.asarray(self.data).dtype
+        )
+        return self._replace_data(data)
+
+    def hough_indexing(self, phase_list=None, **kwargs):
+        """Hough/Radon band detection indexing (reference
+        ``ebsd.py:1600``); see
+        :func:`kikuchipy_tpu.indexing.hough.hough_indexing`."""
+        from kikuchipy_tpu.indexing.hough import hough_indexing
+
+        return hough_indexing(self, phase_list=phase_list, **kwargs)
+
     def extract_grid(self, grid_shape: tuple[int, int]) -> "EBSD":
         """Return a sub-scan of patterns on an evenly spaced grid
         (reference ``ebsd.py:267``)."""

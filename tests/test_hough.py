@@ -1,0 +1,87 @@
+"""Hough/Radon band detection and indexing tests."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import kikuchipy_tpu as kp
+from kikuchipy_tpu.crystallography.crystal_map import Phase
+from kikuchipy_tpu.crystallography.sampling import disorientation_angle
+from kikuchipy_tpu.geometry import quaternion as quat
+from kikuchipy_tpu.indexing.hough import detect_bands, radon_transform
+
+NI_PHASE = Phase(
+    "ni",
+    space_group=225,
+    lattice=(3.5236, 3.5236, 3.5236, 90.0, 90.0, 90.0),
+    atoms=[
+        ("ni", 0, 0, 0),
+        ("ni", 0.5, 0.5, 0),
+        ("ni", 0.5, 0, 0.5),
+        ("ni", 0, 0.5, 0.5),
+    ],
+)
+
+
+class TestRadon:
+    def test_line_concentrates(self):
+        # A horizontal bright line gives a sharp sinogram peak at
+        # theta = 90 deg (line normal vertical).
+        img = np.zeros((64, 64), np.float32)
+        img[32, :] = 100.0
+        sino = np.asarray(radon_transform(img, n_theta=90, n_rho=64))
+        rho_i, theta_i = np.unravel_index(np.argmax(sino), sino.shape)
+        assert abs(theta_i - 45) <= 1  # 45/90 * 180 deg = 90 deg
+        assert abs(rho_i - 32) <= 2
+
+    def test_batched_shape(self):
+        imgs = np.random.default_rng(0).uniform(size=(2, 3, 32, 32))
+        sino = np.asarray(radon_transform(imgs, n_theta=45, n_rho=40))
+        assert sino.shape == (2, 3, 40, 45)
+
+    def test_detect_bands_finds_line(self):
+        img = np.zeros((64, 64), np.float32)
+        img[20, :] = 50.0
+        img[:, 40] = 50.0
+        sino = radon_transform(img, n_theta=90, n_rho=64)
+        rho_i, theta_i, inten = (
+            np.asarray(v) for v in detect_bands(sino, n_bands=4)
+        )
+        # Among the peaks: one near theta=90 (horizontal line, rho~20)
+        # and one near theta=0 mod 180 (vertical line, rho~40).
+        t_deg = theta_i * 2.0
+        t_mod = np.minimum(t_deg, 180 - t_deg)
+        assert any((t_mod <= 10) & (np.abs(rho_i - 40) <= 2))
+        assert any((np.abs(t_deg - 90) <= 10) & (np.abs(rho_i - 20) <= 2))
+
+
+@pytest.mark.slow
+class TestHoughIndexing:
+    def test_recovers_orientations_from_simulated(self):
+        mp = kp.data.nickel_ebsd_master_pattern_small(
+            projection="lambert", hemisphere="both"
+        )
+        det = kp.detectors.EBSDDetector(
+            shape=(60, 60), pc=(0.42, 0.21, 0.5), sample_tilt=70
+        )
+        rng = np.random.default_rng(3)
+        eu = rng.uniform(0, 1, size=(4, 3)) * [2 * np.pi, np.pi, 2 * np.pi]
+        rot = np.asarray(quat.from_euler(jnp.asarray(eu)))
+        sim = mp.get_patterns(rot, det, dtype_out=np.uint8)
+        sim.detector = det
+
+        xmap = sim.hough_indexing(phase_list=NI_PHASE, n_bands=8)
+        ang = np.degrees(
+            disorientation_angle(rot, xmap.best_rotations, "m-3m")
+        )
+        # Band-geometry indexing: within ~4 deg for clean patterns.
+        assert ang.max() < 4.0, ang
+        assert (xmap.prop["nbands"] >= 3).all()
+
+    def test_requires_lattice(self, dummy_patterns):
+        from kikuchipy_tpu.signals.ebsd import EBSD
+
+        s = EBSD(data=dummy_patterns)
+        with pytest.raises(ValueError, match="lattice"):
+            s.hough_indexing(phase_list=Phase("x"))
