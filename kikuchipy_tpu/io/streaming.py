@@ -1,0 +1,170 @@
+"""Out-of-core scan streaming: process scans larger than device (or
+host) memory by overlapping chunked HDF5 reads with device compute.
+
+The TPU-native replacement for the reference's ``LazyEBSD``/Dask lazy
+evaluation (``/root/reference/src/kikuchipy/signals/ebsd.py:3186`` and
+``signals/util/_dask.py``): instead of a lazy task graph, a background
+prefetch thread reads navigation chunks from disk while the device
+processes the previous chunk (double buffering across the host-device
+boundary).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from pathlib import Path
+from typing import Callable, Iterator
+
+import numpy as np
+
+__all__ = ["stream_patterns", "map_streamed", "dictionary_index_streamed"]
+
+
+def stream_patterns(
+    filename: str | Path,
+    dataset: str = "Scan 1/EBSD/Data/patterns",
+    chunk_size: int = 1024,
+    prefetch: int = 2,
+) -> Iterator[tuple[int, np.ndarray]]:
+    """Yield ``(start_index, chunk)`` of flattened-navigation pattern
+    chunks from an HDF5 dataset, with a background reader thread
+    prefetching ``prefetch`` chunks ahead.
+    """
+    import h5py
+
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def reader():
+        try:
+            with h5py.File(filename, "r") as f:
+                ds = f[dataset]
+                n = ds.shape[0]
+                for start in range(0, n, chunk_size):
+                    if stop.is_set():
+                        return
+                    q.put((start, ds[start : start + chunk_size][()]))
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+    finally:
+        stop.set()
+        # Drain so the reader can exit.
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5)
+
+
+def map_streamed(
+    filename: str | Path,
+    fn: Callable[[np.ndarray], np.ndarray],
+    out: np.ndarray | None = None,
+    dataset: str = "Scan 1/EBSD/Data/patterns",
+    chunk_size: int = 1024,
+    out_path: str | Path | None = None,
+    out_dataset: str = "Scan 1/EBSD/Data/patterns",
+) -> np.ndarray | None:
+    """Apply a (jitted) per-chunk function over a streamed scan.
+
+    Results are written into ``out`` (preallocated array), or streamed
+    to ``out_path`` (HDF5, created on first chunk) when the result does
+    not fit in memory, or collected into a new array otherwise.
+    """
+    import h5py
+
+    collected = []
+    h5out = None
+    out_ds = None
+    try:
+        for start, chunk in stream_patterns(
+            filename, dataset=dataset, chunk_size=chunk_size
+        ):
+            result = np.asarray(fn(chunk))
+            if out is not None:
+                out[start : start + result.shape[0]] = result
+            elif out_path is not None:
+                if h5out is None:
+                    h5out = h5py.File(out_path, "w")
+                    with h5py.File(filename, "r") as fin:
+                        n = fin[dataset].shape[0]
+                    out_ds = h5out.create_dataset(
+                        out_dataset,
+                        shape=(n,) + result.shape[1:],
+                        dtype=result.dtype,
+                    )
+                out_ds[start : start + result.shape[0]] = result
+            else:
+                collected.append(result)
+    finally:
+        if h5out is not None:
+            h5out.close()
+    if out is not None:
+        return out
+    if out_path is not None:
+        return None
+    return np.concatenate(collected, axis=0)
+
+
+def dictionary_index_streamed(
+    filename: str | Path,
+    dictionary,
+    preprocess_fn: Callable[[np.ndarray], np.ndarray] | None = None,
+    dataset: str = "Scan 1/EBSD/Data/patterns",
+    chunk_size: int = 4096,
+    keep_n: int = 20,
+    metric: str = "ncc",
+    signal_mask: np.ndarray | None = None,
+    **di_kwargs,
+):
+    """Index a scan too large for device memory: stream experimental
+    chunks from disk (prefetch overlapped with compute), index each
+    chunk against the dictionary, and concatenate results.
+
+    Returns a :class:`~kikuchipy_tpu.indexing.di.
+    DictionaryIndexingResult` covering the full scan.
+    """
+    import jax.numpy as jnp
+
+    from kikuchipy_tpu.indexing.di import (
+        DictionaryIndexingResult,
+        dictionary_index,
+    )
+
+    all_scores = []
+    all_idx = []
+    total = 0
+    pps_acc = 0.0
+    for start, chunk in stream_patterns(
+        filename, dataset=dataset, chunk_size=chunk_size
+    ):
+        if preprocess_fn is not None:
+            chunk = preprocess_fn(chunk)
+        res = dictionary_index(
+            jnp.asarray(chunk),
+            dictionary=dictionary,
+            keep_n=keep_n,
+            metric=metric,
+            signal_mask=signal_mask,
+            **di_kwargs,
+        )
+        all_scores.append(res.scores)
+        all_idx.append(res.simulation_indices)
+        total += res.scores.shape[0]
+        pps_acc += res.patterns_per_second * res.scores.shape[0]
+    return DictionaryIndexingResult(
+        scores=np.concatenate(all_scores, axis=0),
+        simulation_indices=np.concatenate(all_idx, axis=0),
+        patterns_per_second=pps_acc / max(total, 1),
+    )

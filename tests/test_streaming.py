@@ -1,0 +1,79 @@
+"""Out-of-core streaming tests."""
+
+import h5py
+import numpy as np
+import pytest
+
+from kikuchipy_tpu.io.streaming import (
+    dictionary_index_streamed,
+    map_streamed,
+    stream_patterns,
+)
+
+
+@pytest.fixture
+def big_scan(tmp_path):
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 255, size=(100, 16, 16), dtype=np.uint8)
+    f = tmp_path / "scan.h5"
+    with h5py.File(f, "w") as h:
+        h.create_dataset("Scan 1/EBSD/Data/patterns", data=data)
+    return f, data
+
+
+class TestStreamPatterns:
+    def test_chunks_cover_scan(self, big_scan):
+        f, data = big_scan
+        chunks = list(stream_patterns(f, chunk_size=17))
+        starts = [s for s, _ in chunks]
+        assert starts == list(range(0, 100, 17))
+        recon = np.concatenate([c for _, c in chunks])
+        np.testing.assert_array_equal(recon, data)
+
+
+class TestMapStreamed:
+    def test_collect(self, big_scan):
+        f, data = big_scan
+        out = map_streamed(f, lambda c: c.astype(np.float32) * 2, chunk_size=32)
+        np.testing.assert_allclose(out, data.astype(np.float32) * 2)
+
+    def test_preallocated(self, big_scan):
+        f, data = big_scan
+        out = np.zeros((100, 16, 16), np.float32)
+        map_streamed(f, lambda c: c.astype(np.float32), out=out, chunk_size=30)
+        np.testing.assert_allclose(out, data)
+
+    def test_stream_to_file(self, big_scan, tmp_path):
+        f, data = big_scan
+        out_path = tmp_path / "out.h5"
+        map_streamed(
+            f,
+            lambda c: c.astype(np.float32) + 1,
+            out_path=out_path,
+            chunk_size=40,
+        )
+        with h5py.File(out_path) as h:
+            np.testing.assert_allclose(
+                h["Scan 1/EBSD/Data/patterns"][()], data.astype(np.float32) + 1
+            )
+
+
+class TestStreamedDI:
+    def test_matches_in_memory(self, big_scan):
+        from kikuchipy_tpu.indexing.di import dictionary_index
+
+        f, data = big_scan
+        rng = np.random.default_rng(1)
+        dictionary = rng.normal(size=(64, 16, 16)).astype(np.float32)
+        streamed = dictionary_index_streamed(
+            f, dictionary, chunk_size=23, keep_n=5
+        )
+        in_memory = dictionary_index(
+            data.astype(np.float32), dictionary=dictionary, keep_n=5
+        )
+        np.testing.assert_array_equal(
+            streamed.simulation_indices, in_memory.simulation_indices
+        )
+        np.testing.assert_allclose(
+            streamed.scores, in_memory.scores, atol=1e-5
+        )
