@@ -168,6 +168,7 @@ def refine_orientation(
     master_pattern=None,
     energy: float | None = None,
     signal_mask: np.ndarray | None = None,
+    pseudo_symmetry_ops: np.ndarray | None = None,
     trust_region=None,
     max_iters: int = 150,
     rtol: float = 1e-4,
@@ -177,7 +178,19 @@ def refine_orientation(
 
     ``trust_region``: optional ``(3,)`` half-widths in degrees bounding
     each Euler angle around its start value.
+
+    ``pseudo_symmetry_ops``: optional ``(n_ops, 4)`` quaternions; each
+    map point is additionally refined from every pseudo-symmetric
+    variant of its start orientation (``op * q0``) and the best-scoring
+    result is kept, with the winning variant index (0 = original) in the
+    ``pseudo_symmetry_index`` property (reference ``_refinement/
+    _refinement.py`` pseudo-symmetry support).
     """
+    if pseudo_symmetry_ops is not None:
+        return _refine_orientation_pseudo_symmetry(
+            signal, xmap, detector, master_pattern, energy, signal_mask,
+            np.asarray(pseudo_symmetry_ops), trust_region, max_iters, rtol,
+        )
     xmap = xmap if xmap is not None else signal.xmap
     detector = detector if detector is not None else signal.detector
     nav_shape = signal.navigation_shape
@@ -229,6 +242,51 @@ def refine_orientation(
         xmap, refined_rot, scores, np.asarray(res.n_iter), nav_shape
     )
     return RefinementResult(xmap=new_xmap, detector=detector)
+
+
+def _refine_orientation_pseudo_symmetry(
+    signal, xmap, detector, master_pattern, energy, signal_mask,
+    ops, trust_region, max_iters, rtol,
+):
+    """Refine from the original and each pseudo-symmetric start; keep
+    the best result per map point."""
+    xmap0 = xmap if xmap is not None else signal.xmap
+    q0 = np.asarray(xmap0.best_rotations)
+    variants = [q0] + [
+        np.asarray(quat.multiply(jnp.asarray(op), jnp.asarray(q0)))
+        for op in ops
+    ]
+    results = []
+    for qv in variants:
+        xmap_v = CrystalMap(
+            rotations=qv,
+            phase_id=np.asarray(xmap0.phase_id),
+            shape=xmap0.shape,
+            phases=xmap0.phases,
+        )
+        results.append(
+            refine_orientation(
+                signal,
+                xmap=xmap_v,
+                detector=detector,
+                master_pattern=master_pattern,
+                energy=energy,
+                signal_mask=signal_mask,
+                trust_region=trust_region,
+                max_iters=max_iters,
+                rtol=rtol,
+            )
+        )
+    scores = np.stack([r.xmap.prop["scores"] for r in results])  # (v, n)
+    best = np.argmax(scores, axis=0)
+    n = scores.shape[1]
+    rot = np.stack([r.xmap.best_rotations for r in results])  # (v, n, 4)
+    out_rot = rot[best, np.arange(n)]
+    out_scores = scores[best, np.arange(n)]
+    num_evals = np.stack([r.xmap.prop["num_evals"] for r in results]).sum(0)
+    new_xmap = _finalize_xmap(xmap0, out_rot, out_scores, num_evals, xmap0.shape)
+    new_xmap.prop["pseudo_symmetry_index"] = best
+    return RefinementResult(xmap=new_xmap, detector=detector or signal.detector)
 
 
 def refine_projection_center(

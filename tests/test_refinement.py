@@ -151,3 +151,37 @@ class TestRefineJoint:
         )
         # Joint refinement from the stored solution should stay close.
         assert ang.max() < 3.0
+
+
+class TestPseudoSymmetry:
+    def test_pseudo_symmetry_recovers_variant(self, nickel_setup):
+        """Start refinement from orientations off by a known operator;
+        with that operator given as a pseudo-symmetry op, refinement
+        must recover the true orientations and report the variant."""
+        s, mp = nickel_setup
+        stored = s.xmap.best_rotations
+
+        op = np.asarray(
+            quat.from_axis_angle(jnp.asarray([0.0, 0.0, 1.0]), np.deg2rad(30.0))
+        )
+        op_inv = np.asarray(quat.conjugate(jnp.asarray(op)))
+        wrong = np.asarray(quat.multiply(jnp.asarray(op_inv), jnp.asarray(stored)))
+
+        from kikuchipy_tpu.crystallography.crystal_map import CrystalMap
+
+        xmap0 = CrystalMap(rotations=wrong, shape=(3, 3), phases=s.xmap.phases)
+        res = s.refine_orientation(
+            xmap=xmap0,
+            master_pattern=mp,
+            pseudo_symmetry_ops=op[None],
+            trust_region=[2, 2, 2],
+            max_iters=60,
+        )
+        ang = np.degrees(
+            disorientation_angle(stored, res.xmap.best_rotations, "m-3m")
+        )
+        assert ang.max() < 2.0, ang
+        # The pseudo-symmetric variant (index 1) must win everywhere.
+        np.testing.assert_array_equal(
+            res.xmap.prop["pseudo_symmetry_index"], np.ones(9, dtype=int)
+        )
