@@ -159,13 +159,16 @@ class _EbspReader:
             nav_shape = (nrows, ncols)
             metadata.update(step_x=float(step), step_y=float(step))
 
-            # Out-of-order storage: sort via the byte-position table.
+            # Out-of-order storage: sort via the byte-position table
+            # (threaded native gather when available).
             bytes_per = self.header_size + self.n_bytes + self.footer_size
             order = (
                 (self.pattern_starts - self.first_pattern_position) // bytes_per
             ).astype(np.int64)
             if not np.array_equal(order, np.arange(order.size)):
-                data = data[order]
+                from kikuchipy_tpu import native
+
+                data = native.reorder_patterns(np.asarray(data), order)
 
         n_expected = int(np.prod(nav_shape))
         data = np.array(data[:n_expected]).reshape(nav_shape + self.signal_shape)

@@ -1,0 +1,173 @@
+"""Pallas TPU kernel: fused NCC matmul + running top-k.
+
+The dictionary-indexing hot loop as a single Mosaic kernel: each grid
+step multiplies an experimental-pattern tile against a dictionary tile
+on the MXU and folds the block's best ``k`` scores into a running
+per-row top-k held in VMEM scratch — the ``(n, m)`` similarity matrix is
+never materialized in HBM and no separate ``top_k`` pass is needed
+(replacing the reference's ``da.einsum`` + ``argtopk`` stages,
+``/root/reference/src/kikuchipy/indexing/_dictionary_indexing.py:
+197-198``, and the XLA ``matmul`` + ``lax.top_k`` pipeline in
+:mod:`kikuchipy_tpu.indexing.di`).
+
+Top-k inside the kernel: ``k`` rounds of (max, first-argmax, mask) over
+the score block extract the block's top-k in descending order; an
+odd-even transposition network then merges them with the running sorted
+top-k. Both stages are pure VPU element-wise/reduce ops, a ~0.3% FLOP
+overhead next to the MXU matmul.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["ncc_match_topk_pallas"]
+
+_NEG_INF = float(np.finfo(np.float32).min)
+
+
+def _extract_block_topk(sim, base_col, k):
+    """Top-k of each row of ``sim`` (R, C), descending, with global
+    column indices (``base_col`` added). Ties resolve to the lowest
+    column index (matching ``lax.top_k``)."""
+    r_dim, c_dim = sim.shape
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (r_dim, c_dim), 1)
+    vals = sim
+    out_s = []
+    out_i = []
+    big = jnp.int32(2**30)
+    for _ in range(k):
+        m = jnp.max(vals, axis=1, keepdims=True)
+        is_max = vals >= m
+        am = jnp.min(jnp.where(is_max, col_ids, big), axis=1, keepdims=True)
+        out_s.append(m)
+        out_i.append(am + base_col)
+        vals = jnp.where(col_ids == am, _NEG_INF, vals)
+    return (
+        jnp.concatenate(out_s, axis=1),
+        jnp.concatenate(out_i, axis=1),
+    )
+
+
+def _merge_sorted(s_a, i_a, s_b, i_b):
+    """Merge two per-row descending-sorted (R, k) lists into the top-k
+    (R, k) via an odd-even transposition sort over the 2k concat."""
+    s = jnp.concatenate([s_a, s_b], axis=1)
+    i = jnp.concatenate([i_a, i_b], axis=1)
+    n = s.shape[1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    for step in range(n):
+        start = step % 2
+        s_next = jnp.roll(s, -1, axis=1)
+        i_next = jnp.roll(i, -1, axis=1)
+        # Swap ascending (p, p+1) pairs of the current parity. do_swap
+        # is False at n-1 (active mask), so its +1 roll needs no fixup.
+        active = (pos % 2 == start) & (pos < n - 1)
+        do_swap = (s < s_next) & active
+        s_new = jnp.where(do_swap, s_next, s)
+        i_new = jnp.where(do_swap, i_next, i)
+        # Roll as int32: Mosaic cannot roll i1 vector registers.
+        took_from_prev = jnp.roll(do_swap.astype(jnp.int32), 1, axis=1) == 1
+        s_prev = jnp.roll(s, 1, axis=1)
+        i_prev = jnp.roll(i, 1, axis=1)
+        s = jnp.where(took_from_prev, s_prev, s_new)
+        i = jnp.where(took_from_prev, i_prev, i_new)
+    return s[:, : s_a.shape[1]], i[:, : i_a.shape[1]]
+
+
+def _kernel(exp_ref, dict_ref, out_s_ref, out_i_ref, run_s, run_i, *, k, tile_m):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        run_s[:] = jnp.full(run_s.shape, _NEG_INF, dtype=jnp.float32)
+        run_i[:] = jnp.zeros(run_i.shape, dtype=jnp.int32)
+
+    sim = jax.lax.dot_general(
+        exp_ref[:],
+        dict_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    base_col = j * tile_m
+    blk_s, blk_i = _extract_block_topk(sim, base_col, k)
+    s, i = _merge_sorted(run_s[:], run_i[:], blk_s, blk_i)
+    run_s[:] = s
+    run_i[:] = i
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        out_s_ref[:] = run_s[:]
+        out_i_ref[:] = run_i[:]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "tile_n", "tile_m", "interpret"),
+)
+def ncc_match_topk_pallas(
+    exp_prepared: jnp.ndarray,
+    dict_prepared: jnp.ndarray,
+    k: int = 20,
+    tile_n: int = 256,
+    tile_m: int = 512,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused similarity matmul + top-k.
+
+    Parameters
+    ----------
+    exp_prepared
+        ``(n, d)`` prepared (centered/normalized) experimental patterns,
+        float32. ``n`` must be a multiple of ``tile_n``.
+    dict_prepared
+        ``(m, d)`` prepared dictionary, float32. ``m`` must be a
+        multiple of ``tile_m``.
+    k
+        Matches to keep (<= tile_m).
+    interpret
+        Run in the Pallas interpreter (for CPU testing).
+
+    Returns
+    -------
+    ``(scores, indices)`` of shape ``(n, k)``, descending.
+    """
+    n, d = exp_prepared.shape
+    m = dict_prepared.shape[0]
+    if n % tile_n or m % tile_m:
+        raise ValueError(
+            f"n={n} and m={m} must be multiples of tile_n={tile_n} / "
+            f"tile_m={tile_m}; pad the inputs"
+        )
+    grid = (n // tile_n, m // tile_m)
+    kernel = partial(_kernel, k=k, tile_m=tile_m)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_m, d), lambda i, j: (j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_n, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_n, k), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, k), jnp.float32),
+            jax.ShapeDtypeStruct((n, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_n, k), jnp.float32),
+            pltpu.VMEM((tile_n, k), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(exp_prepared, dict_prepared)
