@@ -42,7 +42,9 @@ def main() -> None:
     from kikuchipy_tpu.indexing.di import _index_resident
     from kikuchipy_tpu.indexing.metrics import ncc
 
-    N = 2048        # experimental patterns per batch
+    # Large batch amortizes the per-dispatch host->device latency of
+    # this environment's tunneled TPU (~26 ms/call measured).
+    N = 8192        # experimental patterns per batch
     M = 100_000     # dictionary entries
     SY = SX = 60
     D = SY * SX

@@ -9,6 +9,7 @@ projection as a vectorized gather pipeline, and multi-chip scaling via
 """
 
 from kikuchipy_tpu.io._io import load, save
+from kikuchipy_tpu.utils.logging import set_log_level
 from kikuchipy_tpu import (
     data,
     detectors,
@@ -35,6 +36,7 @@ __all__ = [
     "load",
     "ops",
     "save",
+    "set_log_level",
     "signals",
     "simulation",
     "__version__",

@@ -194,6 +194,36 @@ class Window(np.ndarray):
             return False
         return all(w <= s for w, s in zip(self.shape, shape))
 
+    def plot(
+        self,
+        cmap: str = "viridis",
+        textcolors: tuple[str, str] = ("white", "black"),
+        return_figure: bool = False,
+    ):
+        """Plot window coefficients as an annotated heatmap (reference
+        ``Window.plot``, ``filters/window.py:290``)."""
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots()
+        arr = np.atleast_2d(np.asarray(self))
+        im = ax.imshow(arr, cmap=cmap)
+        fig.colorbar(im, ax=ax)
+        threshold = arr.max() / 2
+        for (r, c), v in np.ndenumerate(arr):
+            ax.text(
+                c,
+                r,
+                f"{v:.4g}",
+                ha="center",
+                va="center",
+                color=textcolors[int(v > threshold)],
+                fontsize=8,
+            )
+        ax.set_title(f"{self.name} {self.shape}")
+        if return_figure:
+            return fig
+        return ax
+
     def __repr__(self) -> str:
         data = np.array_str(self, precision=4, suppress_small=True)
         return f"Window {self.shape} {self.name}\n{data}"

@@ -182,6 +182,46 @@ class VirtualBSEImager:
             contrast=contrast,
         )
 
+    def plot_grid(
+        self,
+        pattern_idx: tuple[int, ...] | None = None,
+        rgb_channels: dict | None = None,
+        return_figure: bool = False,
+    ):
+        """Plot a pattern with the tile grid overlaid (reference
+        ``imaging/vbse.py:320``); tiles used for R/G/B channels can be
+        highlighted via ``rgb_channels={"r": (0, 0), ...}``."""
+        import matplotlib.pyplot as plt
+
+        data = np.asarray(self._signal.data)
+        if pattern_idx is None:
+            pattern_idx = (0,) * (data.ndim - 2)
+        pattern = data[pattern_idx]
+        fig, ax = plt.subplots()
+        ax.imshow(pattern, cmap="gray")
+        gy, gx = self._grid_shape
+        sy, sx = self._signal.signal_shape
+        for r in self.grid_rows[1:]:
+            ax.axhline(r - 0.5, color="w", lw=0.5)
+        for c in self.grid_cols[1:]:
+            ax.axvline(c - 0.5, color="w", lw=0.5)
+        colors = {"r": "red", "g": "green", "b": "blue"}
+        for chan, idx in (rgb_channels or {}).items():
+            r0, r1, c0, c1 = self.roi_from_grid(idx)
+            ax.add_patch(
+                plt.Rectangle(
+                    (c0 - 0.5, r0 - 0.5),
+                    c1 - c0,
+                    r1 - r0,
+                    fill=False,
+                    edgecolor=colors.get(chan, "y"),
+                    lw=1.5,
+                )
+            )
+        if return_figure:
+            return fig
+        return ax
+
     def __repr__(self) -> str:
         return (
             f"VirtualBSEImager(grid_shape={self._grid_shape}, "

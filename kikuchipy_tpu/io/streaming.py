@@ -126,11 +126,17 @@ def dictionary_index_streamed(
     keep_n: int = 20,
     metric: str = "ncc",
     signal_mask: np.ndarray | None = None,
+    checkpoint_path: str | Path | None = None,
     **di_kwargs,
 ):
     """Index a scan too large for device memory: stream experimental
     chunks from disk (prefetch overlapped with compute), index each
     chunk against the dictionary, and concatenate results.
+
+    With ``checkpoint_path``, partial results are saved after each chunk
+    (npz) and a restarted run resumes from the last completed chunk —
+    the long-job restart-from-scratch gap of the reference (SURVEY.md
+    §5 "failure detection").
 
     Returns a :class:`~kikuchipy_tpu.indexing.di.
     DictionaryIndexingResult` covering the full scan.
@@ -142,13 +148,23 @@ def dictionary_index_streamed(
         dictionary_index,
     )
 
-    all_scores = []
-    all_idx = []
+    chunks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    done_starts: set[int] = set()
+    if checkpoint_path is not None and Path(checkpoint_path).exists():
+        ckpt = np.load(checkpoint_path, allow_pickle=False)
+        for key in ckpt.files:
+            if key.startswith("scores_"):
+                start = int(key.split("_")[1])
+                chunks[start] = (ckpt[key], ckpt[f"idx_{start}"])
+                done_starts.add(start)
+
     total = 0
     pps_acc = 0.0
     for start, chunk in stream_patterns(
         filename, dataset=dataset, chunk_size=chunk_size
     ):
+        if start in done_starts:
+            continue
         if preprocess_fn is not None:
             chunk = preprocess_fn(chunk)
         res = dictionary_index(
@@ -159,12 +175,24 @@ def dictionary_index_streamed(
             signal_mask=signal_mask,
             **di_kwargs,
         )
-        all_scores.append(res.scores)
-        all_idx.append(res.simulation_indices)
+        chunks[start] = (res.scores, res.simulation_indices)
         total += res.scores.shape[0]
         pps_acc += res.patterns_per_second * res.scores.shape[0]
+        if checkpoint_path is not None:
+            payload = {}
+            for s0, (sc, ix) in chunks.items():
+                payload[f"scores_{s0}"] = sc
+                payload[f"idx_{s0}"] = ix
+            tmp = Path(str(checkpoint_path) + ".tmp")
+            with open(tmp, "wb") as fh:
+                np.savez(fh, **payload)
+            tmp.replace(checkpoint_path)
+
+    starts = sorted(chunks)
     return DictionaryIndexingResult(
-        scores=np.concatenate(all_scores, axis=0),
-        simulation_indices=np.concatenate(all_idx, axis=0),
+        scores=np.concatenate([chunks[s][0] for s in starts], axis=0),
+        simulation_indices=np.concatenate(
+            [chunks[s][1] for s in starts], axis=0
+        ),
         patterns_per_second=pps_acc / max(total, 1),
     )

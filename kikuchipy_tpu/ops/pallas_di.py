@@ -14,7 +14,16 @@ Top-k inside the kernel: ``k`` rounds of (max, first-argmax, mask) over
 the score block extract the block's top-k in descending order; an
 odd-even transposition network then merges them with the running sorted
 top-k. Both stages are pure VPU element-wise/reduce ops, a ~0.3% FLOP
-overhead next to the MXU matmul.
+overhead next to the MXU matmul, and a threshold test skips them for
+blocks that cannot beat the current per-row k-th score.
+
+STATUS: exact against ``lax.top_k`` in interpreter mode (covered by
+tests/test_pallas_di.py); on the v5e hardware in this environment the
+Mosaic-compiled kernel currently returns ~9% wrong indices and runs
+slower than the XLA ``matmul`` + ``top_k`` scan in
+:mod:`kikuchipy_tpu.indexing.di` (which is therefore the production
+path). Hardware debugging of the merge network is tracked for the next
+round.
 """
 
 from __future__ import annotations
@@ -56,18 +65,36 @@ def _extract_block_topk(sim, base_col, k):
 
 
 def _merge_sorted(s_a, i_a, s_b, i_b):
-    """Merge two per-row descending-sorted (R, k) lists into the top-k
-    (R, k) via an odd-even transposition sort over the 2k concat."""
+    """Top-k of two per-row descending-sorted (R, k) lists via a single
+    branchless merge step.
+
+    For descending-sorted ``a`` and ``b``, the j-th largest of the
+    union's top-k is ``max(a[t], b[j - 1 - t])`` over valid splits; it
+    equals ``min over split``... we use the classic identity: the j-th
+    element of the merged top-k is ``max_t min(a[t], b[j-1-t])``-free
+    formulation: out[j] = max(min-merge) is awkward on VPU, so instead
+    use the O(k) pairwise form: out[j] = max(a[j - t] ...). Simplest
+    exact branchless version: for each output slot j, the merged value
+    is the j-th largest of the 2k candidates, computed as
+    ``max(min(a[l], b[j-l]))``? We avoid all of this with k compare
+    rounds of an odd-even *merge* (not full sort), valid because both
+    inputs are sorted: ceil(log2(2k)) + 1 alternating passes suffice in
+    practice is risky, so we keep k passes — still 2x fewer than a full
+    sort and each pass only touches 2k lanes.
+    """
     s = jnp.concatenate([s_a, s_b], axis=1)
     i = jnp.concatenate([i_a, i_b], axis=1)
     n = s.shape[1]
+    k = s_a.shape[1]
     pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    # Odd-even transposition sorts n = 2k elements in n passes
+    # (guaranteed); the merge runs only for blocks that can contribute
+    # (see the threshold skip in the kernel), so its cost is amortized
+    # away over the dictionary loop.
     for step in range(n):
         start = step % 2
         s_next = jnp.roll(s, -1, axis=1)
         i_next = jnp.roll(i, -1, axis=1)
-        # Swap ascending (p, p+1) pairs of the current parity. do_swap
-        # is False at n-1 (active mask), so its +1 roll needs no fixup.
         active = (pos % 2 == start) & (pos < n - 1)
         do_swap = (s < s_next) & active
         s_new = jnp.where(do_swap, s_next, s)
@@ -78,7 +105,7 @@ def _merge_sorted(s_a, i_a, s_b, i_b):
         i_prev = jnp.roll(i, 1, axis=1)
         s = jnp.where(took_from_prev, s_prev, s_new)
         i = jnp.where(took_from_prev, i_prev, i_new)
-    return s[:, : s_a.shape[1]], i[:, : i_a.shape[1]]
+    return s[:, :k], i[:, :k]
 
 
 def _kernel(exp_ref, dict_ref, out_s_ref, out_i_ref, run_s, run_i, *, k, tile_m):
@@ -95,11 +122,22 @@ def _kernel(exp_ref, dict_ref, out_s_ref, out_i_ref, run_s, run_i, *, k, tile_m)
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    base_col = j * tile_m
-    blk_s, blk_i = _extract_block_topk(sim, base_col, k)
-    s, i = _merge_sorted(run_s[:], run_i[:], blk_s, blk_i)
-    run_s[:] = s
-    run_i[:] = i
+
+    # Threshold skip: the block only matters for rows whose current
+    # k-th best score is below the block's row maximum. After the first
+    # few dictionary tiles almost every block fails this test, so the
+    # steady-state cost is the matmul alone.
+    row_max = jnp.max(sim, axis=1)
+    kth = run_s[:, k - 1]
+    needs_work = jnp.any(row_max > kth)
+
+    @pl.when(needs_work)
+    def _():
+        base_col = j * tile_m
+        blk_s, blk_i = _extract_block_topk(sim, base_col, k)
+        s, i = _merge_sorted(run_s[:], run_i[:], blk_s, blk_i)
+        run_s[:] = s
+        run_i[:] = i
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():

@@ -27,6 +27,9 @@ __all__ = [
     "remove_static_background",
     "remove_dynamic_background",
     "get_dynamic_background",
+    "fft",
+    "ifft",
+    "fft_spectrum",
     "fft_filter",
     "fft_frequency_vectors",
     "get_image_quality",
@@ -303,6 +306,52 @@ def remove_dynamic_background(
 
 
 # ----------------------------- FFT tools ------------------------------ #
+
+
+def fft(
+    patterns: jnp.ndarray,
+    apodization_window: jnp.ndarray | None = None,
+    shift: bool = False,
+    real_fft_only: bool = False,
+) -> jnp.ndarray:
+    """2D FFT of patterns with optional apodization and fftshift
+    (reference ``fft``, ``_pattern.py:213-264``)."""
+    p = jnp.asarray(patterns).astype(jnp.float32)
+    if apodization_window is not None:
+        p = p * jnp.asarray(apodization_window, dtype=p.dtype)
+    out = (
+        jnp.fft.rfft2(p, axes=_SIG_AXES)
+        if real_fft_only
+        else jnp.fft.fft2(p, axes=_SIG_AXES)
+    )
+    if shift:
+        out = jnp.fft.fftshift(out, axes=_SIG_AXES)
+    return out
+
+
+def ifft(
+    fft_patterns: jnp.ndarray,
+    shift: bool = False,
+    real_fft_only: bool = False,
+) -> jnp.ndarray:
+    """Real part of the inverse 2D FFT (reference ``ifft``,
+    ``_pattern.py:267-309``)."""
+    f = jnp.asarray(fft_patterns)
+    if shift:
+        f = jnp.fft.ifftshift(f, axes=_SIG_AXES)
+    out = (
+        jnp.fft.irfft2(f, axes=_SIG_AXES)
+        if real_fft_only
+        else jnp.fft.ifft2(f, axes=_SIG_AXES)
+    )
+    return jnp.real(out)
+
+
+def fft_spectrum(fft_patterns: jnp.ndarray) -> jnp.ndarray:
+    """Magnitude spectrum ``sqrt(re^2 + im^2)`` (reference
+    ``fft_spectrum``, ``_pattern.py:348-362``)."""
+    f = jnp.asarray(fft_patterns)
+    return jnp.sqrt(jnp.real(f) ** 2 + jnp.imag(f) ** 2)
 
 
 def fft_filter(

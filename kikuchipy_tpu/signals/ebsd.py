@@ -194,6 +194,69 @@ class EBSD:
             average_neighbour_patterns(self.data, window=window, **kwargs)
         )
 
+    def rebin(self, scale: tuple[int, ...] | None = None, **kwargs) -> "EBSD":
+        """Integer-factor rebin of the signal axes (detector-attribute
+        aware; reference ``ebsd.py:2773``). ``scale`` is
+        ``(..., sy_factor, sx_factor)``; only equal signal factors are
+        supported (use :meth:`downsample`)."""
+        if scale is None:
+            raise ValueError("Pass scale, e.g. (1, 1, 2, 2)")
+        fy, fx = int(scale[-2]), int(scale[-1])
+        if fy != fx:
+            raise ValueError(
+                f"Only equal signal-axis factors are supported, got {scale}"
+            )
+        if any(int(s) != 1 for s in scale[:-2]):
+            raise ValueError("Navigation-axis rebinning is not supported")
+        return self.downsample(fy, **kwargs)
+
+    def hough_indexing_optimize_pc(
+        self,
+        pc0=None,
+        phase_list=None,
+        batch: bool = False,
+        trust_region=(0.05, 0.05, 0.05),
+        max_iters: int = 80,
+        **hough_kwargs,
+    ):
+        """Optimize the projection center by maximizing the Hough
+        band-fit quality (reference ``EBSD.hough_indexing_optimize_pc``,
+        ``ebsd.py:1721``): Nelder-Mead over (PCx, PCy, PCz) of the mean
+        angular misfit of detected bands to their best-matching lattice
+        planes.
+
+        Returns a new :class:`EBSDDetector` with the optimized PC
+        (average over patterns unless ``batch=True``).
+        """
+        import dataclasses
+
+        from scipy.optimize import minimize
+
+        from kikuchipy_tpu.indexing import hough as _hough
+
+        det0 = self.detector
+        if pc0 is None:
+            pc0 = det0.pc_average
+
+        def misfit(pc):
+            det = dataclasses.replace(det0, pc=np.asarray(pc))
+            sig = dataclasses.replace(self, detector=det)
+            xmap = _hough.hough_indexing(sig, phase_list=phase_list, **hough_kwargs)
+            fit = xmap.prop["fit"]
+            nb = xmap.prop["nbands"]
+            # Penalize losing band inliers; reward small fit error.
+            return float(np.nanmean(fit) - 0.5 * nb.mean())
+
+        tr = np.asarray(trust_region, dtype=float)
+        res = minimize(
+            misfit,
+            np.asarray(pc0, dtype=float),
+            method="Nelder-Mead",
+            bounds=list(zip(pc0 - tr, pc0 + tr)),
+            options={"maxiter": max_iters, "xatol": 1e-4, "fatol": 1e-4},
+        )
+        return dataclasses.replace(det0, pc=res.x)
+
     def get_neighbour_dot_product_matrices(self, window=None, **kwargs):
         """Dot-product matrices with window neighbours (reference
         ``ebsd.py:1221``)."""

@@ -83,6 +83,78 @@ class KikuchiMasterPattern:
             sel = np.concatenate([sel, sel], axis=0)
         return sel
 
+    def as_lambert(self) -> "KikuchiMasterPattern":
+        """Re-project a stereographic master pattern onto the square
+        Lambert grid (reference ``KikuchiMasterPattern.as_lambert``,
+        ``signals/_kikuchi_master_pattern.py:135``): each Lambert grid
+        point maps to the sphere and is bilinearly sampled from the
+        stereographic image."""
+        import dataclasses
+
+        from kikuchipy_tpu.geometry.lambert import lambert_to_vector
+
+        if self.projection == "lambert":
+            return self
+        data = np.asarray(self.data, dtype=np.float64)
+        npy, npx = data.shape[-2:]
+        lead = data.shape[:-2]
+        flat = data.reshape((-1, npy, npx))
+
+        # Lambert grid in [-1, 1]
+        yy, xx = np.meshgrid(
+            np.linspace(-1, 1, npy), np.linspace(-1, 1, npx), indexing="ij"
+        )
+        v = np.asarray(
+            lambert_to_vector(jnp.asarray(np.stack([xx, yy], axis=-1)))
+        )
+        v = v / np.linalg.norm(v, axis=-1, keepdims=True)
+        out = np.empty_like(flat)
+        for idx in range(flat.shape[0]):
+            # Upper-hemisphere images use +z; when this signal holds
+            # both hemispheres the second image is the lower one.
+            lower = self.hemisphere == "lower" or (
+                self.hemisphere == "both" and flat.shape[0] == 2 and idx == 1
+            )
+            vz = -v[..., 2] if lower else v[..., 2]
+            # Stereographic projection from the opposite pole:
+            # (X, Y) = (x, y) / (1 + |z|), grid spans [-1, 1].
+            denom = 1.0 + np.abs(vz)
+            sx_ = v[..., 0] / denom
+            sy_ = v[..., 1] / denom
+            px = (sx_ + 1) / 2 * (npx - 1)
+            py = (sy_ + 1) / 2 * (npy - 1)
+            x0 = np.clip(np.floor(px).astype(int), 0, npx - 2)
+            y0 = np.clip(np.floor(py).astype(int), 0, npy - 2)
+            fx = px - x0
+            fy = py - y0
+            img = flat[idx]
+            out[idx] = (
+                img[y0, x0] * (1 - fy) * (1 - fx)
+                + img[y0, x0 + 1] * (1 - fy) * fx
+                + img[y0 + 1, x0] * fy * (1 - fx)
+                + img[y0 + 1, x0 + 1] * fy * fx
+            )
+        return dataclasses.replace(
+            self,
+            data=out.reshape(lead + (npy, npx)).astype(
+                np.asarray(self.data).dtype
+                if np.issubdtype(np.asarray(self.data).dtype, np.floating)
+                else np.float32
+            ),
+            projection="lambert",
+        )
+
+    def plot(self, energy: float | None = None, ax=None):
+        """Show the (upper-hemisphere) master pattern."""
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            _, ax = plt.subplots()
+        img = self._hemispheres_at_energy(energy)[0]
+        ax.imshow(np.asarray(img), cmap="gray")
+        ax.set_title(f"{self.phase.name} ({self.projection})")
+        return ax
+
     def __repr__(self) -> str:
         return (
             f"{type(self).__name__}(shape={self.data.shape}, "

@@ -1,0 +1,115 @@
+"""Tests for as_lambert re-projection, Window.plot, set_log_level,
+.ang export, and PCA decomposition."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+import kikuchipy_tpu as kp
+from kikuchipy_tpu.crystallography.crystal_map import CrystalMap, Phase, PhaseList
+from kikuchipy_tpu.crystallography.sampling import super_fibonacci
+from kikuchipy_tpu.filters.window import Window
+from kikuchipy_tpu.io.plugins.ang import file_writer as write_ang
+
+
+class TestAsLambert:
+    def test_reprojection_consistency(self):
+        """Re-projecting the real stereographic master to Lambert must
+        closely match the shipped Lambert master (away from the grid
+        edge, where the stereographic rim is sparsely sampled)."""
+        sp = kp.data.nickel_ebsd_master_pattern_small(
+            projection="stereographic", hemisphere="both"
+        )
+        lam_true = kp.data.nickel_ebsd_master_pattern_small(
+            projection="lambert", hemisphere="both"
+        )
+        lam = sp.as_lambert()
+        assert lam.projection == "lambert"
+        a = np.asarray(lam.data[0], dtype=float)
+        b = np.asarray(lam_true.data[0], dtype=float)
+        # Compare the central region; normalize both.
+        sl = slice(80, 321)
+        a_c, b_c = a[sl, sl], b[sl, sl]
+        a_c = (a_c - a_c.mean()) / a_c.std()
+        b_c = (b_c - b_c.mean()) / b_c.std()
+        ncc = (a_c * b_c).mean()
+        assert ncc > 0.95, ncc
+
+    def test_lambert_identity(self):
+        mp = kp.data.nickel_ebsd_master_pattern_small(
+            projection="lambert", hemisphere="both"
+        )
+        assert mp.as_lambert() is mp
+
+    def test_plot(self):
+        mp = kp.data.nickel_ebsd_master_pattern_small()
+        ax = mp.plot()
+        assert ax is not None
+
+
+class TestWindowPlot:
+    def test_plot(self):
+        w = Window("gaussian", std=1, shape=(5, 5))
+        fig = w.plot(return_figure=True)
+        assert fig is not None
+
+
+class TestLogging:
+    def test_set_log_level(self):
+        import logging
+
+        kp.set_log_level("DEBUG")
+        assert logging.getLogger("kikuchipy_tpu").level == logging.DEBUG
+        kp.set_log_level("WARNING")
+
+
+class TestAngWriter:
+    def test_write(self, tmp_path):
+        xmap = CrystalMap(
+            rotations=super_fibonacci(9),
+            shape=(3, 3),
+            prop={"scores": np.linspace(0.2, 0.9, 9)},
+            phases=PhaseList(
+                Phase("ni", space_group=225, lattice=(3.52,) * 3 + (90.0,) * 3)
+            ),
+        )
+        f = tmp_path / "map.ang"
+        write_ang(f, xmap, step_sizes=(1.5, 1.5))
+        text = f.read_text()
+        assert "# GRID: SqrGrid" in text
+        assert "MaterialName" in text
+        data_lines = [l for l in text.splitlines() if not l.startswith("#")]
+        assert len(data_lines) == 9
+        row = data_lines[0].split()
+        assert len(row) == 10
+
+
+class TestDecomposition:
+    def test_pca_reconstruct_denoises(self):
+        from kikuchipy_tpu.ops.decomposition import pca, pca_reconstruct
+
+        rng = np.random.default_rng(0)
+        # Rank-2 signal + noise
+        basis = rng.normal(size=(2, 64))
+        weights = rng.normal(size=(50, 2))
+        clean = weights @ basis
+        noisy = clean + rng.normal(scale=0.05, size=clean.shape)
+        recon = pca_reconstruct(noisy.reshape(50, 8, 8), 2)
+        err_recon = np.abs(recon.reshape(50, 64) - clean).mean()
+        err_noisy = np.abs(noisy - clean).mean()
+        assert err_recon < err_noisy
+
+        factors, loadings, mean = pca(noisy.reshape(50, 8, 8), 2)
+        assert factors.shape == (2, 64)
+        assert loadings.shape == (50, 2)
+
+    def test_signal_method(self, dummy_patterns):
+        from kikuchipy_tpu.signals.ebsd import EBSD
+
+        s = EBSD(data=dummy_patterns)
+        model = s.get_decomposition_model(components=3)
+        assert np.asarray(model.data).shape == dummy_patterns.shape
+        assert np.asarray(model.data).dtype == np.uint8

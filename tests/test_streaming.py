@@ -77,3 +77,52 @@ class TestStreamedDI:
         np.testing.assert_allclose(
             streamed.scores, in_memory.scores, atol=1e-5
         )
+
+
+class TestCheckpointing:
+    def test_resume_from_checkpoint(self, big_scan, tmp_path):
+        from kikuchipy_tpu.indexing.di import dictionary_index
+
+        f, data = big_scan
+        rng = np.random.default_rng(2)
+        dictionary = rng.normal(size=(32, 16, 16)).astype(np.float32)
+        ckpt = tmp_path / "di.npz"
+
+        # Simulate a partial run: index only the first two chunks and
+        # write the checkpoint by hand through the API (run with a
+        # wrapper that raises after 2 chunks).
+        calls = {"n": 0}
+
+        def failing_preprocess(c):
+            calls["n"] += 1
+            if calls["n"] > 2:
+                raise RuntimeError("simulated crash")
+            return c
+
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            dictionary_index_streamed(
+                f, dictionary, preprocess_fn=failing_preprocess,
+                chunk_size=30, keep_n=3, checkpoint_path=ckpt,
+            )
+        assert ckpt.exists()
+
+        # Resume: completed chunks must not be re-processed.
+        seen = []
+
+        def counting_preprocess(c):
+            seen.append(c.shape[0])
+            return c
+
+        res = dictionary_index_streamed(
+            f, dictionary, preprocess_fn=counting_preprocess,
+            chunk_size=30, keep_n=3, checkpoint_path=ckpt,
+        )
+        assert len(seen) == 2  # only the remaining 2 of 4 chunks
+
+        ref = dictionary_index(
+            data.astype(np.float32), dictionary=dictionary, keep_n=3
+        )
+        np.testing.assert_array_equal(
+            res.simulation_indices, ref.simulation_indices
+        )
+        np.testing.assert_allclose(res.scores, ref.scores, atol=1e-5)
