@@ -21,16 +21,26 @@ import numpy as np
 
 
 def _baseline_cpu_pps(d: int, keep_n: int) -> float:
-    """Reference-style CPU DI throughput (patterns/s) via NumPy."""
+    """Reference-style CPU DI throughput (patterns/s) via NumPy.
+
+    Median of three timed passes after a warmup, to damp noise from the
+    shared host CPU.
+    """
     rng = np.random.default_rng(0)
     n, m_sub = 256, 8192
     exp = rng.normal(size=(n, d)).astype(np.float32)
     dic = rng.normal(size=(m_sub, d)).astype(np.float32)
-    t0 = time.perf_counter()
-    scores = exp @ dic.T
-    part = np.argpartition(-scores, keep_n, axis=1)[:, :keep_n]
-    np.take_along_axis(scores, part, axis=1)
-    dt = time.perf_counter() - t0
+
+    def one_pass():
+        t0 = time.perf_counter()
+        scores = exp @ dic.T
+        part = np.argpartition(-scores, keep_n, axis=1)[:, :keep_n]
+        np.take_along_axis(scores, part, axis=1)
+        return time.perf_counter() - t0
+
+    one_pass()  # warmup
+    dts = sorted(one_pass() for _ in range(3))
+    dt = dts[1]
     comparisons_per_s = n * m_sub / dt
     return comparisons_per_s  # per-dictionary-entry rate; scaled by M below
 
