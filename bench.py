@@ -59,7 +59,7 @@ def main() -> None:
     SY = SX = 60
     D = SY * SX
     KEEP_N = 20
-    TILE = 12_500
+    TILE = 50_000
 
     rng = np.random.default_rng(0)
     exp = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))

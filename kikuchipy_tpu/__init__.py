@@ -19,8 +19,10 @@ from kikuchipy_tpu import (
     indexing,
     io,
     ops,
+    pattern,
     signals,
     simulation,
+    simulations,
 )
 
 __version__ = "0.1.0"
@@ -35,9 +37,11 @@ __all__ = [
     "io",
     "load",
     "ops",
+    "pattern",
     "save",
     "set_log_level",
     "signals",
     "simulation",
+    "simulations",
     "__version__",
 ]

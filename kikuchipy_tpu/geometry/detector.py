@@ -431,6 +431,46 @@ class EBSDDetector:
             convention=header.get("convention", "bruker"),
         )
 
+    def plot(self, pattern: np.ndarray | None = None, **kwargs):
+        """Plot the detector screen with the PC marker (see
+        :func:`kikuchipy_tpu.draw.plot_detector`)."""
+        from kikuchipy_tpu.draw.detector_plot import plot_detector
+
+        return plot_detector(self, pattern=pattern, **kwargs)
+
+    def estimate_xtilt(self, degrees: bool = True) -> float:
+        """Estimate the detector x-tilt from the map's PC plane (see
+        :func:`kikuchipy_tpu.detectors.calibration.estimate_xtilt`)."""
+        from kikuchipy_tpu.detectors.calibration import estimate_xtilt
+
+        return estimate_xtilt(self, degrees=degrees)
+
+    def fit_pc(self, method: str = "plane"):
+        """Fit the PC grid with a plane/affine/projective model and
+        return a detector with the fitted (denoised) PCs."""
+        from kikuchipy_tpu.detectors import calibration as _cal
+
+        nav_shape = self.navigation_shape
+        if len(nav_shape) != 2:
+            raise ValueError("fit_pc requires a 2D navigation grid of PCs")
+        if method == "plane":
+            fitted, _ = _cal.fit_pc_plane(self.pc, nav_shape)
+        else:
+            yy, xx = np.indices(nav_shape)
+            xy = np.column_stack([xx.ravel(), yy.ravel()]).astype(float)
+            fit_fn = {
+                "affine": _cal.fit_pc_affine,
+                "projective": _cal.fit_pc_projective,
+            }.get(method)
+            if fit_fn is None:
+                raise ValueError(
+                    f"method must be 'plane', 'affine' or 'projective', got "
+                    f"{method!r}"
+                )
+            fitted, _ = fit_fn(xy, self.pc.reshape(-1, 3))
+            fitted = fitted.reshape(nav_shape + (3,))
+        return dataclasses.replace(self, pc=fitted)
+
     def __repr__(self) -> str:
         pc = tuple(np.round(self.pc_average, 3))
         return (

@@ -165,6 +165,14 @@ def _index_resident(
     return scores, idx
 
 
+def _default_tile(n_exp: int, budget_bytes: int = 2 << 30) -> int:
+    """Dictionary tile size bounding the similarity block
+    (n_exp x tile x 4 bytes) to ~2 GiB; larger tiles measured faster on
+    v5e up to this budget (see PROGRESS: 45.7k pps at tile 6250 vs
+    54.4k at 50000 for n_exp=8192)."""
+    return max(4096, budget_bytes // (4 * max(n_exp, 1)))
+
+
 def dictionary_index(
     experimental: jnp.ndarray | np.ndarray,
     dictionary: jnp.ndarray | np.ndarray | None = None,
@@ -244,7 +252,7 @@ def dictionary_index(
         dictionary = jnp.asarray(dictionary)
         m = dictionary.shape[0]
         keep_n_eff = min(keep_n, m)
-        tile = min(n_per_iteration or 4096, m)
+        tile = min(n_per_iteration or _default_tile(n_exp), m)
         dict_prepared = metric.prepare(dictionary, keep_idx)
         scores, idx = _index_resident(
             exp_prepared, dict_prepared, keep_n_eff, tile, precision

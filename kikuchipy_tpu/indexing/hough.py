@@ -291,7 +291,13 @@ def hough_indexing(
         )
 
     if reflectors is None:
-        lat = Lattice(*(float(v) for v in phase.lattice[:6]))
+        abc = [float(v) for v in phase.lattice[:3]]
+        angles = [float(v) for v in phase.lattice[3:6]]
+        # EMsoft stores lattice parameters in nm; detect and convert to
+        # angstrom (no real crystal has a < 2 A).
+        if max(abc) < 2.0:
+            abc = [v * 10 for v in abc]
+        lat = Lattice(*abc, *angles)
         rlv = ReciprocalLatticeVectors.from_min_dspacing(lat, min_dspacing)
         if phase.atoms:
             rlv.calculate_structure_factor(phase.atoms)

@@ -236,7 +236,8 @@ def refine_orientation(
         lower_bounds=lb,
         upper_bounds=ub,
     )
-    refined_rot = np.asarray(quat.from_euler(res.x.astype(jnp.float64)))
+    f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    refined_rot = np.asarray(quat.from_euler(res.x.astype(f64)))
     scores = 1.0 - np.asarray(res.fun)
     new_xmap = _finalize_xmap(
         xmap, refined_rot, scores, np.asarray(res.n_iter), nav_shape

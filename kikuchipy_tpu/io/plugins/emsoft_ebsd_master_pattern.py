@@ -30,6 +30,20 @@ def _read_phase(f: h5py.File, data_group: str) -> Phase:
             phase.space_group = int(np.asarray(cd["SpaceGroupNumber"]).ravel()[0])
         if "LatticeParameters" in cd:
             phase.lattice = tuple(np.asarray(cd["LatticeParameters"]).ravel())
+        # EMsoft AtomData rows: (x, y, z, occupancy, Debye-Waller), one
+        # column per atom; Atomtypes holds the atomic numbers.
+        if "AtomData" in cd and "Atomtypes" in cd:
+            atom_data = np.atleast_2d(np.asarray(cd["AtomData"]))
+            types = np.atleast_1d(np.asarray(cd["Atomtypes"])).ravel()
+            # EMsoft stores (5, n_atoms): rows x, y, z, occupancy, DW.
+            if atom_data.shape[0] == 5 and atom_data.shape[1] == types.size:
+                atom_data = atom_data.T  # -> (n_atoms, 5)
+            atoms = []
+            for i, z in enumerate(types[: atom_data.shape[0]]):
+                x, y, zc = atom_data[i, :3]
+                occ = atom_data[i, 3] if atom_data.shape[1] > 3 else 1.0
+                atoms.append((int(z), float(x), float(y), float(zc), float(occ)))
+            phase.atoms = atoms
     name_ds = f.get(f"{data_group}/xtalname")
     if name_ds is not None:
         raw = np.asarray(name_ds).ravel()[0]
