@@ -108,6 +108,34 @@ def _merge_sorted(s_a, i_a, s_b, i_b):
     return s[:, :k], i[:, :k]
 
 
+def _extract_concat_topk(run_s, run_i, sim, base_col, k):
+    """Top-k over the concatenation of the running top-k (with stored
+    indices) and a new score block, via k rounds of (max, first-argmax,
+    masked-index select, mask-out). Uses only max/min reductions and
+    selects — no lane rolls — for robust Mosaic lowering."""
+    r_dim = sim.shape[0]
+    c_dim = sim.shape[1]
+    n = k + c_dim
+    vals = jnp.concatenate([run_s, sim], axis=1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (r_dim, n), 1)
+    sim_ids = jax.lax.broadcasted_iota(jnp.int32, (r_dim, c_dim), 1) + base_col
+    payload = jnp.concatenate([run_i, sim_ids], axis=1)
+
+    big = jnp.int32(2**30)
+    out_s = []
+    out_i = []
+    for _ in range(k):
+        m = jnp.max(vals, axis=1, keepdims=True)
+        is_max = vals >= m
+        am = jnp.min(jnp.where(is_max, pos, big), axis=1, keepdims=True)
+        at_am = pos == am
+        sel = jnp.min(jnp.where(at_am, payload, big), axis=1, keepdims=True)
+        out_s.append(m)
+        out_i.append(sel)
+        vals = jnp.where(at_am, _NEG_INF, vals)
+    return jnp.concatenate(out_s, axis=1), jnp.concatenate(out_i, axis=1)
+
+
 def _kernel(exp_ref, dict_ref, out_s_ref, out_i_ref, run_s, run_i, *, k, tile_m):
     j = pl.program_id(1)
 
@@ -133,9 +161,7 @@ def _kernel(exp_ref, dict_ref, out_s_ref, out_i_ref, run_s, run_i, *, k, tile_m)
 
     @pl.when(needs_work)
     def _():
-        base_col = j * tile_m
-        blk_s, blk_i = _extract_block_topk(sim, base_col, k)
-        s, i = _merge_sorted(run_s[:], run_i[:], blk_s, blk_i)
+        s, i = _extract_concat_topk(run_s[:], run_i[:], sim, j * tile_m, k)
         run_s[:] = s
         run_i[:] = i
 

@@ -232,7 +232,9 @@ class EBSDMasterPattern(KikuchiMasterPattern):
 
         sig_shape = detector.shape
         out = np.empty((n,) + sig_shape, dtype=dtype_out)
-        per_pc = detector.navigation_size == n
+        # Multi-PC direction cosines are (n, n_pixels, 3); a single-PC
+        # set is (n_pixels, 3) and shared by all rotations.
+        per_pc = dc.ndim == 3
         for start in range(0, n, chunk_size):
             end = min(start + chunk_size, n)
             dc_block = dc[start:end] if per_pc else dc
