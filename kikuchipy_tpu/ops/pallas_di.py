@@ -18,12 +18,16 @@ overhead next to the MXU matmul, and a threshold test skips them for
 blocks that cannot beat the current per-row k-th score.
 
 STATUS: exact against ``lax.top_k`` in interpreter mode (covered by
-tests/test_pallas_di.py); on the v5e hardware in this environment the
-Mosaic-compiled kernel currently returns ~9% wrong indices and runs
-slower than the XLA ``matmul`` + ``top_k`` scan in
-:mod:`kikuchipy_tpu.indexing.di` (which is therefore the production
-path). Hardware debugging of the merge network is tracked for the next
-round.
+tests/test_pallas_di.py). On v5e hardware the in-kernel ``dot_general``
+runs as a single bf16 MXU pass, so scores carry ~1e-4 absolute error on
+normalized NCC inputs (top-1 agreement 98.6% on adversarial random
+data, higher on real data) — acceptable for a fast mode. However the
+kernel is currently ~8x slower than the XLA ``matmul`` + ``top_k`` scan
+in :mod:`kikuchipy_tpu.indexing.di` (small 256x256 tiles without D-loop
+accumulation under-utilize the MXU pipeline, and the per-block top-k
+extraction is 20 serial VPU passes), so the XLA path remains the
+production default. Round-2 work: wider tiles with K-dim accumulation
+loops, vectorized bitonic extraction, finer-grained threshold skip.
 """
 
 from __future__ import annotations

@@ -140,3 +140,64 @@ class TestEndToEndDI:
         np.testing.assert_allclose(
             fused.scores, materialized.scores, atol=1e-5
         )
+
+
+class TestMultiPhaseWorkflow:
+    def test_merge_prefers_correct_phase(self, nickel, master):
+        """Two-phase indexing: the real (fcc Ni, dynamical) dictionary
+        versus a kinematically simulated hexagonal alpha-Ti dictionary.
+        The merged map must pick the Ni phase at every point. Exercises
+        simulator -> as_lambert -> projector -> DI -> merge across
+        modules."""
+        from kikuchipy_tpu.crystallography.crystal_map import Phase, PhaseList
+        from kikuchipy_tpu.crystallography.reciprocal import (
+            Lattice,
+            ReciprocalLatticeVectors,
+        )
+        from kikuchipy_tpu.indexing.merge import merge_crystal_maps
+        from kikuchipy_tpu.indexing.osm import orientation_similarity_map
+        from kikuchipy_tpu.simulation import KikuchiPatternSimulator
+
+        s = nickel.remove_static_background().remove_dynamic_background()
+        det = kp.detectors.EBSDDetector(
+            shape=(60, 60), pc=nickel.detector.pc_average,
+            sample_tilt=nickel.detector.sample_tilt,
+        )
+        mask = ~np.asarray(Window("circular", shape=(60, 60)), dtype=bool)
+
+        rot_fcc = sample_fundamental_zone(4.0, "m-3m")
+        d_ni = master.get_patterns(rot_fcc, det, dtype_out=np.float32)
+        d_ni.xmap.phases = PhaseList(Phase("ni", space_group=225))
+
+        # Kinematical alpha-Ti master pattern -> Lambert -> dictionary.
+        lat = Lattice(2.95, 2.95, 4.68, 90, 90, 120)
+        rlv = ReciprocalLatticeVectors.from_min_dspacing(lat, 1.2)
+        rlv.calculate_structure_factor(
+            [("ti", 1 / 3, 2 / 3, 0.25), ("ti", 2 / 3, 1 / 3, 0.75)]
+        )
+        rlv.calculate_theta(20.0)
+        sim = KikuchiPatternSimulator(
+            rlv.allowed(), phase=Phase("ti", space_group=194)
+        )
+        mp_ti = sim.calculate_master_pattern(
+            half_size=200, hemisphere="both"
+        ).as_lambert()
+        rot_hex = sample_fundamental_zone(4.0, "6/mmm")
+        d_ti = mp_ti.get_patterns(rot_hex, det, dtype_out=np.float32)
+        d_ti.xmap.phases = PhaseList(Phase("ti", space_group=194))
+
+        xmap_ni = s.dictionary_indexing(d_ni, keep_n=5, signal_mask=mask)
+        xmap_ti = s.dictionary_indexing(d_ti, keep_n=5, signal_mask=mask)
+        merged = merge_crystal_maps([xmap_ni, xmap_ti], mean_n_best=5)
+
+        np.testing.assert_array_equal(merged.phase_id, np.zeros(9))
+        assert merged.phases.names[0] == "ni"
+        np.testing.assert_allclose(
+            merged.prop["scores"], xmap_ni.prop["scores"]
+        )
+        # Merged OSM works on the merged (offset-unique) indices.
+        osm = orientation_similarity_map(
+            merged, simulation_indices_prop="merged_simulation_indices",
+            n_best=5,
+        )
+        assert osm.shape == (3, 3)
