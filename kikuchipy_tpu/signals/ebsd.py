@@ -401,6 +401,45 @@ class EBSD:
 
         save(filename, self, **kwargs)
 
+    def plot(
+        self,
+        navigator: str | np.ndarray = "iq",
+        pattern_idx: tuple[int, ...] | None = None,
+        return_figure: bool = False,
+    ):
+        """Plot a navigator map (image quality / mean intensity / custom
+        array) alongside one pattern (minimal replacement for HyperSpy's
+        interactive signal plot)."""
+        import matplotlib.pyplot as plt
+
+        data = np.asarray(self.data)
+        if pattern_idx is None:
+            pattern_idx = tuple(v // 2 for v in self.navigation_shape)
+        if isinstance(navigator, str):
+            if navigator == "iq":
+                nav = self.get_image_quality()
+            elif navigator == "mean":
+                nav = data.mean(axis=(-2, -1))
+            else:
+                raise ValueError(
+                    f"navigator must be 'iq', 'mean' or an array, got "
+                    f"{navigator!r}"
+                )
+        else:
+            nav = np.asarray(navigator)
+        fig, (ax0, ax1) = plt.subplots(ncols=2, figsize=(9, 4))
+        im = ax0.imshow(np.atleast_2d(nav), cmap="gray")
+        fig.colorbar(im, ax=ax0)
+        yx = pattern_idx if len(pattern_idx) == 2 else (0, pattern_idx[0])
+        ax0.scatter([yx[1]], [yx[0]], marker="s", s=80, facecolor="none",
+                    edgecolor="r")
+        ax0.set_title("navigator")
+        ax1.imshow(data[pattern_idx], cmap="gray")
+        ax1.set_title(f"pattern {pattern_idx}")
+        if return_figure:
+            return fig
+        return ax0, ax1
+
     def __repr__(self) -> str:
         return (
             f"EBSD(nav={self.navigation_shape}, sig={self.signal_shape}, "

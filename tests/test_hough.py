@@ -85,3 +85,27 @@ class TestHoughIndexing:
         s = EBSD(data=dummy_patterns)
         with pytest.raises(ValueError, match="lattice"):
             s.hough_indexing(phase_list=Phase("x"))
+
+
+@pytest.mark.slow
+class TestHoughRealData:
+    def test_indexes_real_experimental_patterns(self):
+        from pathlib import Path
+
+        p = Path(
+            "/root/reference/src/kikuchipy/data/kikuchipy_h5ebsd/patterns.h5"
+        )
+        if not p.exists():
+            pytest.skip("reference data not available")
+        nickel = kp.load(p)
+        s = nickel.remove_static_background().remove_dynamic_background()
+        xmap = s.hough_indexing(phase_list=NI_PHASE, n_bands=9)
+        ang = np.degrees(
+            disorientation_angle(
+                nickel.xmap.best_rotations, xmap.best_rotations, "m-3m"
+            )
+        )
+        # All orientations within ~4 deg of the reference's stored
+        # (DI + refined) solutions, from band geometry alone.
+        assert ang.max() < 4.0, ang
+        assert (xmap.prop["nbands"] >= 3).all()

@@ -282,3 +282,58 @@ class TestEBSDDirectory:
         with pytest.warns(UserWarning, match="one navigation dimension"):
             s = kp.load(tmp_path)
         assert s.data.shape[0] == 5
+
+
+class TestEmsoftECPTKDMasterPatterns:
+    @pytest.fixture
+    def ecp_file(self, tmp_path):
+        """Synthetic EMsoft ECP master pattern file."""
+        rng = np.random.default_rng(0)
+        f = tmp_path / "ecp_master.h5"
+        with h5py.File(f, "w") as h:
+            g = h.create_group("EMData/ECPmaster")
+            g["EkeV"] = np.array([20.0])
+            g["mLPNH"] = rng.integers(0, 255, (1, 1, 101, 101)).astype(
+                np.float32
+            )
+            g["mLPSH"] = g["mLPNH"][()]
+            g["masterSPNH"] = rng.integers(0, 255, (1, 101, 101)).astype(
+                np.float32
+            )
+            g["masterSPSH"] = g["masterSPNH"][()]
+            g["xtalname"] = np.array([b"sic.xtal"])
+            cd = h.create_group("CrystalData")
+            cd["SpaceGroupNumber"] = np.array([186])
+            cd["LatticeParameters"] = np.array(
+                [0.307, 0.307, 1.008, 90, 90, 120]
+            )
+        return f
+
+    def test_ecp_reader(self, ecp_file):
+        s = kp.load(ecp_file, projection="lambert", hemisphere="both")
+        from kikuchipy_tpu.signals.master_pattern import ECPMasterPattern
+
+        assert isinstance(s, ECPMasterPattern)
+        assert s.signal_shape == (101, 101)
+        assert s.phase.name == "sic"
+        assert s.phase.space_group == 186
+
+    @pytest.fixture
+    def tkd_file(self, tmp_path):
+        rng = np.random.default_rng(1)
+        f = tmp_path / "tkd_master.h5"
+        with h5py.File(f, "w") as h:
+            g = h.create_group("EMData/TKDmaster")
+            g["EkeVs"] = np.array([10.0, 20.0])
+            g["mLPNH"] = rng.integers(0, 255, (1, 2, 51, 51)).astype(np.float32)
+            g["mLPSH"] = g["mLPNH"][()]
+            g["masterSPNH"] = rng.integers(0, 255, (2, 51, 51)).astype(np.float32)
+            g["masterSPSH"] = g["masterSPNH"][()]
+            cd = h.create_group("CrystalData")
+            cd["SpaceGroupNumber"] = np.array([225])
+        return f
+
+    def test_tkd_reader(self, tkd_file):
+        s = kp.load(tkd_file, projection="lambert", hemisphere="both", energy=20)
+        assert s.energies.shape == (1,)
+        assert s.signal_shape == (51, 51)

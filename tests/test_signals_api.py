@@ -135,3 +135,17 @@ class TestVBSEPlotGrid:
         fig = imager.plot_grid(rgb_channels={"r": (0, 0), "g": (1, 1)},
                                return_figure=True)
         assert fig is not None
+
+
+class TestEBSDPlot:
+    def test_plot_iq(self, dummy_patterns):
+        s = EBSD(data=dummy_patterns)
+        fig = s.plot(return_figure=True)
+        assert fig is not None
+
+    def test_plot_mean_and_custom(self, dummy_patterns):
+        s = EBSD(data=dummy_patterns)
+        s.plot(navigator="mean")
+        s.plot(navigator=np.random.default_rng(0).uniform(size=(3, 3)))
+        with pytest.raises(ValueError, match="navigator"):
+            s.plot(navigator="bananas")
