@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["ncc_match_topk_pallas"]
+__all__ = ["ncc_match_topk_pallas", "ncc_match_topk_pallas_v3"]
 
 _NEG_INF = float(np.finfo(np.float32).min)
 
@@ -173,6 +173,112 @@ def _kernel(exp_ref, dict_ref, out_s_ref, out_i_ref, run_s, run_i, *, k, tile_m)
     def _():
         out_s_ref[:] = run_s[:]
         out_i_ref[:] = run_i[:]
+
+
+def _kernel_v3(
+    exp_ref, dict_ref, out_s_ref, out_i_ref, sim_acc, run_s, run_i,
+    *, k, tile_m,
+):
+    """D-accumulating variant: grid (i, j, kd); the contraction
+    dimension is blocked so exp/dict tiles stay small enough for
+    double-buffered VMEM pipelining, accumulating the score block in
+    scratch and folding it into the running top-k on the last kd step."""
+    j = pl.program_id(1)
+    kd = pl.program_id(2)
+    n_kd = pl.num_programs(2)
+
+    @pl.when((j == 0) & (kd == 0))
+    def _():
+        run_s[:] = jnp.full(run_s.shape, _NEG_INF, dtype=jnp.float32)
+        run_i[:] = jnp.zeros(run_i.shape, dtype=jnp.int32)
+
+    @pl.when(kd == 0)
+    def _():
+        sim_acc[:] = jnp.zeros(sim_acc.shape, dtype=jnp.float32)
+
+    sim_acc[:] += jax.lax.dot_general(
+        exp_ref[:],
+        dict_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kd == n_kd - 1)
+    def _():
+        sim = sim_acc[:]
+        row_max = jnp.max(sim, axis=1)
+        kth = run_s[:, k - 1]
+
+        @pl.when(jnp.any(row_max > kth))
+        def _():
+            s, i = _extract_concat_topk(run_s[:], run_i[:], sim, j * tile_m, k)
+            run_s[:] = s
+            run_i[:] = i
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _():
+            out_s_ref[:] = run_s[:]
+            out_i_ref[:] = run_i[:]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "tile_n", "tile_m", "tile_d", "interpret"),
+)
+def ncc_match_topk_pallas_v3(
+    exp_prepared: jnp.ndarray,
+    dict_prepared: jnp.ndarray,
+    k: int = 20,
+    tile_n: int = 512,
+    tile_m: int = 512,
+    tile_d: int = 1200,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused matmul+top-k with contraction blocking (see
+    :func:`_kernel_v3`). ``tile_d`` must be a multiple of 128 (Mosaic
+    lane constraint); the contraction dimension is zero-padded to a
+    multiple of ``tile_d`` automatically (harmless for dot products)."""
+    n, d = exp_prepared.shape
+    m = dict_prepared.shape[0]
+    if tile_d % 128:
+        raise ValueError(f"tile_d={tile_d} must be a multiple of 128")
+    if n % tile_n or m % tile_m:
+        raise ValueError(
+            f"n={n} and m={m} must be multiples of tile_n={tile_n} / "
+            f"tile_m={tile_m}; pad the inputs"
+        )
+    d_pad = (-d) % tile_d
+    if d_pad:
+        exp_prepared = jnp.pad(exp_prepared, ((0, 0), (0, d_pad)))
+        dict_prepared = jnp.pad(dict_prepared, ((0, 0), (0, d_pad)))
+        d = d + d_pad
+    grid = (n // tile_n, m // tile_m, d // tile_d)
+    kernel = partial(_kernel_v3, k=k, tile_m=tile_m)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, tile_d), lambda i, j, kd: (i, kd)),
+            pl.BlockSpec((tile_m, tile_d), lambda i, j, kd: (j, kd)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_n, k), lambda i, j, kd: (i, 0)),
+            pl.BlockSpec((tile_n, k), lambda i, j, kd: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, k), jnp.float32),
+            jax.ShapeDtypeStruct((n, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_n, tile_m), jnp.float32),
+            pltpu.VMEM((tile_n, k), jnp.float32),
+            pltpu.VMEM((tile_n, k), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(exp_prepared, dict_prepared)
 
 
 @partial(

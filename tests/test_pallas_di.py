@@ -41,3 +41,23 @@ class TestPallasKernel:
         e, d = problem
         with pytest.raises(ValueError, match="multiples"):
             ncc_match_topk_pallas(e[:100], d, k=5, interpret=True)
+
+
+class TestPallasKernelV3:
+    def test_v3_matches_lax_topk(self, problem):
+        from kikuchipy_tpu.ops.pallas_di import ncc_match_topk_pallas_v3
+
+        e, d = problem
+        s, i = ncc_match_topk_pallas_v3(
+            e, d, k=7, tile_n=128, tile_m=256, tile_d=128, interpret=True
+        )
+        ref_s, ref_i = jax.lax.top_k(e @ d.T, 7)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+    def test_v3_bad_tiling(self, problem):
+        from kikuchipy_tpu.ops.pallas_di import ncc_match_topk_pallas_v3
+
+        e, d = problem
+        with pytest.raises(ValueError, match="multiple of 128"):
+            ncc_match_topk_pallas_v3(e, d, k=5, tile_d=100, interpret=True)
