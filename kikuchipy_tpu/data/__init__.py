@@ -15,8 +15,6 @@ from __future__ import annotations
 import os
 from pathlib import Path
 
-import numpy as np
-
 __all__ = [
     "nickel_ebsd_small",
     "nickel_ebsd_master_pattern_small",

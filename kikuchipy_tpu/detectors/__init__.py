@@ -4,6 +4,7 @@ reference's ``kikuchipy.detectors``)."""
 from kikuchipy_tpu.detectors.calibration import (
     PCCalibrationMovingScreen,
     estimate_xtilt,
+    estimate_xtilt_ztilt,
     extrapolate_pc,
     fit_pc_affine,
     fit_pc_plane,
@@ -15,6 +16,7 @@ __all__ = [
     "EBSDDetector",
     "PCCalibrationMovingScreen",
     "estimate_xtilt",
+    "estimate_xtilt_ztilt",
     "extrapolate_pc",
     "fit_pc_affine",
     "fit_pc_plane",

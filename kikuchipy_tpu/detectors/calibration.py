@@ -27,6 +27,7 @@ __all__ = [
     "fit_pc_affine",
     "fit_pc_projective",
     "estimate_xtilt",
+    "estimate_xtilt_ztilt",
     "extrapolate_pc",
 ]
 
@@ -248,6 +249,24 @@ def fit_pc_projective(
     cz, *_ = np.linalg.lstsq(A3, pc[:, 2], rcond=None)
     fitted = np.column_stack([fitted_xy, A3 @ cz])
     return fitted, H
+
+
+def estimate_xtilt_ztilt(
+    detector: EBSDDetector, degrees: bool = True
+) -> tuple[float, float]:
+    """Estimate detector x-tilt and z-tilt from the PC plane over the
+    map (reference ``EBSDDetector.estimate_xtilt_ztilt``,
+    ``_ebsd_detector.py:1242``): fit ``pcz = a*pcx + b*pcy + c``; the
+    x-tilt follows from the PCy slope and the z-tilt from the PCx
+    slope."""
+    pc = detector.pc_flattened
+    A = np.column_stack([pc[:, 0], pc[:, 1], np.ones(len(pc))])
+    (a, b, _), *_ = np.linalg.lstsq(A, pc[:, 2], rcond=None)
+    xtilt = np.arctan(-b)
+    ztilt = np.arctan(-a)
+    if degrees:
+        return float(np.rad2deg(xtilt)), float(np.rad2deg(ztilt))
+    return float(xtilt), float(ztilt)
 
 
 def estimate_xtilt(

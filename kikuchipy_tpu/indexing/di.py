@@ -187,6 +187,7 @@ def dictionary_index(
     dictionary_size: int | None = None,
     precision: str = "highest",
     verbose: bool = False,
+    progress=None,
 ) -> DictionaryIndexingResult:
     """Index experimental patterns against a dictionary.
 
@@ -217,6 +218,10 @@ def dictionary_index(
         Boolean map mask over the flattened navigation grid, True =
         exclude the pattern from indexing. Scores for excluded patterns
         are returned as NaN and indices as -1.
+    progress
+        Optional callback ``progress(done, total)`` invoked per
+        dictionary tile in the streaming paths (the reference shows a
+        tqdm bar here, ``_dictionary_indexing.py:105``).
 
     Returns
     -------
@@ -268,6 +273,8 @@ def dictionary_index(
         idx = jnp.zeros((n_exp, keep_n_eff), dtype=jnp.int32)
         for start in range(0, m, tile):
             end = min(start + tile, m)
+            if progress is not None:
+                progress(start, m)
             block = project_fn(rotations[start:end])
             block_prepared = metric.prepare(block, keep_idx)
             scores, idx = _match_merge_step(
@@ -286,6 +293,8 @@ def dictionary_index(
         scores = jnp.full((n_exp, keep_n_eff), -jnp.inf, dtype=metric.dtype)
         idx = jnp.zeros((n_exp, keep_n_eff), dtype=jnp.int32)
         for start, block in dictionary_tiles:
+            if progress is not None:
+                progress(start, m)
             block_prepared = metric.prepare(jnp.asarray(block), keep_idx)
             scores, idx = _match_merge_step(
                 exp_prepared,

@@ -21,7 +21,6 @@ Supported modes (same as the reference):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import numpy as np
 import jax
@@ -33,7 +32,6 @@ from kikuchipy_tpu.projection.master_pattern import (
     direction_cosines,
     direction_cosines_from_detector,
     lambert_interpolation_weights,
-    project_patterns,
 )
 from kikuchipy_tpu.utils.optimize import nelder_mead_batched
 

@@ -172,3 +172,16 @@ class TestMetricValidation:
         np.testing.assert_allclose(
             res.scores, -np.sort(-expected, axis=1), atol=1e-5
         )
+
+
+class TestProgressCallback:
+    def test_progress_called_per_tile(self, exp):
+        calls = []
+        dictionary_index(
+            exp,
+            dictionary_tiles=[(s, exp[s : s + 3]) for s in range(0, 9, 3)],
+            dictionary_size=9,
+            keep_n=2,
+            progress=lambda done, total: calls.append((done, total)),
+        )
+        assert calls == [(0, 9), (3, 9), (6, 9)]

@@ -144,3 +144,20 @@ class TestPCFitting:
             det_coarse, beam, (8, 10), step_sizes=(2.0, 2.0)
         )
         np.testing.assert_allclose(det_full.pc, pc_full, atol=1e-10)
+
+
+class TestXtiltZtilt:
+    def test_estimate_both_tilts(self):
+        from kikuchipy_tpu.detectors.calibration import estimate_xtilt_ztilt
+
+        xt, zt = np.deg2rad(8.0), np.deg2rad(3.0)
+        rng = np.random.default_rng(0)
+        pcx = rng.uniform(0.4, 0.6, 100)
+        pcy = rng.uniform(0.2, 0.4, 100)
+        pcz = 0.7 - np.tan(zt) * pcx - np.tan(xt) * pcy
+        det = EBSDDetector(
+            shape=(60, 60), pc=np.column_stack([pcx, pcy, pcz])
+        )
+        got_x, got_z = estimate_xtilt_ztilt(det)
+        np.testing.assert_allclose(got_x, 8.0, atol=1e-8)
+        np.testing.assert_allclose(got_z, 3.0, atol=1e-8)
