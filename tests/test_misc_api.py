@@ -113,3 +113,22 @@ class TestDecomposition:
         model = s.get_decomposition_model(components=3)
         assert np.asarray(model.data).shape == dummy_patterns.shape
         assert np.asarray(model.data).dtype == np.uint8
+
+
+class TestProfiling:
+    def test_stage_timer(self):
+        import time as _time
+
+        from kikuchipy_tpu.utils.profiling import StageTimer
+
+        t = StageTimer()
+        with t.stage("a", items=100):
+            _time.sleep(0.01)
+        with t.stage("a", items=100):
+            pass
+        with t.stage("b"):
+            pass
+        rep = t.report()
+        assert rep["a"]["items"] == 200
+        assert rep["a"]["seconds"] >= 0.01
+        assert "a:" in repr(t)
