@@ -158,7 +158,17 @@ class EBSD:
 
     def downsample(self, factor: int, **kwargs) -> "EBSD":
         """Integer-factor binning + rescale (reference ``ebsd.py:1113``);
-        adjusts the detector shape and binning accordingly."""
+        adjusts the detector shape/binning and downsamples the static
+        background accordingly."""
+        factor = int(factor)
+        sy, sx = self.signal_shape
+        if factor <= 1:
+            raise ValueError(f"Binning factor {factor} must be an integer > 1")
+        if sy % factor or sx % factor:
+            raise ValueError(
+                f"Binning factor {factor} must be a divisor of the signal "
+                f"shape {self.signal_shape}"
+            )
         out = _ops.downsample(self.data, factor, **kwargs)
         new = self._replace_data(out)
         if self.detector is not None:
@@ -168,6 +178,12 @@ class EBSD:
                 shape=tuple(out.shape[-2:]),
                 binning=det.binning * factor,
                 pc=det.pc.copy(),
+            )
+        if self.static_background is not None:
+            new.static_background = np.asarray(
+                _ops.downsample(
+                    jnp.asarray(self.static_background), factor, **kwargs
+                )
             )
         return new
 

@@ -149,3 +149,66 @@ class TestEBSDPlot:
         s.plot(navigator=np.random.default_rng(0).uniform(size=(3, 3)))
         with pytest.raises(ValueError, match="navigator"):
             s.plot(navigator="bananas")
+
+
+class TestDownsampleReferenceBehavior:
+    def test_background_downsampled(self):
+        s = EBSD(
+            data=np.ones((3, 3, 60, 50), dtype=np.float32),
+            static_background=np.ones((60, 50), dtype=np.float32),
+        )
+        s2 = s.downsample(2)
+        assert np.asarray(s2.data).shape == (3, 3, 30, 25)
+        assert s2.detector.shape == (30, 25)
+        assert s2.static_background.shape == (30, 25)
+        # Original untouched
+        assert np.asarray(s.data).shape == (3, 3, 60, 50)
+
+    def test_downsample_raises(self):
+        s = EBSD(data=np.ones((2, 2, 60, 50), dtype=np.float32))
+        with pytest.raises(ValueError, match="must be an integer >"):
+            s.downsample(1)
+        with pytest.raises(ValueError, match="divisor"):
+            s.downsample(7)
+
+
+class TestWindowGoldens:
+    """Window goldens from the reference
+    (/root/reference/tests/test_filters/test_window.py:36-55)."""
+
+    def test_circular_33(self):
+        from kikuchipy_tpu.filters.window import Window
+
+        w = Window("circular", shape=(3, 3))
+        np.testing.assert_array_equal(
+            np.asarray(w), np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]])
+        )
+
+    def test_circular_54(self):
+        from kikuchipy_tpu.filters.window import Window
+
+        w = Window("circular", shape=(5, 4))
+        expected = np.array(
+            [0, 0, 1, 0, 0, 1, 1, 1, 1, 1, 1, 1, 0, 1, 1, 1, 0, 0, 1, 0]
+        ).reshape(5, 4)
+        np.testing.assert_array_equal(np.asarray(w), expected)
+
+    def test_gaussian_circular(self):
+        from kikuchipy_tpu.filters.window import Window
+
+        w = Window("gaussian", std=1, shape=(3, 3))
+        w.make_circular()
+        expected = np.array(
+            [0, 0.60653066, 0, 0.60653066, 1, 0.60653066, 0, 0.60653066, 0]
+        ).reshape(3, 3)
+        np.testing.assert_allclose(np.asarray(w), expected, atol=1e-8)
+
+    def test_gaussian_matches_scipy(self):
+        from scipy.signal.windows import gaussian
+
+        from kikuchipy_tpu.filters.window import Window
+
+        w = Window("gaussian", std=2, shape=(5, 5))
+        np.testing.assert_allclose(
+            np.asarray(w), np.outer(gaussian(5, 2), gaussian(5, 2))
+        )
