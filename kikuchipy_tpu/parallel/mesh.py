@@ -24,7 +24,12 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "sharded_match_topk", "sharded_dictionary_index"]
+__all__ = [
+    "make_mesh",
+    "sharded_match_topk",
+    "sharded_dictionary_index",
+    "sharded_fused_dictionary_index",
+]
 
 
 def make_mesh(
@@ -99,6 +104,96 @@ def sharded_match_topk(
         out_specs=(P("scan", None), P("scan", None)),
         check_vma=False,
     )(exp_prepared, dict_prepared)
+
+
+def sharded_fused_dictionary_index(
+    experimental,
+    rotations,
+    master: jnp.ndarray,
+    dc: jnp.ndarray,
+    npx: int,
+    npy: int,
+    scale: float,
+    keep_n: int = 20,
+    mesh: Mesh | None = None,
+):
+    """Fully fused multi-chip DI: each device on the ``dict`` mesh axis
+    *projects* its own shard of dictionary orientations from the
+    (replicated) master pattern and matches it against its ``scan``
+    shard of experimental patterns, merging per-shard top-k with an
+    ``all_gather`` — the dictionary never exists in HBM, on any chip.
+
+    Parameters
+    ----------
+    experimental
+        ``(n, d)`` prepared* or raw flattened patterns — prepared here
+        with the NCC metric, so pass raw flattened float patterns.
+    rotations
+        ``(m, 4)`` quaternions; sharded over the ``dict`` axis.
+    master, dc, npx, npy, scale
+        Projection inputs as for
+        :func:`kikuchipy_tpu.projection.master_pattern.project_patterns`
+        (replicated on every device).
+    """
+    from kikuchipy_tpu.indexing.metrics import ncc
+    from kikuchipy_tpu.projection.master_pattern import project_patterns
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_scan, n_dict = mesh.shape["scan"], mesh.shape["dict"]
+
+    experimental = jnp.asarray(experimental)
+    if experimental.ndim > 2:
+        experimental = experimental.reshape(
+            (-1, experimental.shape[-2] * experimental.shape[-1])
+        )
+    rotations = jnp.asarray(rotations, dtype=jnp.float32)
+    n, d = experimental.shape
+    m = rotations.shape[0]
+    if n % n_scan or m % n_dict:
+        raise ValueError(
+            f"n={n} and m={m} must divide the mesh axes {dict(mesh.shape)}"
+        )
+    m_local = m // n_dict
+    keep_n_eff = min(keep_n, m_local)
+
+    exp_sharding = NamedSharding(mesh, P("scan", None))
+    rot_sharding = NamedSharding(mesh, P("dict", None))
+    experimental = jax.device_put(experimental, exp_sharding)
+    rotations = jax.device_put(rotations, rot_sharding)
+
+    def local_step(exp_local, rot_local, master_r, dc_r):
+        sim_patterns = project_patterns(
+            rot_local, dc_r, master_r, npx, npy, scale
+        )
+        dict_prepared = ncc.prepare(sim_patterns, None)
+        exp_prepared = ncc.prepare(exp_local, None)
+        sim = jnp.matmul(
+            exp_prepared,
+            dict_prepared.T,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        s, i = jax.lax.top_k(sim, keep_n_eff)
+        i = (i + jax.lax.axis_index("dict") * m_local).astype(jnp.int32)
+        s_all = jax.lax.all_gather(s, "dict", axis=1, tiled=True)
+        i_all = jax.lax.all_gather(i, "dict", axis=1, tiled=True)
+        k_out = min(keep_n, m)
+        s_out, pos = jax.lax.top_k(s_all, k_out)
+        i_out = jnp.take_along_axis(i_all, pos, axis=1)
+        return s_out, i_out
+
+    fn = jax.jit(
+        jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P("scan", None), P("dict", None), P(), P()),
+            out_specs=(P("scan", None), P("scan", None)),
+            check_vma=False,
+        )
+    )
+    scores, idx = fn(experimental, rotations, jnp.asarray(master), jnp.asarray(dc))
+    return np.asarray(scores), np.asarray(idx)
 
 
 def sharded_dictionary_index(

@@ -82,3 +82,70 @@ class TestShardedDI:
         )
         np.testing.assert_array_equal(idx, ref.simulation_indices)
         np.testing.assert_allclose(scores, ref.scores, atol=1e-5)
+
+
+class TestShardedFusedDI:
+    def test_matches_unsharded_fused(self, devices):
+        """The fully fused sharded path (per-shard on-device dictionary
+        projection + all_gather merge) must agree with the single-device
+        fused path on the real master pattern."""
+        from pathlib import Path
+
+        import jax.numpy as jnp
+
+        import kikuchipy_tpu as kp
+        from kikuchipy_tpu.crystallography.sampling import (
+            sample_fundamental_zone,
+        )
+        from kikuchipy_tpu.parallel.mesh import (
+            sharded_fused_dictionary_index,
+        )
+        from kikuchipy_tpu.projection.master_pattern import (
+            direction_cosines_from_detector,
+        )
+
+        mp_path = Path(
+            "/root/reference/src/kikuchipy/data/emsoft_ebsd_master_pattern/"
+            "ni_mc_mp_20kv_uint8_gzip_opts9.h5"
+        )
+        if not mp_path.exists():
+            pytest.skip("reference data not available")
+        mp = kp.load(mp_path, projection="lambert", hemisphere="both")
+        det = kp.detectors.EBSDDetector(
+            shape=(60, 60), pc=(0.42, 0.21, 0.5), sample_tilt=70
+        )
+
+        rot = sample_fundamental_zone(10.0, "m-3m")
+        rot = rot[: (len(rot) // 8) * 8]
+        nickel = kp.load(
+            "/root/reference/src/kikuchipy/data/kikuchipy_h5ebsd/patterns.h5"
+        )
+        s = nickel.remove_static_background().remove_dynamic_background()
+        exp = np.tile(
+            np.asarray(s.data).reshape(9, -1).astype(np.float32), (2, 1)
+        )[:16]
+
+        master = mp._hemispheres_at_energy().astype(np.float32)
+        dc = direction_cosines_from_detector(det)
+        npy, npx = master.shape[-2:]
+        scale = (npx - 1) / 2
+
+        mesh = make_mesh(n_scan=2, n_dict=4)
+        scores, idx = sharded_fused_dictionary_index(
+            exp, rot, master, dc, npx, npy, scale, keep_n=5, mesh=mesh
+        )
+
+        ref = dictionary_index(
+            exp,
+            project_fn=lambda r: __import__(
+                "kikuchipy_tpu.projection.master_pattern",
+                fromlist=["project_patterns"],
+            ).project_patterns(
+                jnp.asarray(r, jnp.float32), dc, jnp.asarray(master),
+                npx, npy, scale,
+            ),
+            rotations=rot,
+            keep_n=5,
+        )
+        np.testing.assert_array_equal(idx, ref.simulation_indices)
+        np.testing.assert_allclose(scores, ref.scores, atol=1e-5)
