@@ -51,11 +51,63 @@ def file_reader(
         for name in names:
             g = f[name]["EBSD"]
             header = g["Header"]
+            data_group = g["Data"]
             ny = int(_scalar(header["nRows"]))
             nx = int(_scalar(header["nColumns"]))
             sy = int(_scalar(header["Pattern Height"]))
             sx = int(_scalar(header["Pattern Width"]))
-            patterns = g["Data/Pattern"][()].reshape((ny, nx, sy, sx))
+            patterns = data_group["Pattern"][()].reshape((ny, nx, sy, sx))
+
+            xmap = None
+            if all(k in data_group for k in ("Phi1", "Phi", "Phi2")):
+                import jax.numpy as jnp
+
+                from kikuchipy_tpu.crystallography.crystal_map import (
+                    CrystalMap,
+                    Phase,
+                    PhaseList,
+                )
+                from kikuchipy_tpu.geometry.quaternion import from_euler
+
+                euler = np.stack(
+                    [
+                        data_group["Phi1"][()],
+                        data_group["Phi"][()],
+                        data_group["Phi2"][()],
+                    ],
+                    axis=-1,
+                ).astype(np.float64)
+                prop = {}
+                for src, dst in (("CI", "ci"), ("IQ", "iq"), ("Fit", "fit")):
+                    if src in data_group:
+                        prop[dst] = data_group[src][()]
+                phases = PhaseList()
+                phase_group = header.get("Phase")
+                if phase_group is not None:
+                    for i, pid in enumerate(phase_group):
+                        pg = phase_group[pid]
+                        pname = _scalar(pg.get("MaterialName"), b"")
+                        phases.add(
+                            i,
+                            Phase(
+                                name=(
+                                    pname.decode()
+                                    if isinstance(pname, bytes)
+                                    else str(pname)
+                                )
+                            ),
+                        )
+                xmap = CrystalMap(
+                    rotations=np.asarray(from_euler(jnp.asarray(euler))),
+                    phase_id=(
+                        data_group["Phase"][()].astype(np.int64) - 1
+                        if "Phase" in data_group
+                        else None
+                    ),
+                    shape=(ny, nx),
+                    prop=prop,
+                    phases=phases,
+                )
 
             pc_group = header.get("Pattern Center Calibration")
             if pc_group is not None:
@@ -88,5 +140,12 @@ def file_reader(
                 metadata["working_distance"] = float(
                     _scalar(header["Working Distance"])
                 )
-            out.append(EBSD(data=patterns, detector=detector, metadata=metadata))
+            out.append(
+                EBSD(
+                    data=patterns,
+                    detector=detector,
+                    xmap=xmap,
+                    metadata=metadata,
+                )
+            )
     return out[0] if single else out

@@ -337,3 +337,12 @@ class TestEmsoftECPTKDMasterPatterns:
         s = kp.load(tkd_file, projection="lambert", hemisphere="both", energy=20)
         assert s.energies.shape == (1,)
         assert s.signal_shape == (51, 51)
+
+
+class TestEdaxCrystalMap:
+    def test_orientations_read(self):
+        s = kp.load(DATA / "edax_h5ebsd/patterns.h5")
+        assert s.xmap is not None
+        assert s.xmap.size == 9
+        assert "ci" in s.xmap.prop and "iq" in s.xmap.prop
+        assert s.xmap.phases.names == ["Nickel"]
