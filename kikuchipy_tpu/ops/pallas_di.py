@@ -116,28 +116,40 @@ def _extract_concat_topk(run_s, run_i, sim, base_col, k):
     """Top-k over the concatenation of the running top-k (with stored
     indices) and a new score block, via k rounds of (max, first-argmax,
     masked-index select, mask-out). Uses only max/min reductions and
-    selects — no lane rolls — for robust Mosaic lowering."""
+    selects — no lane rolls — for robust Mosaic lowering, and a
+    ``fori_loop`` so only one round's temporaries are live at a time
+    (the unrolled form blows the scoped-VMEM stack)."""
     r_dim = sim.shape[0]
     c_dim = sim.shape[1]
     n = k + c_dim
-    vals = jnp.concatenate([run_s, sim], axis=1)
+    vals0 = jnp.concatenate([run_s, sim], axis=1)
     pos = jax.lax.broadcasted_iota(jnp.int32, (r_dim, n), 1)
     sim_ids = jax.lax.broadcasted_iota(jnp.int32, (r_dim, c_dim), 1) + base_col
     payload = jnp.concatenate([run_i, sim_ids], axis=1)
+    out_pos = jax.lax.broadcasted_iota(jnp.int32, (r_dim, k), 1)
 
     big = jnp.int32(2**30)
-    out_s = []
-    out_i = []
-    for _ in range(k):
+
+    def round_body(t, carry):
+        vals, out_s, out_i = carry
         m = jnp.max(vals, axis=1, keepdims=True)
         is_max = vals >= m
         am = jnp.min(jnp.where(is_max, pos, big), axis=1, keepdims=True)
         at_am = pos == am
         sel = jnp.min(jnp.where(at_am, payload, big), axis=1, keepdims=True)
-        out_s.append(m)
-        out_i.append(sel)
+        slot = out_pos == t
+        out_s = jnp.where(slot, m, out_s)
+        out_i = jnp.where(slot, sel, out_i)
         vals = jnp.where(at_am, _NEG_INF, vals)
-    return jnp.concatenate(out_s, axis=1), jnp.concatenate(out_i, axis=1)
+        return vals, out_s, out_i
+
+    init = (
+        vals0,
+        jnp.full((r_dim, k), _NEG_INF, dtype=jnp.float32),
+        jnp.zeros((r_dim, k), dtype=jnp.int32),
+    )
+    _, out_s, out_i = jax.lax.fori_loop(0, k, round_body, init)
+    return out_s, out_i
 
 
 def _kernel(exp_ref, dict_ref, out_s_ref, out_i_ref, run_s, run_i, *, k, tile_m):
