@@ -231,3 +231,21 @@ class TestFFTFilter:
             pat.fft_filter(p00.astype(np.float32), np.ones((3, 3)), shift=False)
         )
         np.testing.assert_allclose(out, p00.astype(np.float32), atol=1e-4)
+
+
+class TestPercentileConformance:
+    def test_matches_numpy_per_pattern(self, dummy_patterns):
+        out = np.asarray(
+            pat.rescale_intensity(
+                dummy_patterns.astype(np.float32),
+                percentiles=(10, 90),
+                dtype_out=np.float32,
+            )
+        )
+        for i in range(3):
+            for j in range(3):
+                p = dummy_patterns[i, j].astype(np.float32)
+                lo, hi = np.nanpercentile(p, q=(10, 90))
+                clipped = np.clip(p, lo, hi)
+                expected = (clipped - lo) / (hi - lo) * 2 - 1
+                np.testing.assert_allclose(out[i, j], expected, atol=1e-5)
