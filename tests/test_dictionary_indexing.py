@@ -185,3 +185,13 @@ class TestProgressCallback:
             progress=lambda done, total: calls.append((done, total)),
         )
         assert calls == [(0, 9), (3, 9), (6, 9)]
+
+
+class TestApproxTopk:
+    def test_approx_matches_exact_on_clear_peaks(self, exp):
+        exact = dictionary_index(exp, dictionary=exp, keep_n=1)
+        approx = dictionary_index(exp, dictionary=exp, keep_n=1, approx_topk=True)
+        np.testing.assert_array_equal(
+            approx.simulation_indices, exact.simulation_indices
+        )
+        np.testing.assert_allclose(approx.scores, exact.scores, atol=1e-6)
