@@ -21,13 +21,14 @@ STATUS: exact against ``lax.top_k`` in interpreter mode (covered by
 tests/test_pallas_di.py). On v5e hardware the in-kernel ``dot_general``
 runs as a single bf16 MXU pass, so scores carry ~1e-4 absolute error on
 normalized NCC inputs (top-1 agreement 98.6% on adversarial random
-data, higher on real data) — acceptable for a fast mode. However the
-kernel is currently ~8x slower than the XLA ``matmul`` + ``top_k`` scan
-in :mod:`kikuchipy_tpu.indexing.di` (small 256x256 tiles without D-loop
-accumulation under-utilize the MXU pipeline, and the per-block top-k
-extraction is 20 serial VPU passes), so the XLA path remains the
-production default. Round-2 work: wider tiles with K-dim accumulation
-loops, vectorized bitonic extraction, finer-grained threshold skip.
+data, higher on real data) — acceptable for a fast mode. Measured on
+the 2048 x 100k x 3600 benchmark: v1 (single-block D, 256x256 tiles)
+10k patterns/s; v3 (D-blocked accumulation, fori_loop extraction)
+24.7k patterns/s at 17.9 TF/s — still behind the XLA ``matmul`` +
+``top_k`` scan in :mod:`kikuchipy_tpu.indexing.di` (82.7k amortized),
+which therefore remains the production default. Round-2 work: larger
+tiles within VMEM (reuse exp tile across kd), log-depth bitonic
+extraction, per-row-block threshold skip.
 """
 
 from __future__ import annotations
