@@ -10,12 +10,11 @@ never materialized in HBM and no separate ``top_k`` pass is needed
 197-198``, and the XLA ``matmul`` + ``lax.top_k`` pipeline in
 :mod:`kikuchipy_tpu.indexing.di`).
 
-Top-k inside the kernel: ``k`` rounds of (max, first-argmax, mask) over
-the score block extract the block's top-k in descending order; an
-odd-even transposition network then merges them with the running sorted
-top-k. Both stages are pure VPU element-wise/reduce ops, a ~0.3% FLOP
-overhead next to the MXU matmul, and a threshold test skips them for
-blocks that cannot beat the current per-row k-th score.
+Top-k inside the kernel: ``k`` rounds of (max, first-argmax, masked
+select, mask-out) over the concatenation of the running top-k and the
+new score block — only max/min reductions and selects (robust Mosaic
+lowering), with a threshold test skipping blocks that cannot beat the
+current per-row k-th score.
 
 STATUS: exact against ``lax.top_k`` in interpreter mode (covered by
 tests/test_pallas_di.py). On v5e hardware the in-kernel ``dot_general``
@@ -44,73 +43,6 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["ncc_match_topk_pallas", "ncc_match_topk_pallas_v3"]
 
 _NEG_INF = float(np.finfo(np.float32).min)
-
-
-def _extract_block_topk(sim, base_col, k):
-    """Top-k of each row of ``sim`` (R, C), descending, with global
-    column indices (``base_col`` added). Ties resolve to the lowest
-    column index (matching ``lax.top_k``)."""
-    r_dim, c_dim = sim.shape
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (r_dim, c_dim), 1)
-    vals = sim
-    out_s = []
-    out_i = []
-    big = jnp.int32(2**30)
-    for _ in range(k):
-        m = jnp.max(vals, axis=1, keepdims=True)
-        is_max = vals >= m
-        am = jnp.min(jnp.where(is_max, col_ids, big), axis=1, keepdims=True)
-        out_s.append(m)
-        out_i.append(am + base_col)
-        vals = jnp.where(col_ids == am, _NEG_INF, vals)
-    return (
-        jnp.concatenate(out_s, axis=1),
-        jnp.concatenate(out_i, axis=1),
-    )
-
-
-def _merge_sorted(s_a, i_a, s_b, i_b):
-    """Top-k of two per-row descending-sorted (R, k) lists via a single
-    branchless merge step.
-
-    For descending-sorted ``a`` and ``b``, the j-th largest of the
-    union's top-k is ``max(a[t], b[j - 1 - t])`` over valid splits; it
-    equals ``min over split``... we use the classic identity: the j-th
-    element of the merged top-k is ``max_t min(a[t], b[j-1-t])``-free
-    formulation: out[j] = max(min-merge) is awkward on VPU, so instead
-    use the O(k) pairwise form: out[j] = max(a[j - t] ...). Simplest
-    exact branchless version: for each output slot j, the merged value
-    is the j-th largest of the 2k candidates, computed as
-    ``max(min(a[l], b[j-l]))``? We avoid all of this with k compare
-    rounds of an odd-even *merge* (not full sort), valid because both
-    inputs are sorted: ceil(log2(2k)) + 1 alternating passes suffice in
-    practice is risky, so we keep k passes — still 2x fewer than a full
-    sort and each pass only touches 2k lanes.
-    """
-    s = jnp.concatenate([s_a, s_b], axis=1)
-    i = jnp.concatenate([i_a, i_b], axis=1)
-    n = s.shape[1]
-    k = s_a.shape[1]
-    pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    # Odd-even transposition sorts n = 2k elements in n passes
-    # (guaranteed); the merge runs only for blocks that can contribute
-    # (see the threshold skip in the kernel), so its cost is amortized
-    # away over the dictionary loop.
-    for step in range(n):
-        start = step % 2
-        s_next = jnp.roll(s, -1, axis=1)
-        i_next = jnp.roll(i, -1, axis=1)
-        active = (pos % 2 == start) & (pos < n - 1)
-        do_swap = (s < s_next) & active
-        s_new = jnp.where(do_swap, s_next, s)
-        i_new = jnp.where(do_swap, i_next, i)
-        # Roll as int32: Mosaic cannot roll i1 vector registers.
-        took_from_prev = jnp.roll(do_swap.astype(jnp.int32), 1, axis=1) == 1
-        s_prev = jnp.roll(s, 1, axis=1)
-        i_prev = jnp.roll(i, 1, axis=1)
-        s = jnp.where(took_from_prev, s_prev, s_new)
-        i = jnp.where(took_from_prev, i_prev, i_new)
-    return s[:, :k], i[:, :k]
 
 
 def _extract_concat_topk(run_s, run_i, sim, base_col, k):
