@@ -69,26 +69,35 @@ def main() -> None:
 
     # Pick the fastest precision whose scores stay within 1e-3 of the
     # highest-precision scores (score conformance target ~1e-4 on real
-    # data, which is smoother than white noise).
+    # data, which is smoother than white noise), and enable the
+    # approx_max_k tile top-k if its top-1 indices agree exactly on the
+    # validation subset.
     ref_scores, ref_idx = _index_resident(
         exp_prepared[:256], dict_prepared, KEEP_N, TILE, "highest"
     )
-    ref_scores = np.asarray(jax.block_until_ready(ref_scores))
+    ref_scores = np.asarray(ref_scores)
+    ref_idx = np.asarray(ref_idx)
     precision = "highest"
     for cand in ("default", "high"):
         s, i = _index_resident(
             exp_prepared[:256], dict_prepared, KEEP_N, TILE, cand
         )
-        s = np.asarray(jax.block_until_ready(s))
+        s = np.asarray(s)
         if np.abs(s - ref_scores).max() < 1e-3:
             precision = cand
             break
+    approx = False
+    s, i = _index_resident(
+        exp_prepared[:256], dict_prepared, KEEP_N, TILE, precision, True
+    )
+    if (np.asarray(i)[:, 0] == ref_idx[:, 0]).all():
+        approx = True
 
     def run():
         scores, idx = _index_resident(
-            exp_prepared, dict_prepared, KEEP_N, TILE, precision
+            exp_prepared, dict_prepared, KEEP_N, TILE, precision, approx
         )
-        jax.block_until_ready(scores)
+        np.asarray(scores)  # force completion (axon block_until_ready no-op)
         return scores, idx
 
     run()  # compile
@@ -109,7 +118,7 @@ def main() -> None:
                 "metric": (
                     f"dictionary-indexing patterns/s/chip "
                     f"(NCC, {M}-entry 60x60 dict, keep_n={KEEP_N}, "
-                    f"precision={precision})"
+                    f"precision={precision}, approx_topk={approx})"
                 ),
                 "value": round(pps, 2),
                 "unit": "patterns/s",

@@ -166,6 +166,10 @@ def neighbour_dot_product_matrices(
     (reference ``signals/ebsd.py:1221`` + ``_map_helper.py:186``).
     """
     patterns = jnp.asarray(patterns)
+    if patterns.ndim != 4:
+        raise ValueError(
+            f"patterns must be 4D (ny, nx, sy, sx); got shape {patterns.shape}"
+        )
     w = _resolve_window(window, window_shape, **kwargs)
     offsets, center = _window_offsets(w)
     dps = np.asarray(
@@ -198,6 +202,10 @@ def average_dot_product_map(
     (reference ``signals/ebsd.py:1377`` + ``_map_helper.py:255``).
     """
     patterns = jnp.asarray(patterns)
+    if patterns.ndim != 4:
+        raise ValueError(
+            f"patterns must be 4D (ny, nx, sy, sx); got shape {patterns.shape}"
+        )
     w = _resolve_window(window, window_shape, **kwargs)
     offsets, center = _window_offsets(w)
     neighbor_offsets = tuple(
