@@ -337,9 +337,13 @@ class EBSD:
         n_per_iteration: int | None = None,
         signal_mask: np.ndarray | None = None,
         navigation_mask: np.ndarray | None = None,
+        **kwargs,
     ) -> CrystalMap:
         """Match patterns against a dictionary signal and return a
-        crystal map (reference ``ebsd.py:1827``)."""
+        crystal map (reference ``ebsd.py:1827``). Extra keyword
+        arguments (``precision``, ``approx_topk``, ``progress``, ...)
+        pass through to
+        :func:`kikuchipy_tpu.indexing.di.dictionary_index`."""
         result = dictionary_index(
             jnp.asarray(self.data),
             dictionary=jnp.asarray(dictionary.data),
@@ -348,6 +352,7 @@ class EBSD:
             metric=metric,
             signal_mask=signal_mask,
             navigation_mask=navigation_mask,
+            **kwargs,
         )
         dict_xmap = dictionary.xmap
         if dict_xmap is None:
