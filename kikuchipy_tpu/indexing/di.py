@@ -108,35 +108,6 @@ def merge_topk(
     return new_scores, new_idx
 
 
-def _hierarchical_topk(
-    sim: jnp.ndarray, k: int, block: int = 128
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact top-k via block-max coarse-to-fine reduction.
-
-    Every global top-k element lives in a column block whose maximum is
-    >= the global k-th value, and (ties aside) at most k blocks satisfy
-    that — so gathering the top ``2k`` blocks by block-max (the factor 2
-    absorbs ties) and running an exact ``top_k`` over their columns is
-    equivalent to ``top_k`` over all columns, at a fraction of the sort
-    cost for wide score matrices.
-    """
-    n, t = sim.shape
-    if t % block or t // block <= 2 * k:
-        return jax.lax.top_k(sim, k)
-    n_blocks = t // block
-    blocked = sim.reshape(n, n_blocks, block)
-    bmax = jnp.max(blocked, axis=-1)
-    n_cand = min(2 * k, n_blocks)
-    _, bidx = jax.lax.top_k(bmax, n_cand)
-    cand = jnp.take_along_axis(blocked, bidx[..., None], axis=1)
-    cand = cand.reshape(n, n_cand * block)
-    scores, local = jax.lax.top_k(cand, k)
-    # Translate candidate-local indices back to tile columns.
-    which_block = jnp.take_along_axis(bidx, local // block, axis=1)
-    idx = which_block * block + local % block
-    return scores, idx
-
-
 @partial(jax.jit, static_argnames=("keep_n", "tile", "precision", "approx"))
 def _index_resident(
     exp_prepared: jnp.ndarray,
@@ -160,7 +131,7 @@ def _index_resident(
     def tile_topk(sim, k):
         if approx:
             return jax.lax.approx_max_k(sim, k, recall_target=0.99)
-        return _hierarchical_topk(sim, k)
+        return jax.lax.top_k(sim, k)
 
     def step(carry, tile_i):
         best_scores, best_idx = carry
