@@ -20,6 +20,7 @@ _dictionary_indexing.py:36-203``):
 from __future__ import annotations
 
 import dataclasses
+import logging
 import time
 from functools import partial
 from typing import Callable, Iterable
@@ -35,6 +36,8 @@ from kikuchipy_tpu.indexing.metrics import (
 )
 
 __all__ = ["DictionaryIndexingResult", "dictionary_index", "merge_topk"]
+
+_logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass
@@ -330,6 +333,28 @@ def dictionary_index(
         print(
             f"  Indexing speed: {pps:.5f} patterns/s, {cps:.5f} comparisons/s"
         )
+
+    # Sanity check: for *unrelated* unit-norm patterns the best of m NCC
+    # scores concentrates near sqrt(2 ln m / d) (extreme value of m
+    # N(0, 1/d) correlations). A mean top-1 within 1.5x of that null
+    # level means the dictionary is statistically indistinguishable from
+    # random w.r.t. these patterns — almost always a wrong projection
+    # center / convention, wrong tilts, or wrong phase.
+    if scores.size and m > 1:
+        d_feat = int(exp_prepared.shape[1])
+        null_level = float(np.sqrt(2.0 * np.log(m) / max(d_feat, 2)))
+        top1_mean = float(np.nanmean(scores[:, 0]))
+        if top1_mean < 1.5 * null_level:
+            _logger.warning(
+                "Mean best score %.3f is close to the chance level %.3f "
+                "for %d random dictionary patterns: the dictionary may "
+                "not describe these patterns. Check the projection "
+                "center (and its convention), sample/camera tilts, and "
+                "the phase.",
+                top1_mean,
+                null_level,
+                m,
+            )
 
     if nav_keep is not None:
         scores_all = np.full((n_all, scores.shape[1]), np.nan, dtype=scores.dtype)

@@ -195,3 +195,24 @@ class TestApproxTopk:
             approx.simulation_indices, exact.simulation_indices
         )
         np.testing.assert_allclose(approx.scores, exact.scores, atol=1e-6)
+
+
+class TestChanceLevelWarning:
+    """dictionary_index warns when the best scores sit at the chance
+    level for unrelated patterns (wrong PC / tilts / phase)."""
+
+    def test_warns_on_unrelated_dictionary(self, caplog):
+        rng = np.random.default_rng(7)
+        e = rng.normal(size=(4, 256)).astype(np.float32)
+        d = rng.normal(size=(100, 256)).astype(np.float32)
+        with caplog.at_level("WARNING", logger="kikuchipy_tpu.indexing.di"):
+            dictionary_index(e, d, keep_n=5)
+        assert any("chance level" in r.message for r in caplog.records)
+
+    def test_silent_on_matching_dictionary(self, caplog):
+        rng = np.random.default_rng(7)
+        e = rng.normal(size=(4, 256)).astype(np.float32)
+        d = np.concatenate([e, rng.normal(size=(100, 256)).astype(np.float32)])
+        with caplog.at_level("WARNING", logger="kikuchipy_tpu.indexing.di"):
+            dictionary_index(e, d, keep_n=5)
+        assert not any("chance level" in r.message for r in caplog.records)
