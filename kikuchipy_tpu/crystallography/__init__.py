@@ -8,6 +8,12 @@ from kikuchipy_tpu.crystallography.reciprocal import (
     ReciprocalLatticeVectors,
     electron_wavelength,
 )
+from kikuchipy_tpu.crystallography.spacegroup import (
+    centering_letter,
+    centering_translations,
+    expand_atoms,
+    general_positions,
+)
 from kikuchipy_tpu.crystallography.sampling import (
     disorientation_angle,
     in_fundamental_zone,
@@ -25,6 +31,10 @@ from kikuchipy_tpu.crystallography.symmetry import (
 __all__ = [
     "CrystalMap",
     "Lattice",
+    "centering_letter",
+    "centering_translations",
+    "expand_atoms",
+    "general_positions",
     "Phase",
     "PhaseList",
     "PointGroup",

@@ -199,6 +199,7 @@ class ReciprocalLatticeVectors:
         atoms: list[tuple],
         debye_waller: float = 0.0,
         scattering_factor=wentzel_scattering_factor,
+        space_group: int | None = None,
     ) -> None:
         """Kinematical structure factors.
 
@@ -213,7 +214,16 @@ class ReciprocalLatticeVectors:
         scattering_factor
             ``f(Z, s)`` callable; the Wentzel screened-Coulomb factor by
             default.
+        space_group
+            If given, ``atoms`` is treated as the asymmetric unit and
+            expanded by the space-group operations first (as EMsoft
+            stores it); see
+            :func:`kikuchipy_tpu.crystallography.spacegroup.expand_atoms`.
         """
+        if space_group is not None:
+            from kikuchipy_tpu.crystallography.spacegroup import expand_atoms
+
+            atoms = expand_atoms(atoms, space_group)
         s = 1.0 / (2.0 * self.dspacing)
         F = np.zeros(self.size, dtype=np.complex128)
         for atom in atoms:

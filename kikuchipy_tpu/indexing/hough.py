@@ -300,7 +300,11 @@ def hough_indexing(
         lat = Lattice(*abc, *angles)
         rlv = ReciprocalLatticeVectors.from_min_dspacing(lat, min_dspacing)
         if phase.atoms:
-            rlv.calculate_structure_factor(phase.atoms)
+            # EMsoft phases carry asymmetric-unit atoms; expand by the
+            # space group so screw/glide extinctions are honored too.
+            rlv.calculate_structure_factor(
+                phase.atoms, space_group=phase.space_group
+            )
             rlv = rlv.allowed()
         rlv.calculate_theta(voltage_kv)
         reflectors = rlv

@@ -1,0 +1,164 @@
+"""Space-group expansion: centering letters, general positions, orbit
+multiplicities, and the kinematical extinction rules they produce.
+
+Reference behavior: the reference delegates cell completion to
+diffpy.structure/spglib; these tests pin our native equivalent to
+International Tables data (orders, Wyckoff multiplicities) and to
+textbook extinction rules.
+"""
+
+import numpy as np
+import pytest
+
+from kikuchipy_tpu.crystallography.reciprocal import (
+    Lattice,
+    ReciprocalLatticeVectors,
+)
+from kikuchipy_tpu.crystallography.spacegroup import (
+    centering_letter,
+    centering_translations,
+    expand_atoms,
+    general_positions,
+    has_general_positions,
+)
+
+
+class TestCentering:
+    @pytest.mark.parametrize(
+        "sg, letter",
+        [(1, "P"), (5, "C"), (38, "A"), (42, "F"), (44, "I"), (70, "F"),
+         (88, "I"), (146, "R"), (167, "R"), (194, "P"), (216, "F"),
+         (225, "F"), (229, "I"), (230, "I")],
+    )
+    def test_letters(self, sg, letter):
+        assert centering_letter(sg) == letter
+
+    def test_translation_counts(self):
+        assert len(centering_translations("P")) == 1
+        assert len(centering_translations("F")) == 4
+        assert len(centering_translations(167)) == 3
+
+    def test_invalid_number(self):
+        with pytest.raises(ValueError):
+            centering_letter(0)
+        with pytest.raises(ValueError):
+            centering_letter(231)
+
+
+class TestGeneralPositions:
+    @pytest.mark.parametrize(
+        "sg, order",
+        [(1, 1), (2, 2), (14, 4), (19, 4), (62, 8), (63, 16), (70, 32),
+         (136, 16), (146, 9), (152, 6), (167, 36), (186, 12), (194, 24),
+         (198, 12), (205, 24), (221, 48), (225, 192), (227, 192),
+         (229, 96), (216, 96)],
+    )
+    def test_ita_orders(self, sg, order):
+        assert len(general_positions(sg)) == order
+
+    def test_operations_close(self):
+        # The returned set must be closed under composition (mod 1).
+        ops = general_positions(194)
+        keys = {
+            tuple(m.ravel()) + tuple(np.round(t * 24).astype(int) % 24)
+            for m, t in ops
+        }
+        for m1, t1 in ops[:6]:
+            for m2, t2 in ops[:6]:
+                m = m1 @ m2
+                t = (m1 @ t2 + t1) % 1.0
+                key = tuple(m.ravel()) + tuple(np.round(t * 24).astype(int) % 24)
+                assert key in keys
+
+    def test_untabulated_raises_but_flagged(self):
+        assert not has_general_positions(88)  # I4_1/a
+        with pytest.raises(NotImplementedError):
+            general_positions(88)
+
+
+class TestExpandAtoms:
+    @pytest.mark.parametrize(
+        "atoms, sg, n",
+        [
+            ([("Ni", 0, 0, 0)], 225, 4),
+            ([("Fe", 0, 0, 0)], 229, 2),
+            ([("Si", 0, 0, 0)], 227, 8),
+            ([("Mg", 1 / 3, 2 / 3, 1 / 4)], 194, 2),
+            ([("Ti", 0, 0, 0)], 136, 2),
+            ([("O", 0.305, 0.305, 0)], 136, 4),
+            ([("Al", 0, 0, 0.352)], 167, 12),
+            ([("O", 0.306, 0, 0.25)], 167, 18),
+            ([("Si", 0.4697, 0, 1 / 3)], 152, 3),
+            ([("S", 0.384, 0.384, 0.384)], 205, 8),
+            ([("Fe", 0.18, 0.06, 0.33)], 62, 8),
+            ([("U", 0, 0.105, 0.25)], 63, 4),
+        ],
+    )
+    def test_wyckoff_multiplicities(self, atoms, sg, n):
+        assert len(expand_atoms(atoms, sg)) == n
+
+    def test_occupancy_carried_through(self):
+        out = expand_atoms([("Ni", 0, 0, 0, 0.5)], 225)
+        assert all(a[4] == 0.5 for a in out)
+
+    def test_centering_only_fallback_warns(self, caplog):
+        with caplog.at_level(
+            "WARNING", logger="kikuchipy_tpu.crystallography.spacegroup"
+        ):
+            out = expand_atoms([("Y", 0, 0, 0)], 88)  # I4_1/a untabulated
+        assert len(out) == 2  # I centering
+        assert any("centering" in r.message for r in caplog.records)
+
+
+def _amp(lattice, atoms, sg, hkl, min_d=0.9):
+    rlv = ReciprocalLatticeVectors.from_min_dspacing(lattice, min_d)
+    rlv.calculate_structure_factor(atoms, space_group=sg)
+    m = np.all(rlv.hkl == np.array(hkl), axis=1)
+    return float(np.abs(rlv.structure_factor[m][0]))
+
+
+class TestExtinctionsFromAsymmetricUnit:
+    """Structure factors computed from one-atom asymmetric units must
+    reproduce the textbook extinction rules of each lattice type."""
+
+    def test_fcc(self):
+        lat = Lattice(3.52, 3.52, 3.52, 90, 90, 90)
+        atoms = [("Ni", 0, 0, 0)]
+        assert _amp(lat, atoms, 225, (1, 1, 1)) > 1
+        assert _amp(lat, atoms, 225, (2, 0, 0)) > 1
+        assert _amp(lat, atoms, 225, (1, 1, 0)) == pytest.approx(0, abs=1e-10)
+        assert _amp(lat, atoms, 225, (2, 1, 0)) == pytest.approx(0, abs=1e-10)
+
+    def test_bcc(self):
+        lat = Lattice(2.87, 2.87, 2.87, 90, 90, 90)
+        atoms = [("Fe", 0, 0, 0)]
+        assert _amp(lat, atoms, 229, (1, 1, 0)) > 1
+        assert _amp(lat, atoms, 229, (1, 0, 0)) == pytest.approx(0, abs=1e-10)
+        assert _amp(lat, atoms, 229, (1, 1, 1)) == pytest.approx(0, abs=1e-10)
+
+    def test_diamond_glide(self):
+        # The d-glide extinctions distinguish diamond from plain fcc:
+        # (200) and (222) vanish although they are F-allowed.
+        lat = Lattice(5.431, 5.431, 5.431, 90, 90, 90)
+        atoms = [("Si", 0, 0, 0)]
+        assert _amp(lat, atoms, 227, (1, 1, 1)) > 1
+        assert _amp(lat, atoms, 227, (2, 2, 0)) > 1
+        assert _amp(lat, atoms, 227, (4, 0, 0)) > 1
+        assert _amp(lat, atoms, 227, (2, 0, 0)) == pytest.approx(0, abs=1e-10)
+        assert _amp(lat, atoms, 227, (2, 2, 2)) == pytest.approx(0, abs=1e-10)
+
+    def test_hcp_screw(self):
+        # 6_3 screw: (000l) forbidden for odd l.
+        lat = Lattice(3.21, 3.21, 5.21, 90, 90, 120)
+        atoms = [("Mg", 1 / 3, 2 / 3, 1 / 4)]
+        assert _amp(lat, atoms, 194, (0, 0, 2)) > 1
+        assert _amp(lat, atoms, 194, (0, 0, 1)) == pytest.approx(0, abs=1e-10)
+        assert _amp(lat, atoms, 194, (1, 0, 1)) > 1
+
+    def test_quartz_3_1_screw(self):
+        # 3_1 screw: (000l) allowed only for l = 3n.
+        lat = Lattice(4.913, 4.913, 5.405, 90, 90, 120)
+        atoms = [("Si", 0.4697, 0, 1 / 3), ("O", 0.4135, 0.2669, 0.1191)]
+        assert _amp(lat, atoms, 152, (0, 0, 1), 2.0) == pytest.approx(0, abs=1e-9)
+        assert _amp(lat, atoms, 152, (0, 0, 2), 2.0) == pytest.approx(0, abs=1e-9)
+        assert _amp(lat, atoms, 152, (0, 0, 3), 1.5) > 1e-3
