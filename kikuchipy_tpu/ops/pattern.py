@@ -62,15 +62,28 @@ def rescale_intensity(
     out_range: tuple[float, float] | None = None,
     dtype_out=None,
     percentiles: tuple[float, float] | None = None,
+    relative: bool = False,
 ) -> jnp.ndarray:
     """Rescale pattern intensities (per pattern) to a target range.
 
     Parameters mirror the reference's ``rescale_intensity``
     (``_pattern.py:31-93``): ``in_range`` clips before rescaling,
     ``percentiles`` computes a per-pattern in-range, and the output range
-    defaults to the dtype range of ``dtype_out``.
+    defaults to the dtype range of ``dtype_out``. With ``relative``
+    (reference ``_kikuchipy_signal.py:205-212``) the in-range is the
+    global min/max over ALL patterns, preserving relative intensities
+    between map points.
     """
     patterns = jnp.asarray(patterns)
+    if in_range is not None and percentiles is not None:
+        raise ValueError("'percentiles' must be None if 'in_range' is not None")
+    if relative and in_range is not None:
+        raise ValueError("'in_range' must be None if 'relative' is True")
+    if relative:
+        in_range = (
+            float(jnp.min(patterns)),
+            float(jnp.max(patterns)),
+        )
     if dtype_out is None:
         dtype_out = patterns.dtype
     dtype_out = np.dtype(dtype_out)
@@ -117,9 +130,12 @@ def normalize_intensity(
         n = patterns.shape[-1] * patterns.shape[-2]
         denom = denom * jnp.sqrt(float(n))
     out = centered / denom
-    if dtype_out is not None:
-        out = out.astype(np.dtype(dtype_out))
-    return out
+    # The reference casts back to the input dtype when dtype_out is not
+    # given (``_pattern.py:198-210``), truncating toward zero for
+    # integer dtypes.
+    if dtype_out is None:
+        dtype_out = patterns.dtype
+    return out.astype(np.dtype(dtype_out))
 
 
 def _remove_background(

@@ -101,3 +101,153 @@ class TestSignalImageQuality:
         s = EBSD(data=dummy_patterns)
         iq = s.get_image_quality(normalize=False)
         np.testing.assert_allclose(iq, IQ_RAW, atol=1e-4)
+
+
+class TestRescaleIntensityGoldens:
+    """Reference goldens from tests/test_signals/test_ebsd.py:1031-1115."""
+
+    @pytest.mark.parametrize(
+        "kwargs, answer",
+        [
+            (
+                dict(relative=True),
+                np.array([[141, 170, 141], [198, 170, 141], [170, 28, 0]],
+                         np.uint8),
+            ),
+            (
+                dict(relative=True, dtype_out=np.float32),
+                np.array([[0.1111, 0.3333, 0.1111], [0.5555, 0.3333, 0.1111],
+                          [0.3333, -0.7777, -1]], np.float32),
+            ),
+            (
+                dict(),
+                np.array([[182, 218, 182], [255, 218, 182], [218, 36, 0]],
+                         np.uint8),
+            ),
+            (
+                dict(dtype_out=np.float32),
+                np.array([[0.4285, 0.7142, 0.4285], [1, 0.7142, 0.4285],
+                          [0.7142, -0.7142, -1]], np.float32),
+            ),
+        ],
+    )
+    def test_golden(self, dummy_patterns, kwargs, answer):
+        s = EBSD(data=dummy_patterns).rescale_intensity(**kwargs)
+        got = np.asarray(s.data)[0, 0]
+        assert got.dtype == answer.dtype
+        np.testing.assert_allclose(got, answer, atol=1e-4)
+
+    @pytest.mark.parametrize(
+        "percentiles, answer",
+        [
+            ((10, 90), np.array([[198, 245, 198], [254, 245, 198],
+                                 [245, 9, 0]])),
+            ((1, 99), np.array([[183, 220, 183], [255, 220, 183],
+                                [220, 34, 0]])),
+        ],
+    )
+    def test_percentiles_golden(self, dummy_patterns, percentiles, answer):
+        s = EBSD(data=dummy_patterns.astype(np.float32))
+        out = s.rescale_intensity(percentiles=percentiles, dtype_out=np.uint8)
+        got = np.asarray(out.data)[0, 0].astype(int)
+        # Reference asserts atol=2 (fastmath/percentile interpolation).
+        assert np.abs(got - answer).max() <= 2
+
+    def test_conflicting_args_raise(self, dummy_patterns):
+        s = EBSD(data=dummy_patterns)
+        with pytest.raises(ValueError, match="'percentiles' must be None"):
+            s.rescale_intensity(in_range=(0, 9), percentiles=(1, 99))
+        with pytest.raises(ValueError, match="'in_range' must be None"):
+            s.rescale_intensity(relative=True, in_range=(0, 9))
+
+
+class TestNormalizeIntensityGoldens:
+    """Reference goldens from tests/test_signals/test_ebsd.py:2075-2135."""
+
+    @pytest.mark.parametrize(
+        "num_std, sqrt, answer",
+        [
+            (1, True, np.array([[0.0653, 0.2124, 0.0653],
+                                [0.3595, 0.2124, 0.0653],
+                                [0.2124, -0.5229, -0.6700]])),
+            (2, True, np.array([[0.0326, 0.1062, 0.0326],
+                                [0.1797, 0.1062, 0.0326],
+                                [0.1062, -0.2614, -0.3350]])),
+            (1, False, np.array([[0.1961, 0.6373, 0.1961],
+                                 [1.0786, 0.6373, 0.1961],
+                                 [0.6373, -1.5689, -2.0101]])),
+        ],
+    )
+    def test_float_golden(self, dummy_patterns, num_std, sqrt, answer):
+        s = EBSD(data=dummy_patterns).normalize_intensity(
+            num_std=num_std, divide_by_square_root=sqrt, dtype_out=np.float32
+        )
+        got = np.asarray(s.data)[0, 0]
+        np.testing.assert_allclose(got, answer, atol=1e-4)
+        assert abs(float(np.mean(np.asarray(s.data)))) < 1e-6
+
+    def test_int16_truncation_golden(self, dummy_patterns):
+        # dtype_out=None keeps the input dtype (int16), truncating.
+        s = EBSD(data=dummy_patterns.astype(np.int16)).normalize_intensity()
+        got = np.asarray(s.data)[0, 0]
+        assert got.dtype == np.int16
+        np.testing.assert_array_equal(
+            got, np.array([[0, 0, 0], [1, 0, 0], [0, -1, -2]])
+        )
+
+
+class TestStaticBackgroundScaleGolden:
+    def test_scale_bg_golden(self, dummy_patterns, dummy_background):
+        """Reference golden from tests/test_signals/test_ebsd.py:476-488."""
+        s = EBSD(data=dummy_patterns).remove_static_background(
+            scale_bg=True, static_bg=dummy_background
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s.data)[0, 0],
+            np.array([[15, 150, 15], [180, 255, 120], [150, 0, 75]]),
+        )
+
+
+class TestAverageNeighbourGolden:
+    def test_arange_oracle(self):
+        """Manual build-up oracle from tests/test_signals/test_ebsd.py:
+        1625-1650 (plus-window neighbor sums, then per-pattern rescale).
+        """
+        from kikuchipy_tpu.ops.pattern import rescale_intensity
+
+        arr = np.arange(81, dtype=np.float32).reshape(3, 3, 3, 3)
+        wsum = np.array([[3, 4, 3], [4, 5, 4], [3, 4, 3]])
+        desired = np.zeros_like(arr)
+        for i in range(3):
+            for j in range(3):
+                p = np.zeros((3, 3), arr.dtype)
+                for k in [(i - 1, j), (i, j), (i + 1, j), (i, j - 1), (i, j + 1)]:
+                    if -1 not in k and 3 not in k:
+                        p += arr[k]
+                p /= wsum[i, j]
+                desired[i, j] = np.asarray(
+                    rescale_intensity(p[None], dtype_out=np.float32)
+                )[0]
+        got = np.asarray(EBSD(data=arr).average_neighbour_patterns().data)
+        np.testing.assert_allclose(got, desired, atol=1e-5)
+
+
+class TestFFTFilterSpatialGolden:
+    def test_sobel_equals_correlate(self, dummy_patterns):
+        """Barnes spatial filtering == scipy.ndimage.correlate + rescale
+        (reference tests/test_signals/test_ebsd.py:1987-2010)."""
+        from scipy.ndimage import correlate
+
+        w = np.array([[1, 0, -1], [2, 0, -2], [1, 0, -1]])
+        s = EBSD(data=dummy_patterns.astype(np.float32))
+        got = np.asarray(s.fft_filter(w, function_domain="spatial").data)
+        for i in range(3):
+            for j in range(3):
+                p3 = correlate(dummy_patterns[i, j].astype(np.float32), weights=w)
+                p3 = (p3 - p3.min()) / (p3.max() - p3.min()) * 2 - 1
+                np.testing.assert_allclose(got[i, j], p3, atol=1e-5)
+
+    def test_unknown_domain_raises(self, dummy_patterns):
+        s = EBSD(data=dummy_patterns)
+        with pytest.raises(ValueError, match="function_domain must be"):
+            s.fft_filter(np.ones((3, 3)), function_domain="Underdark")
