@@ -171,8 +171,30 @@ class CrystalMap:
         v = self.prop[key]
         return np.asarray(v).reshape(self.shape + v.shape[1:])
 
-    def __getitem__(self, key: str) -> np.ndarray:
-        return self.prop[key]
+    def __getitem__(self, key):
+        """``xmap["scores"]`` returns a property array; a boolean mask
+        of length ``size`` returns a new sub-map (flattened shape), like
+        orix's ``CrystalMap.__getitem__`` used by the reference's
+        ``extract_grid`` (``ebsd.py:330-336``)."""
+        if isinstance(key, str):
+            return self.prop[key]
+        mask = np.asarray(key)
+        if mask.dtype != bool or mask.shape != (self.size,):
+            raise TypeError(
+                "CrystalMap indexing supports a property name or a "
+                f"boolean mask of shape ({self.size},)"
+            )
+        n_sel = int(mask.sum())
+        return CrystalMap(
+            rotations=self.rotations[mask],
+            phase_id=self.phase_id[mask],
+            x=self.x[mask],
+            y=self.y[mask],
+            prop={k: np.asarray(v)[mask] for k, v in self.prop.items()},
+            phases=self.phases,
+            shape=(n_sel,),
+            scan_unit=self.scan_unit,
+        )
 
     def __repr__(self) -> str:
         props = ", ".join(self.prop)

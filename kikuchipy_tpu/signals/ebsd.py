@@ -312,19 +312,49 @@ class EBSD:
 
         return hough_indexing(self, phase_list=phase_list, **kwargs)
 
-    def extract_grid(self, grid_shape: tuple[int, int]) -> "EBSD":
+    def extract_grid(
+        self,
+        grid_shape: tuple[int, int] | int,
+        return_indices: bool = False,
+    ) -> "EBSD | tuple[EBSD, np.ndarray]":
         """Return a sub-scan of patterns on an evenly spaced grid
-        (reference ``ebsd.py:267``)."""
-        ny, nx = self.navigation_shape
-        gy, gx = grid_shape
-        iy = np.linspace(0, ny, gy, endpoint=False, dtype=int) + ny // (2 * gy)
-        ix = np.linspace(0, nx, gx, endpoint=False, dtype=int) + nx // (2 * gx)
-        data = np.asarray(self.data)[np.ix_(iy, ix)]
-        new = dataclasses.replace(self, data=data, xmap=None)
-        if self.detector is not None and self.detector.navigation_shape == (ny, nx):
+        (reference ``ebsd.py:267-363``; spacing/centering semantics of
+        ``signals/util/array_tools.py:21-105``).
+
+        Parameters
+        ----------
+        grid_shape
+            ``(n_cols, n_rows)`` (signal-axes order, like the
+            reference) or a single integer for 1D scans.
+        return_indices
+            Also return the ``(2,) + (n_rows, n_cols)`` indices of the
+            extracted patterns into the navigation grid.
+        """
+        from kikuchipy_tpu.utils.grid import grid_indices
+
+        nav_shape = self.navigation_shape
+        if isinstance(grid_shape, int):
+            grid_np = (grid_shape,)
+        else:
+            grid_np = tuple(grid_shape)[::-1]  # -> NumPy (rows, cols)
+        idx = grid_indices(grid_np, nav_shape)
+        idx_tuple = tuple(idx)
+        data = np.asarray(self.data)[idx_tuple]
+        xmap_new = None
+        if self.xmap is not None:
+            try:
+                mask = np.zeros(nav_shape, dtype=bool)
+                mask[idx_tuple] = True
+                xmap_new = self.xmap[mask.ravel()]
+            except Exception:
+                xmap_new = None
+        new = dataclasses.replace(self, data=data, xmap=xmap_new)
+        if self.detector is not None and self.detector.navigation_shape == nav_shape:
             new.detector = dataclasses.replace(
-                self.detector, pc=self.detector.pc[np.ix_(iy, ix)]
+                self.detector, pc=self.detector.pc[idx_tuple]
             )
+        if return_indices:
+            return new, idx
         return new
 
     # ------------------------- Indexing ----------------------------- #

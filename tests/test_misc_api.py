@@ -132,3 +132,39 @@ class TestProfiling:
         assert rep["a"]["items"] == 200
         assert rep["a"]["seconds"] >= 0.01
         assert "a:" in repr(t)
+
+
+class TestGridIndices:
+    """Reference goldens from signals/util/array_tools.py docstrings and
+    tests/test_signals/test_ebsd.py:2896-2903."""
+
+    def test_2d_docstring_golden(self):
+        from kikuchipy_tpu.utils.grid import grid_indices
+
+        idx = grid_indices((4, 5), (55, 75))
+        assert np.array_equal(idx[0][:, 0], [11, 22, 33, 44])
+        assert np.array_equal(idx[1][0], [12, 25, 38, 51, 64])
+
+    def test_1d_docstring_golden(self):
+        from kikuchipy_tpu.utils.grid import grid_indices
+
+        idx, spacing = grid_indices(10, 105, return_spacing=True)
+        assert np.array_equal(idx[0], np.arange(8, 99, 10))
+        assert np.array_equal(spacing, [10])
+
+    def test_extract_grid_golden(self):
+        from kikuchipy_tpu.signals.ebsd import EBSD
+
+        s = EBSD(data=np.zeros((55, 75, 2, 2), dtype=np.uint8))
+        _, idx = s.extract_grid((2, 3), return_indices=True)
+        assert np.array_equal(
+            idx,
+            np.array([[[14, 14], [28, 28], [42, 42]],
+                      [[25, 50], [25, 50], [25, 50]]]),
+        )
+
+    def test_incompatible_raises(self):
+        from kikuchipy_tpu.utils.grid import grid_indices
+
+        with pytest.raises(ValueError, match="must be compatible"):
+            grid_indices((10, 10), (5, 75))

@@ -66,8 +66,12 @@ class TestSignalOps:
     def test_extract_grid(self):
         rng = np.random.default_rng(0)
         s = EBSD(data=rng.integers(0, 255, (6, 9, 4, 4), dtype=np.uint8))
+        # grid_shape is (n_cols, n_rows) like the reference signal API.
         sub = s.extract_grid((2, 3))
-        assert sub.navigation_shape == (2, 3)
+        assert sub.navigation_shape == (3, 2)
+        sub2, idx = s.extract_grid((2, 3), return_indices=True)
+        assert idx.shape == (2, 3, 2)
+        assert np.array_equal(np.asarray(sub2.data), np.asarray(s.data)[tuple(idx)])
 
     def test_fft_filter_frequency(self, signal):
         from kikuchipy_tpu.filters.window import Window
