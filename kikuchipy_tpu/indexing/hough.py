@@ -206,44 +206,121 @@ def bands_to_normals(
     return n_det @ np.asarray(detector.detector_to_sample).T
 
 
-def _orientation_from_bands(
-    normals: np.ndarray,
-    g_unit: np.ndarray,
-    lut_angles: np.ndarray,
-    lut_pairs: np.ndarray,
-    angle_tol: float = np.deg2rad(2.0),
-) -> tuple[np.ndarray, float, int]:
-    """Estimate an orientation from detected band normals by triplet
-    voting + Kabsch. Returns (quaternion, fit_error, n_inliers)."""
-    nb = normals.shape[0]
-    best = (np.array([1.0, 0, 0, 0]), np.inf, 0)
-    for i, j in combinations(range(min(nb, 6)), 2):
-        ang = np.arccos(np.clip(abs(normals[i] @ normals[j]), 0, 1))
-        close = np.abs(lut_angles - ang) < angle_tol
-        for pair_idx in np.nonzero(close)[0][:8]:
-            a, b = lut_pairs[pair_idx]
-            for ga, gb in ((g_unit[a], g_unit[b]), (g_unit[b], g_unit[a])):
-                for sa in (1, -1):
-                    for sb in (1, -1):
-                        # Solve R n = g for the two pairs (Kabsch).
-                        A = np.stack([sa * ga, sb * gb]).T @ np.stack(
-                            [normals[i], normals[j]]
-                        )
-                        u, _, vt = np.linalg.svd(A)
-                        d = np.sign(np.linalg.det(u @ vt))
-                        R = u @ np.diag([1, 1, d]) @ vt
-                        # Score: how many detected bands map near a pole
-                        mapped = normals @ R.T  # R n_k
-                        cosang = np.abs(mapped @ g_unit.T).max(axis=1)
-                        inliers = cosang > np.cos(angle_tol)
-                        n_in = int(inliers.sum())
-                        err = float(np.mean(np.arccos(np.clip(cosang[inliers], 0, 1)))) if n_in else np.inf
-                        if n_in > best[2] or (n_in == best[2] and err < best[1]):
-                            q = np.asarray(
-                                quat.from_matrix(jnp.asarray(R[None]))
-                            )[0]
-                            best = (q, err, n_in)
-    return best
+def _triad(v1: jnp.ndarray, v2: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric orthonormal frame (columns) from two unit vectors:
+    e1 = (v1+v2)/|.|, e2 = (v1-v2)/|.| (always orthogonal for unit
+    inputs), e3 = e1 x e2. Unlike the classic TRIAD (which fits v1
+    exactly and dumps all the pair-angle mismatch on v2), this
+    distributes the mismatch evenly -- for two equally weighted unit
+    vectors it coincides with the Kabsch least-squares rotation."""
+
+    def _unit(v):
+        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+
+    e1 = _unit(v1 + v2)
+    e2 = _unit(v1 - v2)
+    e3 = jnp.cross(e1, e2)
+    return jnp.stack([e1, e2, e3], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("n_pairs_max",))
+def _vote_orientations(
+    normals: jnp.ndarray,
+    g_unit: jnp.ndarray,
+    lut_angles: jnp.ndarray,
+    lut_pairs: jnp.ndarray,
+    pair_idx: jnp.ndarray,
+    angle_tol: float,
+    n_pairs_max: int = 8,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched triplet voting: one fused device program for a chunk of
+    patterns (replaces the reference's pyebsdindex host-side voting,
+    ``/root/reference/src/kikuchipy/indexing/_hough_indexing.py``).
+
+    For every detected-band pair, the ``n_pairs_max`` nearest LUT
+    interplanar angles are tried in both orderings and all sign
+    combinations; each candidate rotation is built by TRIAD alignment
+    of the two (normal, pole) pairs and scored by how many detected
+    bands land within ``angle_tol`` of *any* pole.
+
+    Parameters
+    ----------
+    normals
+        ``(n, nb, 3)`` detected band normals in the sample frame.
+    g_unit
+        ``(ng, 3)`` unit reciprocal-lattice poles (one per +-g pair).
+    lut_angles, lut_pairs
+        ``(L,)`` interplanar angles and ``(L, 2)`` pole indices.
+    pair_idx
+        ``(P, 2)`` static detected-band pair indices.
+
+    Returns
+    -------
+    ``(n, 3, 3)`` rotation matrices, ``(n,)`` mean inlier angular error
+    (radians), ``(n,)`` inlier counts.
+    """
+    n, nb, _ = normals.shape
+    n1 = normals[:, pair_idx[:, 0]]  # (n, P, 3)
+    n2 = normals[:, pair_idx[:, 1]]
+    ang = jnp.arccos(
+        jnp.clip(jnp.abs(jnp.sum(n1 * n2, axis=-1)), 0.0, 1.0)
+    )  # (n, P)
+
+    # First K LUT entries within tolerance, in LUT order. The LUT is
+    # enumerated from poles sorted by d-spacing, so low-index (strong)
+    # families are tried first -- picking the K angle-nearest entries
+    # instead lets angle-degenerate high-index pairs crowd them out.
+    delta = jnp.abs(lut_angles[None, None, :] - ang[..., None])  # (n, P, L)
+    L = lut_angles.shape[0]
+    k = min(n_pairs_max, L)
+    in_tol = delta < angle_tol
+    sel_score = jnp.where(
+        in_tol, -jnp.arange(L, dtype=jnp.float32), -jnp.inf
+    )
+    neg_rank, lut_idx = jax.lax.top_k(sel_score, k)  # (n, P, K)
+    lut_ok = jnp.isfinite(neg_rank)
+    # Degenerate band pairs (near-parallel normals) give unstable
+    # alignment frames; drop them.
+    lut_ok = lut_ok & (ang[..., None] > 0.05)
+
+    ga = g_unit[lut_pairs[lut_idx, 0]]  # (n, P, K, 3)
+    gb = g_unit[lut_pairs[lut_idx, 1]]
+
+    # 8 variants: (ga, gb) / (gb, ga) orderings x independent signs.
+    g1 = jnp.stack([ga, ga, -ga, -ga, gb, gb, -gb, -gb], axis=-2)
+    g2 = jnp.stack([gb, -gb, gb, -gb, ga, -ga, ga, -ga], axis=-2)
+    # (n, P, K, 8, 3)
+
+    f_n = _triad(n1, n2)  # (n, P, 3, 3)
+    f_g = _triad(g1, g2)  # (n, P, K, 8, 3, 3)
+    # R n = g  =>  R = F_g F_n^T
+    R = jnp.einsum("npkvab,npcb->npkvac", f_g, f_n)  # (n, P, K, 8, 3, 3)
+
+    mapped = jnp.einsum("npkvab,nqb->npkvqa", R, normals)  # (.., nb, 3)
+    cosang = jnp.max(
+        jnp.abs(jnp.einsum("npkvqa,ga->npkvqg", mapped, g_unit)), axis=-1
+    )  # (n, P, K, 8, nb)
+    cosang = jnp.clip(cosang, 0.0, 1.0)
+    inlier = cosang > jnp.cos(angle_tol)
+    n_in = jnp.sum(inlier, axis=-1)  # (n, P, K, 8)
+    err = jnp.sum(jnp.arccos(cosang) * inlier, axis=-1) / jnp.maximum(n_in, 1)
+    valid = lut_ok[..., None]
+    n_in = jnp.where(valid, n_in, 0)
+    err = jnp.where(valid & (n_in > 0), err, jnp.inf)
+
+    # Lexicographic (n_in desc, err asc): err < pi/2 so err/10 < 1.
+    score = n_in.astype(jnp.float32) - jnp.where(
+        jnp.isfinite(err), err, 10.0
+    ) / 10.0
+    flat = score.reshape(n, -1)
+    best = jnp.argmax(flat, axis=1)
+    R_flat = R.reshape(n, -1, 3, 3)
+    R_best = jnp.take_along_axis(
+        R_flat, best[:, None, None, None], axis=1
+    )[:, 0]
+    nin_best = jnp.take_along_axis(n_in.reshape(n, -1), best[:, None], axis=1)[:, 0]
+    err_best = jnp.take_along_axis(err.reshape(n, -1), best[:, None], axis=1)[:, 0]
+    return R_best, err_best, nin_best
 
 
 def hough_indexing(
@@ -256,6 +333,7 @@ def hough_indexing(
     angle_tol_deg: float = 2.0,
     min_dspacing: float = 1.0,
     voltage_kv: float = 20.0,
+    chunk: int = 256,
 ) -> CrystalMap:
     """Index a scan by Hough band detection and triplet voting.
 
@@ -338,17 +416,35 @@ def hough_indexing(
     )
 
     n = normals.shape[0]
-    quats = np.zeros((n, 4))
-    fit = np.zeros(n)
-    nbands = np.zeros(n, dtype=np.int32)
     tol = np.deg2rad(angle_tol_deg)
-    for k in range(n):
-        q, err, n_in = _orientation_from_bands(
-            normals[k], g_unit, lut_angles, lut_pairs, angle_tol=tol
-        )
-        quats[k] = q
-        fit[k] = np.rad2deg(err) if np.isfinite(err) else np.nan
-        nbands[k] = n_in
+    pair_idx = np.asarray(
+        list(combinations(range(min(n_bands, 6)), 2)), dtype=np.int32
+    )
+    # Chunk patterns to bound the candidate-scoring intermediate
+    # (chunk x 960 candidates x nb x ng floats).
+    normals_j = jnp.asarray(normals, jnp.float32)
+    g_j = jnp.asarray(g_unit, jnp.float32)
+    la_j = jnp.asarray(lut_angles, jnp.float32)
+    lp_j = jnp.asarray(lut_pairs, jnp.int32)
+    pi_j = jnp.asarray(pair_idx)
+    R_parts, err_parts, nin_parts = [], [], []
+    for start in range(0, n, chunk):
+        block = normals_j[start : start + chunk]
+        if block.shape[0] < chunk and n > chunk:
+            pad = chunk - block.shape[0]
+            block = jnp.concatenate([block, block[:1].repeat(pad, 0)], axis=0)
+            R_b, e_b, c_b = _vote_orientations(block, g_j, la_j, lp_j, pi_j, tol)
+            R_b, e_b, c_b = R_b[:-pad], e_b[:-pad], c_b[:-pad]
+        else:
+            R_b, e_b, c_b = _vote_orientations(block, g_j, la_j, lp_j, pi_j, tol)
+        R_parts.append(R_b)
+        err_parts.append(e_b)
+        nin_parts.append(c_b)
+    R_all = jnp.concatenate(R_parts, axis=0)
+    quats = np.asarray(quat.from_matrix(R_all))
+    err = np.asarray(jnp.concatenate(err_parts))
+    fit = np.where(np.isfinite(err), np.rad2deg(err), np.nan)
+    nbands = np.asarray(jnp.concatenate(nin_parts)).astype(np.int32)
 
     pg = phase.get_point_group()
     quats = reduce_to_fundamental_zone(quats, pg.proper_name)

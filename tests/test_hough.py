@@ -109,3 +109,19 @@ class TestHoughRealData:
         # (DI + refined) solutions, from band geometry alone.
         assert ang.max() < 4.0, ang
         assert (xmap.prop["nbands"] >= 3).all()
+
+
+class TestVotingChunking:
+    def test_chunked_voting_matches_single_batch(self):
+        """Chunk-boundary padding must not change any result."""
+        rng = np.random.default_rng(3)
+        data = rng.integers(0, 255, (9, 40, 40), dtype=np.uint8)
+        from kikuchipy_tpu.signals.ebsd import EBSD
+        from kikuchipy_tpu.geometry.detector import EBSDDetector
+
+        det = EBSDDetector(shape=(40, 40), pc=(0.5, 0.5, 0.5), sample_tilt=70)
+        s = EBSD(data=data.reshape(3, 3, 40, 40), detector=det)
+        a = s.hough_indexing(phase_list=NI_PHASE, chunk=4)
+        b = s.hough_indexing(phase_list=NI_PHASE, chunk=256)
+        np.testing.assert_allclose(a.rotations, b.rotations, atol=1e-5)
+        np.testing.assert_array_equal(a.prop["nbands"], b.prop["nbands"])
