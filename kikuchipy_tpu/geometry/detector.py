@@ -288,27 +288,6 @@ class EBSDDetector:
         """Rotation matrix taking detector-frame to sample-frame vectors."""
         return self.sample_to_detector.T
 
-    # ---------------------- Coordinate transforms -------------------- #
-
-    def to_gnomonic_coords(self, pixel_coords: np.ndarray) -> np.ndarray:
-        """Convert detector pixel ``(x, y)`` coordinates to gnomonic.
-
-        ``pixel_coords`` has shape ``(..., 2)`` with x along columns and y
-        along rows (origin top-left). Follows the reference's converters
-        (``detectors/_convert_detector_coordinates.py:56-218``).
-        """
-        pixel_coords = np.asarray(pixel_coords, dtype=np.float64)
-        x_g = (pixel_coords[..., 0] - self.pcx * self.ncols) / (self.pcz * self.nrows)
-        y_g = -(pixel_coords[..., 1] - self.pcy * self.nrows) / (self.pcz * self.nrows)
-        return np.stack([x_g, y_g], axis=-1)
-
-    def to_pixel_coords(self, gnomonic_coords: np.ndarray) -> np.ndarray:
-        """Convert gnomonic ``(x, y)`` coordinates to detector pixels."""
-        gnomonic_coords = np.asarray(gnomonic_coords, dtype=np.float64)
-        x_px = gnomonic_coords[..., 0] * self.pcz * self.nrows + self.pcx * self.ncols
-        y_px = -gnomonic_coords[..., 1] * self.pcz * self.nrows + self.pcy * self.nrows
-        return np.stack([x_px, y_px], axis=-1)
-
     # ----------------------- PC conversions -------------------------- #
 
     def _pc_to_bruker(self, pc: np.ndarray, conv: str) -> np.ndarray:
@@ -360,6 +339,128 @@ class EBSDDetector:
     pc_oxford = property(lambda self: self.pc_in_convention("oxford"))
     pc_emsoft = property(lambda self: self.pc_in_convention("emsoft5"))
     pc_bruker = property(lambda self: self.pc)
+
+    # --------------- Pixel <-> gnomonic coordinates ------------------ #
+
+    def _coord_factors(self, direction: str):
+        """Linear factors (m_x, c_x, m_y, c_y) for pixel<->gnomonic
+        conversion per PC (reference
+        ``detectors/_convert_detector_coordinates.py:56-82``): pixel x
+        grows right, pixel y grows down, gnomonic y grows up."""
+        gb = self.gnomonic_bounds
+        xg_min, xg_max = gb[..., 0], gb[..., 1]
+        yg_min, yg_max = gb[..., 2], gb[..., 3]
+        if direction == "pix_to_gn":
+            m_x = (xg_max - xg_min) / self.ncols
+            c_x = xg_min
+            m_y = (yg_min - yg_max) / self.nrows
+            c_y = yg_max
+        else:
+            m_x = self.ncols / (xg_max - xg_min)
+            c_x = -xg_min * m_x
+            m_y = self.nrows / (yg_min - yg_max)
+            c_y = -yg_max * m_y
+        return m_x, c_x, m_y, c_y
+
+    def _convert_coords(self, coords, direction, detector_index=None):
+        coords = np.atleast_2d(np.asarray(coords, dtype=np.float64))
+        if coords.shape[-1] != 2:
+            raise ValueError(
+                "Coordinates must have length 2 along the last axis, got "
+                f"shape {coords.shape}"
+            )
+        m_x, c_x, m_y, c_y = (
+            np.asarray(v) for v in self._coord_factors(direction)
+        )
+        if detector_index is None:
+            nav_ndim = m_x.ndim
+            if nav_ndim:
+                if (
+                    coords.ndim >= nav_ndim + 2
+                    and coords.shape[:nav_ndim] == m_x.shape
+                ):
+                    # Coords already carry the navigation shape: one set
+                    # per map point (reference
+                    # ``_convert_detector_coordinates.py:135-140``).
+                    expand = (...,) + (None,) * (coords.ndim - 1 - nav_ndim)
+                else:
+                    # Same coords for every PC: output nav + coords.shape.
+                    expand = (...,) + (None,) * (coords.ndim - 1)
+                m_x, c_x = m_x[expand], c_x[expand]
+                m_y, c_y = m_y[expand], c_y[expand]
+        else:
+            idx = (
+                (detector_index,)
+                if isinstance(detector_index, int)
+                else tuple(detector_index)
+            )
+            if len(idx) != m_x.ndim:
+                raise ValueError(
+                    f"detector_index {detector_index} does not match the "
+                    f"navigation dimension {m_x.ndim}"
+                )
+            m_x, c_x = m_x[idx], c_x[idx]
+            m_y, c_y = m_y[idx], c_y[idx]
+        # Coordinates are ordered (y, x) / (gy, gx) like the reference
+        # (``_convert_detector_coordinates.py:189-205``).
+        cy_out = m_y * coords[..., 0] + c_y
+        cx_out = m_x * coords[..., 1] + c_x
+        return np.stack([cy_out, cx_out], axis=-1)
+
+    def to_gnomonic_coords(
+        self, coords, detector_index: int | tuple | None = None
+    ) -> np.ndarray:
+        """Convert detector pixel ``(col, row)`` coordinates to
+        gnomonic ``(x_g, y_g)`` (reference ``_ebsd_detector.py``
+        ``to_gnomonic_coords`` /
+        ``_convert_detector_coordinates.py:207-215``). Without
+        ``detector_index`` and with per-point PCs, one conversion per
+        map point is returned (``nav_shape + coords.shape``)."""
+        return self._convert_coords(coords, "pix_to_gn", detector_index)
+
+    def to_pixel_coords(
+        self, coords, detector_index: int | tuple | None = None
+    ) -> np.ndarray:
+        """Convert gnomonic ``(x_g, y_g)`` coordinates to detector
+        pixel ``(col, row)`` (reference ``to_pixel_coords`` /
+        ``_convert_detector_coordinates.py:218-226``)."""
+        return self._convert_coords(coords, "gn_to_pix", detector_index)
+
+    # Reference-internal helper names, kept for discoverability.
+    convert_pixel_to_gnomonic_coords = to_gnomonic_coords
+    convert_gnomonic_to_pixel_coords = to_pixel_coords
+
+    def plot_pc(self, mode: str = "map", ax=None, **scatter_kwargs):
+        """Plot the projection centers: ``"map"`` (PCx/PCy scatter
+        colored by PCz), ``"scatter"`` (3D scatter), or ``"3d"`` (alias)
+        (reference ``_ebsd_detector.py`` ``plot_pc``). Returns the axes.
+        """
+        import matplotlib.pyplot as plt
+
+        pcs = self.pc_flattened
+        if mode == "map":
+            if ax is None:
+                _, ax = plt.subplots()
+            sc = ax.scatter(
+                pcs[:, 0], pcs[:, 1], c=pcs[:, 2], **scatter_kwargs
+            )
+            ax.set_xlabel("PCx")
+            ax.set_ylabel("PCy")
+            ax.invert_yaxis()
+            plt.colorbar(sc, ax=ax, label="PCz")
+        elif mode in ("scatter", "3d"):
+            if ax is None:
+                fig = plt.figure()
+                ax = fig.add_subplot(projection="3d")
+            ax.scatter(pcs[:, 0], pcs[:, 1], pcs[:, 2], **scatter_kwargs)
+            ax.set_xlabel("PCx")
+            ax.set_ylabel("PCy")
+            ax.set_zlabel("PCz")
+        else:
+            raise ValueError(
+                f"mode must be 'map', 'scatter' or '3d', got {mode!r}"
+            )
+        return ax
 
     # --------------------------- Utilities --------------------------- #
 

@@ -141,12 +141,16 @@ def dictionary_index_streamed(
     Returns a :class:`~kikuchipy_tpu.indexing.di.
     DictionaryIndexingResult` covering the full scan.
     """
+    import time
+
     import jax.numpy as jnp
 
     from kikuchipy_tpu.indexing.di import (
         DictionaryIndexingResult,
-        dictionary_index,
+        _default_tile,
+        _index_resident,
     )
+    from kikuchipy_tpu.indexing.metrics import get_metric, signal_mask_to_idx
 
     chunks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     done_starts: set[int] = set()
@@ -158,35 +162,75 @@ def dictionary_index_streamed(
                 chunks[start] = (ckpt[key], ckpt[f"idx_{start}"])
                 done_starts.add(start)
 
+    # Prepare the dictionary ON DEVICE ONCE (the previous implementation
+    # re-prepared it for every chunk via dictionary_index).
+    metric_obj = get_metric(metric)
+    dict_arr = jnp.asarray(dictionary)
+    sig_size = int(np.prod(dict_arr.shape[1:]))
+    keep_idx = signal_mask_to_idx(signal_mask, sig_size)
+    keep_idx = None if keep_idx is None else jnp.asarray(keep_idx)
+    dict_prepared = metric_obj.prepare(dict_arr, keep_idx)
+    m = dict_prepared.shape[0]
+    keep_n_eff = min(keep_n, m)
+    tile = min(
+        di_kwargs.pop("n_per_iteration", None) or _default_tile(chunk_size), m
+    )
+    precision = di_kwargs.pop("precision", "highest")
+    approx = di_kwargs.pop("approx_topk", False)
+    if di_kwargs:
+        raise TypeError(f"Unknown arguments: {sorted(di_kwargs)}")
+
+    # Host preprocessing runs in a pipeline thread so it overlaps device
+    # compute; device dispatch is async, and results are synced with a
+    # one-chunk lag so the checkpoint write of chunk i overlaps the
+    # matmuls of chunk i+1.
+    def produce():
+        for start, chunk in stream_patterns(
+            filename, dataset=dataset, chunk_size=chunk_size
+        ):
+            if start in done_starts:
+                continue
+            if preprocess_fn is not None:
+                chunk = preprocess_fn(chunk)
+            yield start, chunk
+
+    def checkpoint():
+        if checkpoint_path is None:
+            return
+        payload = {}
+        for s0, (sc, ix) in chunks.items():
+            payload[f"scores_{s0}"] = np.asarray(sc)
+            payload[f"idx_{s0}"] = np.asarray(ix)
+        tmp = Path(str(checkpoint_path) + ".tmp")
+        with open(tmp, "wb") as fh:
+            np.savez(fh, **payload)
+        tmp.replace(checkpoint_path)
+
     total = 0
-    pps_acc = 0.0
-    for start, chunk in stream_patterns(
-        filename, dataset=dataset, chunk_size=chunk_size
-    ):
-        if start in done_starts:
-            continue
-        if preprocess_fn is not None:
-            chunk = preprocess_fn(chunk)
-        res = dictionary_index(
-            jnp.asarray(chunk),
-            dictionary=dictionary,
-            keep_n=keep_n,
-            metric=metric,
-            signal_mask=signal_mask,
-            **di_kwargs,
+    t0 = time.perf_counter()
+    pending: tuple[int, object, object] | None = None
+    for start, chunk in _pipelined(produce(), depth=2):
+        exp_prepared = metric_obj.prepare(jnp.asarray(chunk), keep_idx)
+        scores_d, idx_d = _index_resident(
+            exp_prepared,
+            dict_prepared,
+            keep_n_eff,
+            min(tile, m),
+            precision,
+            approx,
         )
-        chunks[start] = (res.scores, res.simulation_indices)
-        total += res.scores.shape[0]
-        pps_acc += res.patterns_per_second * res.scores.shape[0]
-        if checkpoint_path is not None:
-            payload = {}
-            for s0, (sc, ix) in chunks.items():
-                payload[f"scores_{s0}"] = sc
-                payload[f"idx_{s0}"] = ix
-            tmp = Path(str(checkpoint_path) + ".tmp")
-            with open(tmp, "wb") as fh:
-                np.savez(fh, **payload)
-            tmp.replace(checkpoint_path)
+        if pending is not None:
+            s_prev, sc_prev, ix_prev = pending
+            chunks[s_prev] = (np.asarray(sc_prev), np.asarray(ix_prev))
+            total += chunks[s_prev][0].shape[0]
+            checkpoint()
+        pending = (start, scores_d, idx_d)
+    if pending is not None:
+        s_prev, sc_prev, ix_prev = pending
+        chunks[s_prev] = (np.asarray(sc_prev), np.asarray(ix_prev))
+        total += chunks[s_prev][0].shape[0]
+        checkpoint()
+    dt = time.perf_counter() - t0
 
     starts = sorted(chunks)
     return DictionaryIndexingResult(
@@ -194,5 +238,34 @@ def dictionary_index_streamed(
         simulation_indices=np.concatenate(
             [chunks[s][1] for s in starts], axis=0
         ),
-        patterns_per_second=pps_acc / max(total, 1),
+        patterns_per_second=total / dt if total else 0.0,
+        comparisons_per_second=total * m / dt if total else 0.0,
     )
+
+
+def _pipelined(it: Iterator, depth: int = 2) -> Iterator:
+    """Run an iterator's work in a background thread with a bounded
+    queue, so producing the next item (disk read + host preprocess)
+    overlaps consuming the current one (device compute)."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    error: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as exc:  # propagate to consumer
+            error.append(exc)
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        yield item
+    t.join(timeout=10)
+    if error:
+        raise error[0]

@@ -293,6 +293,46 @@ class EBSD:
 
         return VirtualBSEImager(self).get_virtual_bse_intensity(roi)
 
+    def plot_virtual_bse_intensity(self, roi, ax=None, **imshow_kwargs):
+        """Plot the virtual BSE image for a detector ROI
+        ``(row0, row1, col0, col1)`` (static counterpart of the
+        reference's interactive ``plot_virtual_bse_intensity``,
+        ``ebsd.py:1496``). Returns the matplotlib axes."""
+        import matplotlib.pyplot as plt
+
+        img = self.get_virtual_bse_intensity(roi)
+        if ax is None:
+            _, ax = plt.subplots()
+        ax.imshow(img, cmap=imshow_kwargs.pop("cmap", "gray"), **imshow_kwargs)
+        ax.set_title(f"Virtual BSE, ROI rows {roi[0]}:{roi[1]} cols {roi[2]}:{roi[3]}")
+        ax.axis("off")
+        return ax
+
+    def change_dtype(self, dtype) -> "EBSD":
+        """Return the scan with patterns cast to ``dtype`` (the
+        reference's in-place HyperSpy ``change_dtype``; here a new
+        signal is returned like all other operations)."""
+        return self._replace_data(np.asarray(self.data).astype(np.dtype(dtype)))
+
+    def set_scan_calibration(
+        self, step_x: float = 1.0, step_y: float = 1.0
+    ) -> None:
+        """Set the navigation step sizes in microns (reference
+        ``ebsd.py:380-410``; stored in :attr:`metadata` as
+        ``scan_step`` since there is no HyperSpy axes manager)."""
+        self.metadata["scan_step"] = (float(step_y), float(step_x))
+        self.metadata["scan_unit"] = "um"
+
+    def set_detector_calibration(self, delta: float) -> None:
+        """Set the detector pixel size in microns (reference
+        ``ebsd.py:412-440``); updates :attr:`detector` and records the
+        value in :attr:`metadata`."""
+        self.metadata["detector_pixel_size"] = float(delta)
+        if self.detector is not None:
+            self.detector = dataclasses.replace(
+                self.detector, px_size=float(delta)
+            )
+
     def get_decomposition_model(self, components: int = 10) -> "EBSD":
         """Reconstruct the scan from its first ``components`` principal
         components (reference ``EBSD.get_decomposition_model``,

@@ -149,11 +149,13 @@ class TestEBSDDetector:
         np.testing.assert_allclose(np.linalg.det(m), 1.0, atol=1e-12)
 
     def test_pixel_gnomonic_roundtrip(self):
+        # Coordinates ordered (y, x) like the reference converters.
         det = EBSDDetector(shape=(60, 60), pc=(0.42, 0.55, 0.5))
         px = np.array([[10.0, 20.0], [0.0, 0.0], [59.0, 59.0]])
         gn = det.to_gnomonic_coords(px)
+        assert gn.shape == (1, 3, 2)  # single-PC nav shape is (1,)
         px2 = det.to_pixel_coords(gn)
-        np.testing.assert_allclose(px2, px, atol=1e-12)
+        np.testing.assert_allclose(px2, px[None], atol=1e-12)
 
     def test_crop(self):
         det = EBSDDetector(shape=(60, 60), pc=(0.4, 0.6, 0.5))
@@ -194,3 +196,49 @@ class TestEBSDDetector:
     def test_invalid_convention(self):
         with pytest.raises(ValueError, match="Unrecognized"):
             EBSDDetector(pc=(0.5, 0.5, 0.5), convention="nonsense")
+
+
+class TestCoordinateConversions:
+    """Reference goldens from tests/test_detectors/test_ebsd_detector.py
+    :306-349 (coordinates ordered (y, x) / (gy, gx))."""
+
+    PC = np.array([
+        [[0.4214844, 0.21500351, 0.50201974],
+         [0.42414583, 0.21014019, 0.50104439]],
+        [[0.42088203, 0.2165417, 0.50079336],
+         [0.42725023, 0.21450546, 0.49996293]],
+    ])
+
+    def test_per_pc_broadcast_golden(self):
+        det = EBSDDetector(shape=(60, 60), pc=self.PC)
+        out = det.to_gnomonic_coords(np.array([[12.7, 36.2]]))
+        want = np.array([
+            [[[0.00664684, 0.36223463]], [[-0.00304659, 0.357628]]],
+            [[[0.00973462, 0.36432453]], [[0.00567801, 0.35219232]]],
+        ])
+        assert out.shape == (2, 2, 1, 2)
+        np.testing.assert_allclose(out, want, atol=1e-6)
+
+    def test_detector_index_golden_and_roundtrip(self):
+        det = EBSDDetector(shape=(60, 60), pc=self.PC)
+        coords = np.array([[12.7, 36.2], [43.7, 2.5], [27.7, 8.2]])
+        out = det.to_gnomonic_coords(coords, (0, 1))
+        want = np.array([
+            [-0.00304659, 0.35762801],
+            [-1.03422601, -0.76336381],
+            [-0.50200438, -0.57375985],
+        ])
+        np.testing.assert_allclose(out, want, atol=1e-6)
+        np.testing.assert_allclose(
+            det.to_pixel_coords(out, (0, 1)), coords, atol=1e-9
+        )
+
+    def test_wrong_index_dim_raises(self):
+        det = EBSDDetector(shape=(60, 60), pc=self.PC)
+        with pytest.raises(ValueError, match="navigation dimension"):
+            det.to_gnomonic_coords(np.array([[1.0, 2.0]]), 0)
+
+    def test_bad_last_axis_raises(self):
+        det = EBSDDetector(shape=(60, 60), pc=(0.5, 0.5, 0.5))
+        with pytest.raises(ValueError, match="length 2"):
+            det.to_gnomonic_coords(np.ones((2, 3)))

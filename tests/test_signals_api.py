@@ -216,3 +216,25 @@ class TestWindowGoldens:
         np.testing.assert_allclose(
             np.asarray(w), np.outer(gaussian(5, 2), gaussian(5, 2))
         )
+
+
+class TestCalibrationAndDtype:
+    def test_change_dtype(self, signal):
+        out = signal.change_dtype(np.float32)
+        assert np.asarray(out.data).dtype == np.float32
+        assert np.asarray(signal.data).dtype == np.uint8  # original intact
+
+    def test_set_scan_calibration(self, signal):
+        signal.set_scan_calibration(step_x=1.5, step_y=2.0)
+        assert signal.metadata["scan_step"] == (2.0, 1.5)
+
+    def test_set_detector_calibration(self, signal):
+        signal.set_detector_calibration(70.0)
+        assert signal.detector.px_size == 70.0
+
+    def test_plot_virtual_bse_intensity(self, signal):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        ax = signal.plot_virtual_bse_intensity((0, 2, 0, 2))
+        assert ax is not None

@@ -117,7 +117,13 @@ class TestCheckpointing:
             f, dictionary, preprocess_fn=counting_preprocess,
             chunk_size=30, keep_n=3, checkpoint_path=ckpt,
         )
-        assert len(seen) == 2  # only the remaining 2 of 4 chunks
+        # Results are synced with a one-chunk lag (checkpoint write of
+        # chunk i overlaps compute of chunk i+1), so a crash loses at
+        # most the one pending chunk: of the 2 chunks completed before
+        # the crash, at least 1 was durably checkpointed and is not
+        # re-processed on resume.
+        assert 2 <= len(seen) <= 3
+        assert len(seen) < 4  # resume skipped checkpointed work
 
         ref = dictionary_index(
             data.astype(np.float32), dictionary=dictionary, keep_n=3
