@@ -5,6 +5,15 @@ from kikuchipy_tpu.indexing.di import (
     dictionary_index,
     merge_topk,
 )
+from kikuchipy_tpu.indexing.compat import (
+    NormalizedCrossCorrelationMetric,
+    NormalizedDotProductMetric,
+    compute_refine_orientation_projection_center_results,
+    compute_refine_orientation_results,
+    compute_refine_projection_center_results,
+    xmap_from_hough_indexing_data,
+)
+from kikuchipy_tpu.indexing.hough import hough_indexing
 from kikuchipy_tpu.indexing.merge import merge_crystal_maps
 from kikuchipy_tpu.indexing.metrics import SimilarityMetric, get_metric, ncc, ndp
 from kikuchipy_tpu.indexing.osm import orientation_similarity_map
@@ -15,6 +24,13 @@ from kikuchipy_tpu.indexing.refinement import (
 )
 
 __all__ = [
+    "NormalizedCrossCorrelationMetric",
+    "NormalizedDotProductMetric",
+    "compute_refine_orientation_projection_center_results",
+    "compute_refine_orientation_results",
+    "compute_refine_projection_center_results",
+    "hough_indexing",
+    "xmap_from_hough_indexing_data",
     "DictionaryIndexingResult",
     "SimilarityMetric",
     "dictionary_index",

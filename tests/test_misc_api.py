@@ -168,3 +168,55 @@ class TestGridIndices:
 
         with pytest.raises(ValueError, match="must be compatible"):
             grid_indices((10, 10), (5, 75))
+
+
+class TestIndexingCompatShims:
+    def test_metric_factories(self):
+        from kikuchipy_tpu.indexing import (
+            NormalizedCrossCorrelationMetric,
+            NormalizedDotProductMetric,
+        )
+
+        assert NormalizedCrossCorrelationMetric().name == "ncc"
+        assert NormalizedDotProductMetric().centered is False
+
+    def test_xmap_from_hough_indexing_data(self):
+        from kikuchipy_tpu.crystallography.crystal_map import Phase, PhaseList
+        from kikuchipy_tpu.indexing import xmap_from_hough_indexing_data
+
+        n = 6
+        dt = np.dtype([
+            ("quat", "f8", (4,)), ("phase", "i8"), ("fit", "f8"),
+            ("cm", "f8"), ("pq", "f8"), ("nmatch", "i8"),
+        ])
+        data = np.zeros((2, n), dtype=dt)
+        data[-1]["quat"][:, 0] = 1.0
+        data[-1]["phase"] = 0
+        data[-1]["fit"] = 0.4
+        xmap = xmap_from_hough_indexing_data(
+            data, PhaseList(Phase("ni", 225)), navigation_shape=(2, 3),
+            step_sizes=(1.5, 2.0),
+        )
+        assert xmap.shape == (2, 3)
+        assert xmap.prop["fit"].shape == (n,)
+        assert xmap.x[1] == 2.0 and xmap.y[3] == 1.5
+
+    def test_compute_refine_unwrappers(self):
+        from kikuchipy_tpu.crystallography.crystal_map import CrystalMap
+        from kikuchipy_tpu.indexing import (
+            compute_refine_orientation_projection_center_results,
+            compute_refine_orientation_results,
+            compute_refine_projection_center_results,
+        )
+        from kikuchipy_tpu.indexing.refinement import RefinementResult
+
+        xmap = CrystalMap(
+            rotations=np.tile([1.0, 0, 0, 0], (4, 1)),
+            prop={"scores": np.ones(4), "num_evals": np.full(4, 7)},
+        )
+        res = RefinementResult(xmap=xmap, detector="DET")
+        assert compute_refine_orientation_results(res) is xmap
+        scores, det, evals = compute_refine_projection_center_results(res)
+        assert det == "DET" and scores.shape == (4,) and evals[0] == 7
+        x2, d2 = compute_refine_orientation_projection_center_results(res)
+        assert x2 is xmap and d2 == "DET"
