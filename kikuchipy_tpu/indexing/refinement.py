@@ -21,6 +21,7 @@ Supported modes (same as the reference):
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import numpy as np
 import jax
@@ -159,6 +160,57 @@ def _finalize_xmap(xmap, rotations, scores, n_iter, nav_shape):
     )
 
 
+def _exp_map(delta: jnp.ndarray) -> jnp.ndarray:
+    """Gibbs/Cayley rotation-vector map ``(n, 3) -> (n, 4)`` unit
+    quaternions: ``q = (1, delta/2) / sqrt(1 + |delta|^2/4)``. Agrees
+    with the exact exponential map to O(|delta|^3) (error < 2e-6 rad at
+    3 degrees) and -- unlike axis-angle -- is smooth at delta = 0, so
+    ``jax.grad`` through it is NaN-free."""
+    half = delta / 2.0
+    w = jnp.ones(delta.shape[:-1] + (1,), dtype=delta.dtype)
+    q = jnp.concatenate([w, half], axis=-1)
+    return q / jnp.sqrt(1.0 + jnp.sum(jnp.square(half), axis=-1, keepdims=True))
+
+
+@partial(jax.jit, static_argnames=("objective", "iters"))
+def _adam_minimize_batched(
+    objective,
+    x0: jnp.ndarray,
+    lr: float,
+    iters: int,
+    max_norm: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched Adam descent on an elementwise objective with a norm
+    trust region; returns (x_best, f_best). Every map point optimizes
+    simultaneously (same lockstep philosophy as the batched
+    Nelder-Mead, but using the projector's exact gradients)."""
+    grad_fn = jax.grad(lambda x: jnp.sum(objective(x)))
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def clip(x):
+        norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        return jnp.where(norm > max_norm, x * (max_norm / norm), x)
+
+    def step(i, state):
+        x, m, v, x_best, f_best = state
+        g = grad_fn(x).astype(x.dtype)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * jnp.square(g)
+        mh = m / (1 - b1 ** (i + 1.0))
+        vh = v / (1 - b2 ** (i + 1.0))
+        x = clip(x - lr * mh / (jnp.sqrt(vh) + eps)).astype(x0.dtype)
+        f = objective(x).astype(f_best.dtype)
+        better = f < f_best
+        x_best = jnp.where(better[:, None], x, x_best)
+        f_best = jnp.minimum(f, f_best)
+        return x, m, v, x_best, f_best
+
+    f0 = objective(x0)
+    init = (x0, jnp.zeros_like(x0), jnp.zeros_like(x0), x0, f0)
+    _, _, _, x_best, f_best = jax.lax.fori_loop(0, iters, step, init)
+    return x_best, f_best
+
+
 def refine_orientation(
     signal,
     xmap: CrystalMap | None = None,
@@ -170,6 +222,7 @@ def refine_orientation(
     trust_region=None,
     max_iters: int = 150,
     rtol: float = 1e-4,
+    method: str = "nm",
 ) -> RefinementResult:
     """Refine orientations by maximizing NCC over Euler angles
     (reference ``EBSD.refine_orientation``, ``signals/ebsd.py:1986``).
@@ -212,6 +265,41 @@ def refine_orientation(
             dc = jnp.take(dc, jnp.asarray(mask_idx), axis=1)
 
     euler0 = np.asarray(quat.to_euler(jnp.asarray(xmap.best_rotations)))
+
+    if method == "gradient":
+        # TPU-native alternative with no reference equivalent: descend
+        # the projector's exact gradients (the whole chain -- master-
+        # pattern gather, rotation, NCC -- is differentiable) over a
+        # local rotation vector about the start orientation, all map
+        # points in lockstep.
+        q0 = jnp.asarray(xmap.best_rotations, dtype=jnp.float32)
+        max_norm = (
+            np.deg2rad(float(np.max(trust_region)))
+            if trust_region is not None
+            else np.deg2rad(3.0)
+        )
+
+        def objective_delta(delta):
+            q = quat.multiply(q0, _exp_map(delta)).astype(jnp.float32)
+            sim = _project_at(q, dc, master, npx, npy, scale)
+            return 1.0 - _ncc_centered(exp, sq_norm, sim)
+
+        delta0 = jnp.zeros((n, 3), dtype=jnp.float32)
+        d_best, f_best = _adam_minimize_batched(
+            objective_delta,
+            delta0,
+            lr=np.deg2rad(0.25),
+            iters=max_iters,
+            max_norm=max_norm,
+        )
+        refined_rot = np.asarray(quat.multiply(q0, _exp_map(d_best)))
+        scores = 1.0 - np.asarray(f_best)
+        new_xmap = _finalize_xmap(
+            xmap, refined_rot, scores, np.full(n, max_iters), nav_shape
+        )
+        return RefinementResult(xmap=new_xmap, detector=detector)
+    if method != "nm":
+        raise ValueError(f"method must be 'nm' or 'gradient', got {method!r}")
 
     def objective(euler_b):
         q = quat.from_euler(euler_b).astype(jnp.float32)

@@ -185,3 +185,38 @@ class TestPseudoSymmetry:
         np.testing.assert_array_equal(
             res.xmap.prop["pseudo_symmetry_index"], np.ones(9, dtype=int)
         )
+
+
+class TestGradientRefinement:
+    """Opt-in method="gradient": batched Adam on the differentiable
+    projector (no reference equivalent)."""
+
+    def test_matches_nm_quality(self, nickel_setup):
+        s, mp = nickel_setup
+        stored = s.xmap.best_rotations
+        rng = np.random.default_rng(5)
+        axes = rng.normal(size=(9, 3))
+        axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+        dq = np.asarray(quat.from_axis_angle(jnp.asarray(axes), np.deg2rad(2.0)))
+        perturbed = np.asarray(quat.multiply(jnp.asarray(dq), jnp.asarray(stored)))
+
+        from kikuchipy_tpu.crystallography.crystal_map import CrystalMap
+
+        xmap0 = CrystalMap(rotations=perturbed, shape=(3, 3), phases=s.xmap.phases)
+        res = s.refine_orientation(
+            xmap=xmap0, detector=s.detector, master_pattern=mp,
+            max_iters=120, method="gradient",
+        )
+        ang_after = np.degrees(
+            disorientation_angle(stored, res.xmap.best_rotations, "m-3m")
+        )
+        assert ang_after.max() < 0.8, ang_after
+        assert res.xmap.prop["scores"].min() > 0.3
+
+    def test_unknown_method_raises(self, nickel_setup):
+        s, mp = nickel_setup
+        with pytest.raises(ValueError, match="method must be"):
+            s.refine_orientation(
+                xmap=s.xmap, detector=s.detector, master_pattern=mp,
+                method="bogus",
+            )
