@@ -220,3 +220,34 @@ class TestIndexingCompatShims:
         assert det == "DET" and scores.shape == (4,) and evals[0] == 7
         x2, d2 = compute_refine_orientation_projection_center_results(res)
         assert x2 is xmap and d2 == "DET"
+
+
+class TestDataAccessors:
+    def test_download_backed_raise_without_cache(self):
+        import kikuchipy_tpu.data as d
+
+        for fn in (d.ni_gain, d.si_wafer, d.si_ebsd_moving_screen):
+            with pytest.raises(FileNotFoundError, match="KP_TPU_DATA_DIR"):
+                fn()
+        with pytest.raises(FileNotFoundError, match="KP_TPU_DATA_DIR"):
+            d.ebsd_master_pattern("al")
+
+    def test_validation(self):
+        import kikuchipy_tpu.data as d
+
+        with pytest.raises(ValueError, match=r"\[1, 10\]"):
+            d.ni_gain(0)
+        with pytest.raises(ValueError, match="distance"):
+            d.si_ebsd_moving_screen(3)
+        with pytest.raises(ValueError, match="phase"):
+            d.ebsd_master_pattern("unobtainium")
+
+    def test_clear_cache_never_touches_reference(self, monkeypatch, tmp_path):
+        import kikuchipy_tpu.data as d
+
+        cache = tmp_path / "cache"
+        cache.mkdir()
+        (cache / "x.h5").write_bytes(b"abc")
+        monkeypatch.setenv("KP_TPU_DATA_DIR", str(cache))
+        d.clear_cache()
+        assert not cache.exists()
