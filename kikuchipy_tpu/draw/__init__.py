@@ -10,7 +10,10 @@ from kikuchipy_tpu.draw.markers import (
     get_point_list,
 )
 
+from kikuchipy_tpu.draw.positions import plot_pattern_positions_in_map
+
 __all__ = [
+    "plot_pattern_positions_in_map",
     "get_line_segment_list",
     "get_point_list",
     "get_rgb_navigator",

@@ -61,3 +61,37 @@ class TestNavigator:
         nav = get_rgb_navigator(rgb)
         assert nav.dtype == np.uint8
         assert nav.max() == 255 and nav.min() == 0
+
+
+class TestPlotPatternPositions:
+    def test_roi_only(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from kikuchipy_tpu.draw import plot_pattern_positions_in_map
+
+        fig = plot_pattern_positions_in_map(
+            np.array([[5, 5], [20, 30]]), roi_shape=(55, 75),
+            return_figure=True,
+        )
+        assert fig is not None
+
+    def test_roi_in_area_with_images(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from kikuchipy_tpu.draw import plot_pattern_positions_in_map
+
+        rng = np.random.default_rng(0)
+        fig = plot_pattern_positions_in_map(
+            np.array([[30, 40]]), roi_shape=(55, 75), roi_origin=(10, 20),
+            area_shape=(100, 120), area_image=rng.random((100, 120)),
+            return_figure=True,
+        )
+        assert fig is not None
+
+    def test_bad_shape_raises(self):
+        from kikuchipy_tpu.draw import plot_pattern_positions_in_map
+
+        with pytest.raises(ValueError, match=r"\(n, 2\)"):
+            plot_pattern_positions_in_map(np.ones((3, 3)), (5, 5))
