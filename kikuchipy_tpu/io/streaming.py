@@ -127,6 +127,7 @@ def dictionary_index_streamed(
     metric: str = "ncc",
     signal_mask: np.ndarray | None = None,
     checkpoint_path: str | Path | None = None,
+    preprocess_on_device: bool = False,
     **di_kwargs,
 ):
     """Index a scan too large for device memory: stream experimental
@@ -137,6 +138,12 @@ def dictionary_index_streamed(
     (npz) and a restarted run resumes from the last completed chunk —
     the long-job restart-from-scratch gap of the reference (SURVEY.md
     §5 "failure detection").
+
+    With ``preprocess_on_device``, ``preprocess_fn`` is applied to the
+    chunk AFTER the host->device transfer (it must be a jax-compatible
+    function, e.g. composed of :mod:`kikuchipy_tpu.ops`), so raw uint8
+    chunks ship 4x fewer bytes over the host link than float32 —
+    host->device bandwidth, not compute, bounds streaming throughput.
 
     Returns a :class:`~kikuchipy_tpu.indexing.di.
     DictionaryIndexingResult` covering the full scan.
@@ -190,7 +197,7 @@ def dictionary_index_streamed(
         ):
             if start in done_starts:
                 continue
-            if preprocess_fn is not None:
+            if preprocess_fn is not None and not preprocess_on_device:
                 chunk = preprocess_fn(chunk)
             yield start, chunk
 
@@ -210,7 +217,10 @@ def dictionary_index_streamed(
     t0 = time.perf_counter()
     pending: tuple[int, object, object] | None = None
     for start, chunk in _pipelined(produce(), depth=2):
-        exp_prepared = metric_obj.prepare(jnp.asarray(chunk), keep_idx)
+        chunk_dev = jnp.asarray(chunk)
+        if preprocess_fn is not None and preprocess_on_device:
+            chunk_dev = preprocess_fn(chunk_dev)
+        exp_prepared = metric_obj.prepare(chunk_dev, keep_idx)
         scores_d, idx_d = _index_resident(
             exp_prepared,
             dict_prepared,

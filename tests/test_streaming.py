@@ -132,3 +132,26 @@ class TestCheckpointing:
             res.simulation_indices, ref.simulation_indices
         )
         np.testing.assert_allclose(res.scores, ref.scores, atol=1e-5)
+
+
+class TestDevicePreprocess:
+    def test_device_preprocess_matches_host(self, big_scan):
+        import jax.numpy as jnp
+
+        f, data = big_scan
+        rng = np.random.default_rng(4)
+        dictionary = rng.normal(size=(32, 16, 16)).astype(np.float32)
+
+        host = dictionary_index_streamed(
+            f, dictionary, preprocess_fn=lambda c: c.astype(np.float32) / 255,
+            chunk_size=40, keep_n=3,
+        )
+        dev = dictionary_index_streamed(
+            f, dictionary,
+            preprocess_fn=lambda c: c.astype(jnp.float32) / 255,
+            preprocess_on_device=True, chunk_size=40, keep_n=3,
+        )
+        np.testing.assert_array_equal(
+            host.simulation_indices, dev.simulation_indices
+        )
+        np.testing.assert_allclose(host.scores, dev.scores, atol=1e-6)
