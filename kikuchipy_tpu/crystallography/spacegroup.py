@@ -217,8 +217,32 @@ _NONSYMMORPHIC = {
     186: [_t("6h", 0, 0, 0.5), _t("mh100", 0, 0, 0)],
     # P6_3/mmc: hcp Mg/Ti/Zn/Co, graphite, MoS2.
     194: [_t("6h", 0, 0, 0.5), _t("2h100", 0, 0, 0), _t("inv", 0, 0, 0)],
+    # Tetragonal 4_1/4_2/4_3 screws (enantiomorph pair 76/78).
+    76: [_t("4z", 0, 0, 0.25)],
+    77: [_t("4z", 0, 0, 0.5)],
+    78: [_t("4z", 0, 0, 0.75)],
+    # Trigonal 3_1/3_2 screws (enantiomorph pair).
+    144: [_t("3h", 0, 0, 1 / 3)],
+    145: [_t("3h", 0, 0, 2 / 3)],
+    # Hexagonal 6_n screws (169/170 and 171/172 enantiomorph pairs).
+    169: [_t("6h", 0, 0, 1 / 6)],
+    170: [_t("6h", 0, 0, 5 / 6)],
+    171: [_t("6h", 0, 0, 1 / 3)],
+    172: [_t("6h", 0, 0, 2 / 3)],
+    173: [_t("6h", 0, 0, 0.5)],
+    # P6_3/m: apatite.
+    176: [_t("6h", 0, 0, 0.5), _t("inv", 0, 0, 0)],
+    # P6_222 / P6_422: beta-quartz (enantiomorph pair). The tertiary
+    # 2-folds carry a z translation (ITA position (7): y, x, -z+2/3),
+    # which puts the 3c/3d sites on 222 axes (multiplicity 3).
+    180: [_t("6h", 0, 0, 1 / 3), _t("2h110", 0, 0, 2 / 3)],
+    181: [_t("6h", 0, 0, 2 / 3), _t("2h110", 0, 0, 1 / 3)],
     # P2_13: FeSi, epsilon-phases.
     198: [_t("3xyz", 0, 0, 0), _t("2z", 0.5, 0, 0.5)],
+    # I2_13: the 2_1 translation is defined mod the I centering.
+    199: [_t("3xyz", 0, 0, 0), _t("2z", 0.5, 0, 0.5)],
+    # Ia-3: bixbyite (Mn,Fe)2O3.
+    206: [_t("3xyz", 0, 0, 0), _t("2z", 0.5, 0, 0.5), _t("inv", 0, 0, 0)],
     # Fd-3 (origin 1): inversion at (1/8, 1/8, 1/8).
     203: [_t("3xyz", 0, 0, 0), _t("2z", 0, 0, 0), _t("2x", 0, 0, 0),
           _t("inv", 0.25, 0.25, 0.25)],

@@ -162,3 +162,43 @@ class TestExtinctionsFromAsymmetricUnit:
         assert _amp(lat, atoms, 152, (0, 0, 1), 2.0) == pytest.approx(0, abs=1e-9)
         assert _amp(lat, atoms, 152, (0, 0, 2), 2.0) == pytest.approx(0, abs=1e-9)
         assert _amp(lat, atoms, 152, (0, 0, 3), 1.5) > 1e-3
+
+
+class TestScrewAxisGroups:
+    """Pure screw-axis groups added for completeness (enantiomorph
+    pairs, apatite, beta-quartz, bixbyite)."""
+
+    @pytest.mark.parametrize(
+        "sg, order",
+        [(76, 4), (78, 4), (144, 3), (145, 3), (169, 6), (170, 6),
+         (173, 6), (176, 12), (180, 12), (181, 12), (199, 24), (206, 48)],
+    )
+    def test_orders(self, sg, order):
+        assert len(general_positions(sg)) == order
+
+    def test_beta_quartz_3c_site(self):
+        # Si on the 222 axis: multiplicity 3 requires the z-translated
+        # tertiary 2-folds.
+        assert len(expand_atoms([("Si", 0.5, 0, 0)], 180)) == 3
+        assert len(expand_atoms([("Si", 0.5, 0, 0.5)], 181)) == 3
+
+    def test_apatite_sites(self):
+        assert len(expand_atoms([("Ca", 1 / 3, 2 / 3, 0.001)], 176)) == 4
+        assert len(expand_atoms([("Ca", 0.246, 0.993, 0.25)], 176)) == 6
+
+    def test_bixbyite_sites(self):
+        assert len(expand_atoms([("Mn", 0.25, 0.25, 0.25)], 206)) == 8
+        assert len(expand_atoms([("Mn", 0.97, 0, 0.25)], 206)) == 24
+
+    def test_screw_extinctions(self):
+        lat_t = Lattice(4, 4, 8, 90, 90, 90)
+        at = [("Ni", 0.1, 0.2, 0.05)]
+        # 4_1: (00l) only l = 4n.
+        assert _amp(lat_t, at, 76, (0, 0, 1), 2.5) == pytest.approx(0, abs=1e-9)
+        assert _amp(lat_t, at, 76, (0, 0, 2), 2.5) == pytest.approx(0, abs=1e-9)
+        assert _amp(lat_t, at, 76, (0, 0, 4), 1.9) > 1
+        # 6_2: (000l) only l = 3n.
+        lat_h = Lattice(5, 5, 5.5, 90, 90, 120)
+        si = [("Si", 0.2064, 0.4128, 0.5)]
+        assert _amp(lat_h, si, 180, (0, 0, 1), 2.0) == pytest.approx(0, abs=1e-9)
+        assert _amp(lat_h, si, 180, (0, 0, 3), 1.5) > 1
