@@ -260,3 +260,27 @@ class TestMasterPatternSignalOps:
         d.data[0, 0, 0] = 7
         assert mp.data[0, 0, 0] != 7 or mp.data[0, 0, 0] == 7  # no alias
         assert d.data is not mp.data
+
+
+class TestVirtualBSEImage:
+    def test_ops_and_plot(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from kikuchipy_tpu.signals import VirtualBSEImage
+
+        rng = np.random.default_rng(0)
+        img = VirtualBSEImage(data=rng.integers(0, 255, (32, 32)).astype(np.uint8))
+        r = img.rescale_intensity(dtype_out=np.float32)
+        assert r.data.dtype == np.float32 and r.data.min() == -1.0
+        n = img.normalize_intensity(dtype_out=np.float32)
+        assert abs(float(n.data.mean())) < 1e-6
+        a = img.adaptive_histogram_equalization(kernel_size=(16, 16))
+        assert a.shape == (32, 32)
+        assert img.plot() is not None
+
+    def test_signals_util_grid_indices(self):
+        from kikuchipy_tpu.signals.util import grid_indices
+
+        idx = grid_indices((4, 5), (55, 75))
+        assert idx.shape == (2, 4, 5)
