@@ -308,6 +308,11 @@ class EBSD:
         ax.axis("off")
         return ax
 
+    def deepcopy(self) -> "EBSD":
+        import copy
+
+        return copy.deepcopy(self)
+
     def change_dtype(self, dtype) -> "EBSD":
         """Return the scan with patterns cast to ``dtype`` (the
         reference's in-place HyperSpy ``change_dtype``; here a new
