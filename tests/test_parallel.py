@@ -149,3 +149,52 @@ class TestShardedFusedDI:
         )
         np.testing.assert_array_equal(idx, ref.simulation_indices)
         np.testing.assert_allclose(scores, ref.scores, atol=1e-5)
+
+
+class TestShardedRefinement:
+    def test_matches_single_device(self):
+        from pathlib import Path
+
+        import dataclasses
+        import kikuchipy_tpu as kp
+        from kikuchipy_tpu.crystallography.crystal_map import CrystalMap
+        from kikuchipy_tpu.geometry import quaternion as quat
+        import jax.numpy as jnp
+        from kikuchipy_tpu.parallel import make_mesh, sharded_refine_orientation
+
+        p = Path("/root/reference/src/kikuchipy/data/kikuchipy_h5ebsd/patterns.h5")
+        if not p.exists():
+            pytest.skip("reference data not available")
+        raw = kp.load(p)
+        s = raw.remove_static_background().remove_dynamic_background()
+        mp = kp.data.nickel_ebsd_master_pattern_small(
+            projection="lambert", hemisphere="both"
+        )
+        # Perturb so refinement has work to do.
+        rng = np.random.default_rng(3)
+        axes = rng.normal(size=(9, 3))
+        axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+        dq = np.asarray(quat.from_axis_angle(jnp.asarray(axes), np.deg2rad(1.5)))
+        q0 = np.asarray(
+            quat.multiply(jnp.asarray(dq), jnp.asarray(raw.xmap.best_rotations))
+        )
+        xmap0 = CrystalMap(rotations=q0, shape=(3, 3), phases=raw.xmap.phases)
+
+        single = s.refine_orientation(
+            xmap=xmap0, detector=raw.detector, master_pattern=mp, max_iters=60
+        )
+        mesh = make_mesh(n_scan=8)
+        sharded = sharded_refine_orientation(
+            s, xmap=xmap0, detector=raw.detector, master_pattern=mp,
+            mesh=mesh, max_iters=60,
+        )
+        # 9 points pad to 16 over 8 devices; results must agree.
+        assert sharded.xmap.rotations.shape == (9, 4)
+        np.testing.assert_allclose(
+            np.abs(np.sum(sharded.xmap.best_rotations
+                          * single.xmap.best_rotations, axis=1)),
+            1.0, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            sharded.xmap.prop["scores"], single.xmap.prop["scores"], atol=1e-4
+        )
