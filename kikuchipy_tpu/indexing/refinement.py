@@ -87,24 +87,17 @@ def _ncc_centered(exp_centered, exp_sq_norm, sim):
 
 
 def _project_at(quats_b, dc, master, npx, npy, scale):
-    """Project one pattern per batch element; dc is (n, m, 3) or (m, 3)."""
+    """Project one pattern per batch element; dc is (n, m, 3) or (m, 3).
+    Uses the shared quad-texture gather (see
+    ``projection/master_pattern.py:_bilinear_gather``)."""
+    from kikuchipy_tpu.projection.master_pattern import _bilinear_gather
+
     rotated = quat.rotate_vector(
         quats_b[:, None, :], dc if dc.ndim == 3 else dc[None, :, :]
     )
     nii, nij, niip, nijp, w = lambert_interpolation_weights(rotated, npx, npy, scale)
     hemi = (rotated[..., 2] < 0).astype(jnp.int32)
-    flat = master.reshape(-1)
-    base = hemi * (npy * npx)
-    taps = jnp.stack(
-        [
-            flat[base + nii * npx + nij],
-            flat[base + niip * npx + nij],
-            flat[base + nii * npx + nijp],
-            flat[base + niip * npx + nijp],
-        ],
-        axis=-1,
-    )
-    return jnp.sum(taps * w, axis=-1)
+    return _bilinear_gather(master, hemi, nii, nij, niip, nijp, w)
 
 
 def _dc_for_pc(pc_b, nrows, ncols, om_d2s, mask_idx):
