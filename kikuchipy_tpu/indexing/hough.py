@@ -33,11 +33,72 @@ from kikuchipy_tpu.geometry import quaternion as quat
 __all__ = ["radon_transform", "detect_bands", "hough_indexing", "bands_to_normals"]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _radon_matrix(
+    sy: int, sx: int, n_theta: int, n_rho: int
+) -> np.ndarray:
+    """Dense Radon operator ``(n_rho * n_theta, sy * sx)``.
+
+    The ray-sampling positions are FIXED for a given (shape, n_theta,
+    n_rho), so the whole transform is one linear map: accumulate each
+    ray's bilinear sample weights into its row and fold in the
+    per-ray valid-sample normalization. On TPU this turns ~3.3M slow
+    XLA gathers per pattern into a single MXU matmul.
+    """
+    cy, cx = (sy - 1) / 2, (sx - 1) / 2
+    radius = min(cy, cx)
+    thetas = np.arange(n_theta) * (np.pi / n_theta)
+    rhos = np.linspace(-radius, radius, n_rho)
+    t = np.linspace(-radius, radius, n_rho)  # positions along the ray
+    cos_t = np.cos(thetas)[None, :, None]
+    sin_t = np.sin(thetas)[None, :, None]
+    rho = rhos[:, None, None]
+    s = t[None, None, :]
+    # Ray direction (-sin t, cos t), normal (cos t, sin t).
+    x = cx + rho * cos_t - s * sin_t  # (n_rho, n_theta, n_s)
+    y = cy + rho * sin_t + s * cos_t
+
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    fx = x - x0
+    fy = y - y0
+    valid = (x0 >= 0) & (x0 < sx - 1) & (y0 >= 0) & (y0 < sy - 1)
+    x0c = np.clip(x0, 0, sx - 2)
+    y0c = np.clip(y0, 0, sy - 2)
+
+    n_rays = n_rho * n_theta
+    ray = np.broadcast_to(
+        np.arange(n_rays).reshape(n_rho, n_theta, 1), x.shape
+    )
+    count = np.maximum(valid.sum(axis=-1), 1).reshape(-1)
+
+    w = np.zeros((n_rays, sy * sx), dtype=np.float64)
+    base = (y0c * sx + x0c).reshape(-1)
+    rayf = ray.reshape(-1)
+    vf = valid.reshape(-1)
+    for off, wgt in (
+        (0, ((1 - fy) * (1 - fx)).reshape(-1)),
+        (1, ((1 - fy) * fx).reshape(-1)),
+        (sx, (fy * (1 - fx)).reshape(-1)),
+        (sx + 1, (fy * fx).reshape(-1)),
+    ):
+        np.add.at(w, (rayf[vf], base[vf] + off), wgt[vf])
+    w /= count[:, None]
+    return w.astype(np.float32)
+
+
 @partial(jax.jit, static_argnames=("n_theta", "n_rho"))
 def radon_transform(
     patterns: jnp.ndarray, n_theta: int = 90, n_rho: int = 96
 ) -> jnp.ndarray:
     """Discrete Radon transform of a pattern batch.
+
+    Implemented as one dense matmul against the precomputed ray-weight
+    operator (bilinear ray sampling, per-ray valid-count normalization)
+    so the whole batch runs on the MXU.
 
     Parameters
     ----------
@@ -56,49 +117,11 @@ def radon_transform(
     p = jnp.asarray(patterns, dtype=jnp.float32)
     sy, sx = p.shape[-2:]
     lead = p.shape[:-2]
-    flat = p.reshape((-1, sy, sx))
-
-    cy, cx = (sy - 1) / 2, (sx - 1) / 2
-    radius = min(cy, cx)
-    thetas = jnp.arange(n_theta) * (jnp.pi / n_theta)
-    rhos = jnp.linspace(-radius, radius, n_rho)
-    # Sample points along each ray: for angle theta and offset rho, the
-    # ray direction is (-sin t, cos t) and the normal (cos t, sin t).
-    t = jnp.linspace(-radius, radius, n_rho)  # positions along the ray
-    cos_t = jnp.cos(thetas)[None, :, None]
-    sin_t = jnp.sin(thetas)[None, :, None]
-    rho = rhos[:, None, None]
-    s = t[None, None, :]
-    x = cx + rho * cos_t - s * sin_t  # (n_rho, n_theta, n_s)
-    y = cy + rho * sin_t + s * cos_t
-
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = x - x0
-    fy = y - y0
-    valid = (x0 >= 0) & (x0 < sx - 1) & (y0 >= 0) & (y0 < sy - 1)
-    x0c = jnp.clip(x0, 0, sx - 2)
-    y0c = jnp.clip(y0, 0, sy - 2)
-
-    idx00 = y0c * sx + x0c
-    idx01 = idx00 + 1
-    idx10 = idx00 + sx
-    idx11 = idx10 + 1
-    w00 = (1 - fy) * (1 - fx)
-    w01 = (1 - fy) * fx
-    w10 = fy * (1 - fx)
-    w11 = fy * fx
-
-    def per_pattern(img):
-        v = img.reshape(-1)
-        samples = (
-            v[idx00] * w00 + v[idx01] * w01 + v[idx10] * w10 + v[idx11] * w11
-        )
-        samples = jnp.where(valid, samples, 0.0)
-        count = jnp.sum(valid, axis=-1)
-        return jnp.sum(samples, axis=-1) / jnp.maximum(count, 1)
-
-    out = jax.vmap(per_pattern)(flat)
+    flat = p.reshape((-1, sy * sx))
+    w = jnp.asarray(_radon_matrix(sy, sx, n_theta, n_rho))
+    out = jnp.matmul(
+        flat, w.T, precision=jax.lax.Precision.HIGHEST
+    )
     return out.reshape(lead + (n_rho, n_theta))
 
 

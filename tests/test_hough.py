@@ -125,3 +125,40 @@ class TestVotingChunking:
         b = s.hough_indexing(phase_list=NI_PHASE, chunk=256)
         np.testing.assert_allclose(a.rotations, b.rotations, atol=1e-5)
         np.testing.assert_array_equal(a.prop["nbands"], b.prop["nbands"])
+
+
+class TestRadonMatmulEquivalence:
+    def test_matches_direct_ray_sampling(self):
+        """The MXU-matmul Radon must equal direct per-ray bilinear
+        sampling (the pre-optimization implementation's semantics)."""
+        rng = np.random.default_rng(7)
+        pats = rng.integers(0, 255, (3, 24, 24)).astype(np.float32)
+        n_theta, n_rho = 30, 32
+        got = np.asarray(radon_transform(pats, n_theta=n_theta, n_rho=n_rho))
+
+        sy, sx = 24, 24
+        cy, cx = (sy - 1) / 2, (sx - 1) / 2
+        radius = min(cy, cx)
+        thetas = np.arange(n_theta) * (np.pi / n_theta)
+        rhos = np.linspace(-radius, radius, n_rho)
+        t = np.linspace(-radius, radius, n_rho)
+        want = np.zeros((3, n_rho, n_theta))
+        for k in range(3):
+            for ri, rho in enumerate(rhos):
+                for ti, th in enumerate(thetas):
+                    x = cx + rho * np.cos(th) - t * np.sin(th)
+                    y = cy + rho * np.sin(th) + t * np.cos(th)
+                    x0 = np.floor(x).astype(int)
+                    y0 = np.floor(y).astype(int)
+                    fx, fy = x - x0, y - y0
+                    valid = (x0 >= 0) & (x0 < sx - 1) & (y0 >= 0) & (y0 < sy - 1)
+                    x0c = np.clip(x0, 0, sx - 2)
+                    y0c = np.clip(y0, 0, sy - 2)
+                    img = pats[k]
+                    v = (img[y0c, x0c] * (1 - fy) * (1 - fx)
+                         + img[y0c, x0c + 1] * (1 - fy) * fx
+                         + img[y0c + 1, x0c] * fy * (1 - fx)
+                         + img[y0c + 1, x0c + 1] * fy * fx)
+                    v = np.where(valid, v, 0.0)
+                    want[k, ri, ti] = v.sum() / max(valid.sum(), 1)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
