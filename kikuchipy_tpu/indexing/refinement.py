@@ -216,6 +216,7 @@ def refine_orientation(
     max_iters: int = 150,
     rtol: float = 1e-4,
     method: str = "nm",
+    nav_chunk: int | None = 2048,
 ) -> RefinementResult:
     """Refine orientations by maximizing NCC over Euler angles
     (reference ``EBSD.refine_orientation``, ``signals/ebsd.py:1986``).
@@ -239,6 +240,14 @@ def refine_orientation(
     detector = detector if detector is not None else signal.detector
     nav_shape = signal.navigation_shape
     n = signal.navigation_size
+
+    if nav_chunk is not None and n > nav_chunk:
+        # Bound device memory on large maps: refine fixed-size chunks
+        # (last chunk padded so every pass reuses one compilation).
+        return _refine_orientation_chunked(
+            signal, xmap, detector, master_pattern, energy, signal_mask,
+            trust_region, max_iters, rtol, method, nav_chunk,
+        )
 
     mask_idx = _mask_bool_to_idx(signal_mask, int(np.prod(signal.signal_shape)))
     exp, sq_norm = _prepare_experimental(
@@ -527,3 +536,64 @@ def refine_orientation_projection_center(
         xmap, refined_rot, scores, np.asarray(res.n_iter), nav_shape
     )
     return RefinementResult(xmap=new_xmap, detector=new_detector)
+
+
+def _refine_orientation_chunked(
+    signal, xmap, detector, master_pattern, energy, signal_mask,
+    trust_region, max_iters, rtol, method, chunk,
+):
+    """Refine a large map in fixed-size navigation chunks."""
+    import dataclasses as _dc
+
+    from kikuchipy_tpu.crystallography.crystal_map import PhaseList
+    from kikuchipy_tpu.signals.ebsd import EBSD
+
+    n = signal.navigation_size
+    nav_shape = signal.navigation_shape
+    data = np.asarray(signal.data).reshape((n,) + signal.signal_shape)
+    q0 = np.asarray(xmap.best_rotations)
+    per_point_pc = (
+        detector is not None and detector.navigation_size == n
+    )
+    pcs = detector.pc.reshape(-1, 3) if per_point_pc else None
+
+    rot_parts, score_parts, ev_parts = [], [], []
+    for start in range(0, n, chunk):
+        end = min(start + chunk, n)
+        pad = chunk - (end - start)
+        d = data[start:end]
+        q = q0[start:end]
+        tr = None if trust_region is None else trust_region
+        if pad:
+            d = np.concatenate([d, np.repeat(d[:1], pad, axis=0)])
+            q = np.concatenate([q, np.repeat(q[:1], pad, axis=0)])
+        det = detector
+        if per_point_pc:
+            p = pcs[start:end]
+            if pad:
+                p = np.concatenate([p, np.repeat(p[:1], pad, axis=0)])
+            det = _dc.replace(detector, pc=p)
+        sub_signal = EBSD(data=d, detector=det)
+        sub_xmap = CrystalMap(rotations=q, shape=(chunk,), phases=xmap.phases)
+        res = refine_orientation(
+            sub_signal, xmap=sub_xmap, detector=det,
+            master_pattern=master_pattern, energy=energy,
+            signal_mask=signal_mask, trust_region=tr,
+            max_iters=max_iters, rtol=rtol, method=method, nav_chunk=None,
+        )
+        keep = end - start
+        rot_parts.append(np.asarray(res.xmap.rotations)[:keep])
+        score_parts.append(np.asarray(res.xmap.prop["scores"])[:keep])
+        ev_parts.append(np.asarray(res.xmap.prop["num_evals"])[:keep])
+
+    new_xmap = CrystalMap(
+        rotations=np.concatenate(rot_parts),
+        phase_id=np.asarray(xmap.phase_id),
+        shape=nav_shape,
+        prop={
+            "scores": np.concatenate(score_parts),
+            "num_evals": np.concatenate(ev_parts),
+        },
+        phases=xmap.phases,
+    )
+    return RefinementResult(xmap=new_xmap, detector=detector)

@@ -220,3 +220,33 @@ class TestGradientRefinement:
                 xmap=s.xmap, detector=s.detector, master_pattern=mp,
                 method="bogus",
             )
+
+
+class TestNavChunking:
+    def test_chunked_matches_unchunked(self, nickel_setup):
+        s, mp = nickel_setup
+        stored = s.xmap.best_rotations
+        rng = np.random.default_rng(9)
+        axes = rng.normal(size=(9, 3))
+        axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+        dq = np.asarray(quat.from_axis_angle(jnp.asarray(axes), np.deg2rad(1.0)))
+        q0 = np.asarray(quat.multiply(jnp.asarray(dq), jnp.asarray(stored)))
+
+        from kikuchipy_tpu.crystallography.crystal_map import CrystalMap
+
+        xmap0 = CrystalMap(rotations=q0, shape=(3, 3), phases=s.xmap.phases)
+        whole = s.refine_orientation(
+            xmap=xmap0, detector=s.detector, master_pattern=mp, max_iters=40
+        )
+        chunked = s.refine_orientation(
+            xmap=xmap0, detector=s.detector, master_pattern=mp, max_iters=40,
+            nav_chunk=4,
+        )
+        np.testing.assert_allclose(
+            np.abs(np.sum(chunked.xmap.best_rotations
+                          * whole.xmap.best_rotations, axis=1)),
+            1.0, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            chunked.xmap.prop["scores"], whole.xmap.prop["scores"], atol=1e-4
+        )
