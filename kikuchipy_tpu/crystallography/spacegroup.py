@@ -251,6 +251,57 @@ _NONSYMMORPHIC = {
     # Fd-3m (origin 1): diamond, Si, Ge, spinel; inversion at (1/8,..).
     227: [_t("3xyz", 0, 0, 0), _t("-4z", 0, 0, 0),
           _t("inv", 0.25, 0.25, 0.25)],
+    # ---- round-1 extension (validated numerically: closure order,
+    # Wyckoff orbit sizes, systematic absences both ways) ----
+    # P2_1: many molecular crystals / low-symmetry intermetallics.
+    4: [_t("2y", 0, 0.5, 0)],
+    # P2_1/m.
+    11: [_t("2y", 0, 0.5, 0), _t("inv", 0, 0, 0)],
+    # P2/c (2-fold at z=1/4); same generators give C2/c with centering.
+    13: [_t("2y", 0, 0, 0.5), _t("inv", 0, 0, 0)],
+    # C2/c: clinopyroxene, many monoclinic minerals.
+    15: [_t("2y", 0, 0, 0.5), _t("inv", 0, 0, 0)],
+    # Cmc2_1.
+    36: [_t("mx", 0, 0, 0), _t("my", 0, 0, 0.5)],
+    # Pnnm: marcasite FeS2.
+    58: [_t("2z", 0, 0, 0), _t("2y", 0.5, 0.5, 0.5), _t("inv", 0, 0, 0)],
+    # Imma: many martensites / shape-memory B19 variants.
+    74: [_t("2z", 0, 0.5, 0), _t("2x", 0, 0, 0), _t("inv", 0, 0, 0)],
+    # P4_2/m.
+    84: [_t("4z", 0, 0, 0.5), _t("inv", 0, 0, 0)],
+    # I4_1/a (origin 2): scheelite CaWO4.
+    88: [_t("4z", 0.75, 0.25, 0.25), _t("inv", 0, 0, 0)],
+    # P4_12_12 / P4_32_12: alpha-cristobalite (enantiomorph pair).
+    92: [_t("4z", 0.5, 0.5, 0.25), _t("2xy", 0, 0, 0)],
+    96: [_t("4z", 0.5, 0.5, 0.75), _t("2xy", 0, 0, 0)],
+    # I-42d: chalcopyrite CuFeS2.
+    122: [_t("-4z", 0, 0, 0), _t("2y", 0.5, 0, 0.75)],
+    # P4/mbm: U3Si2-type; b glide plane at x = 1/4.
+    127: [_t("4z", 0, 0, 0), _t("mx", 0.5, 0.5, 0), _t("inv", 0, 0, 0)],
+    # I4/mcm: CuAl2 (theta phase).
+    140: [_t("4z", 0, 0, 0), _t("mx", 0, 0, 0.5), _t("inv", 0, 0, 0)],
+    # I4_1/amd (origin 2, inversion at origin): anatase TiO2, beta-Sn,
+    # zircon ZrSiO4.
+    141: [_t("4z", 0.25, 0.75, 0.25), _t("2x", 0, 0, 0),
+          _t("inv", 0, 0, 0)],
+    # P6_122 / P6_522 (enantiomorph pair).
+    178: [_t("6h", 0, 0, 1 / 6), _t("2h100", 0, 0, 0)],
+    179: [_t("6h", 0, 0, 5 / 6), _t("2h100", 0, 0, 0)],
+    # P6_322.
+    182: [_t("6h", 0, 0, 0.5), _t("2h100", 0, 0, 0)],
+    # P6_3cm.
+    185: [_t("6h", 0, 0, 0.5), _t("mh100", 0, 0, 0.5)],
+    # P6_3/mcm: Mn5Si3-type silicides.
+    193: [_t("6h", 0, 0, 0.5), _t("mh100", 0, 0, 0.5),
+          _t("inv", 0, 0, 0)],
+    # P4_332 / P4_132 (enantiomorph pair): beta-Mn is P4_132.
+    212: [_t("2z", 0.5, 0, 0.5), _t("3xyz", 0, 0, 0),
+          _t("2xy", 0.25, 0.75, 0.75)],
+    213: [_t("2z", 0.5, 0, 0.5), _t("3xyz", 0, 0, 0),
+          _t("2xy", 0.75, 0.25, 0.25)],
+    # Ia-3d: garnets.
+    230: [_t("2z", 0.5, 0, 0.5), _t("3xyz", 0, 0, 0),
+          _t("2xy", 0.75, 0.25, 0.25), _t("inv", 0, 0, 0)],
 }
 
 

@@ -71,9 +71,9 @@ class TestGeneralPositions:
                 assert key in keys
 
     def test_untabulated_raises_but_flagged(self):
-        assert not has_general_positions(88)  # I4_1/a
+        assert not has_general_positions(60)  # Pbcn
         with pytest.raises(NotImplementedError):
-            general_positions(88)
+            general_positions(60)
 
 
 class TestExpandAtoms:
@@ -105,8 +105,8 @@ class TestExpandAtoms:
         with caplog.at_level(
             "WARNING", logger="kikuchipy_tpu.crystallography.spacegroup"
         ):
-            out = expand_atoms([("Y", 0, 0, 0)], 88)  # I4_1/a untabulated
-        assert len(out) == 2  # I centering
+            out = expand_atoms([("Y", 0, 0, 0)], 60)  # Pbcn untabulated
+        assert len(out) == 1  # P centering
         assert any("centering" in r.message for r in caplog.records)
 
 
@@ -202,3 +202,104 @@ class TestScrewAxisGroups:
         si = [("Si", 0.2064, 0.4128, 0.5)]
         assert _amp(lat_h, si, 180, (0, 0, 1), 2.0) == pytest.approx(0, abs=1e-9)
         assert _amp(lat_h, si, 180, (0, 0, 3), 1.5) > 1
+
+
+class TestRound1ExtensionGroups:
+    """Groups added to the curated table in the round-1 extension
+    (anatase, garnet, cristobalite, chalcopyrite, CuAl2, scheelite,
+    Mn5Si3, beta-Mn, marcasite, ...). All generator sets were validated
+    against ITA general-position orders, Wyckoff orbit sizes, and
+    systematic-absence conditions in both directions."""
+
+    @pytest.mark.parametrize(
+        "sg, order",
+        [(4, 2), (11, 4), (13, 4), (15, 8), (36, 8), (58, 8), (74, 16),
+         (84, 8), (88, 16), (92, 8), (96, 8), (122, 16), (127, 16),
+         (140, 32), (141, 32), (178, 12), (179, 12), (182, 12),
+         (185, 12), (193, 24), (212, 24), (213, 24), (230, 96)],
+    )
+    def test_ita_orders(self, sg, order):
+        assert len(general_positions(sg)) == order
+
+    @pytest.mark.parametrize(
+        "atoms, sg, n",
+        [
+            # Anatase TiO2 (origin choice 2): Ti 4a, O 8e.
+            ([("Ti", 0, 3 / 4, 1 / 8)], 141, 4),
+            ([("O", 0, 1 / 4, 0.081)], 141, 8),
+            # Garnet: 16a, 24c, 24d, 96h.
+            ([("Al", 0, 0, 0)], 230, 16),
+            ([("Ca", 1 / 8, 0, 1 / 4)], 230, 24),
+            ([("Si", 3 / 8, 0, 1 / 4)], 230, 24),
+            ([("O", 0.03, 0.05, 0.65)], 230, 96),
+            # alpha-cristobalite: Si 4a (x,x,0), O general.
+            ([("Si", 0.3, 0.3, 0)], 92, 4),
+            ([("O", 0.238, 0.111, 0.183)], 92, 8),
+            # Chalcopyrite CuFeS2: Cu 4a, Fe 4b, S 8d.
+            ([("Cu", 0, 0, 0)], 122, 4),
+            ([("Fe", 0, 0, 0.5)], 122, 4),
+            ([("S", 0.2574, 0.25, 0.125)], 122, 8),
+            # CuAl2 theta phase: Cu 4a, Al 8h.
+            ([("Cu", 0, 0, 0.25)], 140, 4),
+            ([("Al", 0.1581, 0.6581, 0)], 140, 8),
+            # Scheelite CaWO4 (origin 2): W 4a, Ca 4b.
+            ([("W", 0, 0.25, 0.125)], 88, 4),
+            ([("Ca", 0, 0.25, 0.625)], 88, 4),
+            # Mn5Si3: Mn1 4d, Mn2 6g, Si 6g.
+            ([("Mn", 1 / 3, 2 / 3, 0)], 193, 4),
+            ([("Mn", 0.2358, 0, 0.25)], 193, 6),
+            # beta-Mn: Mn1 8c (x,x,x), Mn2 12d (1/8, y, y+1/4).
+            ([("Mn", 0.061, 0.061, 0.061)], 213, 8),
+            ([("Mn", 0.125, 0.203, 0.453)], 213, 12),
+            # Marcasite FeS2: Fe 2a, S 4g.
+            ([("Fe", 0, 0, 0)], 58, 2),
+            ([("S", 0.2, 0.378, 0)], 58, 4),
+            # Imma 4e.
+            ([("Ti", 0, 0.25, 0.3)], 74, 4),
+            # C2/c 4a and 4e (clinopyroxene M sites).
+            ([("Mg", 0, 0, 0)], 15, 4),
+            ([("Ca", 0, 0.3, 0.25)], 15, 4),
+            # P2_1/m 2e mirror site.
+            ([("Fe", 0.3, 0.25, 0.7)], 11, 2),
+        ],
+    )
+    def test_wyckoff_multiplicities(self, atoms, sg, n):
+        assert len(expand_atoms(atoms, sg)) == n
+
+    def test_anatase_extinctions(self):
+        lat = Lattice(3.785, 3.785, 9.514, 90, 90, 90)
+        atoms = [("Ti", 0, 3 / 4, 1 / 8), ("O", 0, 1 / 4, 0.0816)]
+        # 4_1 screw: (00l) only l = 4n; I centering: h+k+l even.
+        assert _amp(lat, atoms, 141, (0, 0, 4), 2.3) > 1
+        assert _amp(lat, atoms, 141, (0, 0, 2), 2.3) == pytest.approx(0, abs=1e-9)
+        # I centering: h+k+l odd absent.
+        assert _amp(lat, atoms, 141, (1, 0, 0), 3.7) == pytest.approx(0, abs=1e-9)
+        assert _amp(lat, atoms, 141, (1, 1, 1), 2.3) == pytest.approx(0, abs=1e-9)
+        # Anatase's strongest line (101).
+        assert _amp(lat, atoms, 141, (1, 0, 1), 3.0) > 1
+
+    def test_garnet_extinctions(self):
+        lat = Lattice(11.64, 11.64, 11.64, 90, 90, 90)
+        atoms = [("O", 0.03, 0.05, 0.65)]
+        # (211) is the classic strong garnet line; (200) is absent.
+        assert _amp(lat, atoms, 230, (2, 1, 1), 4.0) > 1e-2
+        assert _amp(lat, atoms, 230, (2, 0, 0), 4.0) == pytest.approx(0, abs=1e-9)
+        assert _amp(lat, atoms, 230, (4, 0, 0), 2.8) > 1e-2
+
+    def test_cristobalite_screw_extinctions(self):
+        lat = Lattice(4.97, 4.97, 6.93, 90, 90, 90)
+        atoms = [("Si", 0.3, 0.3, 0)]
+        assert _amp(lat, atoms, 92, (0, 0, 1), 6.0) == pytest.approx(0, abs=1e-9)
+        assert _amp(lat, atoms, 92, (0, 0, 2), 3.0) == pytest.approx(0, abs=1e-9)
+        assert _amp(lat, atoms, 92, (0, 0, 4), 1.7) > 1e-2
+        assert _amp(lat, atoms, 92, (1, 0, 1), 3.5) > 1e-2
+
+    def test_enantiomorph_pairs_differ_only_in_phase(self):
+        # P4_12_12 vs P4_32_12 must give identical |F| for all hkl of a
+        # general orbit (they differ by handedness only).
+        lat = Lattice(4.97, 4.97, 6.93, 90, 90, 90)
+        atoms = [("Si", 0.3, 0.3, 0)]
+        for hkl in [(1, 0, 1), (1, 1, 2), (2, 1, 1)]:
+            a92 = _amp(lat, atoms, 92, hkl, 1.9)
+            a96 = _amp(lat, atoms, 96, hkl, 1.9)
+            assert a92 == pytest.approx(a96, abs=1e-8)
