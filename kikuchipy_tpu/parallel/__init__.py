@@ -8,9 +8,17 @@ from kikuchipy_tpu.parallel.mesh import (
     sharded_fused_dictionary_index,
     sharded_match_topk,
 )
+from kikuchipy_tpu.parallel.multihost import (
+    host_navigation_slice,
+    multihost_dictionary_index,
+    multihost_mesh,
+)
 
 __all__ = [
+    "host_navigation_slice",
     "make_mesh",
+    "multihost_dictionary_index",
+    "multihost_mesh",
     "sharded_dictionary_index",
     "sharded_fused_dictionary_index",
     "sharded_match_topk",

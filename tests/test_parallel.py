@@ -198,3 +198,80 @@ class TestShardedRefinement:
         np.testing.assert_allclose(
             sharded.xmap.prop["scores"], single.xmap.prop["scores"], atol=1e-4
         )
+
+
+class TestMultihost:
+    """Multi-host driver exercised in single-process mode (the 8
+    virtual devices act as one host's local devices; process_count=1).
+    Real DCN layouts differ only in the device->host map."""
+
+    def test_host_navigation_slice_partition(self):
+        from kikuchipy_tpu.parallel.multihost import host_navigation_slice
+
+        # Every pattern assigned exactly once, contiguous host-major.
+        for n_total, n_proc in [(100, 4), (9, 2), (7, 8), (75 * 55, 16)]:
+            stops = []
+            covered = 0
+            for p in range(n_proc):
+                sl = host_navigation_slice(n_total, p, n_proc)
+                assert sl.start == covered
+                covered = sl.stop
+                stops.append(sl.stop)
+            assert covered == n_total
+
+        with pytest.raises(ValueError):
+            host_navigation_slice(10, 5, 4)
+
+    def test_multihost_mesh_shapes(self, devices):
+        from kikuchipy_tpu.parallel.multihost import multihost_mesh
+
+        mesh = multihost_mesh()
+        assert mesh.shape == {"scan": 8, "dict": 1}
+        mesh = multihost_mesh(n_dict_local=4)
+        assert mesh.shape == {"scan": 2, "dict": 4}
+        with pytest.raises(ValueError):
+            multihost_mesh(n_dict_local=3)
+
+    @pytest.mark.parametrize("n_dict_local", [1, 2, 4])
+    def test_matches_single_device(self, devices, problem, n_dict_local):
+        from kikuchipy_tpu.parallel.multihost import (
+            host_navigation_slice,
+            multihost_dictionary_index,
+            multihost_mesh,
+        )
+
+        exp, dictionary = problem
+        sl = host_navigation_slice(exp.shape[0])
+        assert (sl.start, sl.stop) == (0, exp.shape[0])  # 1 process
+
+        mesh = multihost_mesh(n_dict_local=n_dict_local)
+        scores, idx = multihost_dictionary_index(
+            exp[sl], dictionary, keep_n=5, mesh=mesh
+        )
+        ref = dictionary_index(exp, dictionary, keep_n=5)
+        np.testing.assert_array_equal(idx, np.asarray(ref.simulation_indices))
+        np.testing.assert_allclose(
+            scores, np.asarray(ref.scores), rtol=0, atol=2e-6
+        )
+        assert idx[0, 0] == 7 and idx[5, 0] == 100
+
+    def test_uneven_scan_and_dict_padding(self, devices):
+        from kikuchipy_tpu.parallel.multihost import (
+            multihost_dictionary_index,
+            multihost_mesh,
+        )
+
+        rng = np.random.default_rng(1)
+        exp = rng.normal(size=(13, 16, 16)).astype(np.float32)  # 13 % 8 != 0
+        dictionary = rng.normal(size=(21, 16, 16)).astype(np.float32)
+        dictionary[3] = exp[2]
+        mesh = multihost_mesh(n_dict_local=2)  # 21 % 2 != 0 -> dict pad
+        scores, idx = multihost_dictionary_index(
+            exp, dictionary, keep_n=4, mesh=mesh
+        )
+        ref = dictionary_index(exp, dictionary, keep_n=4)
+        np.testing.assert_array_equal(idx, np.asarray(ref.simulation_indices))
+        np.testing.assert_allclose(
+            scores, np.asarray(ref.scores), rtol=0, atol=2e-6
+        )
+        assert idx[2, 0] == 3
