@@ -33,14 +33,39 @@ def data_path() -> Path:
     return _REFERENCE_DATA
 
 
-def _require(relpath: str) -> Path:
-    p = data_path() / relpath
-    if not p.exists():
-        raise FileNotFoundError(
-            f"Dataset file {relpath} not found under {data_path()}. Set "
-            "KP_TPU_DATA_DIR to a directory with the kikuchipy example data."
-        )
-    return p
+def _require(
+    relpath: str,
+    allow_download: bool = False,
+    check_hash: bool = False,
+) -> Path:
+    """Resolve a dataset file: the cache dir (``KP_TPU_DATA_DIR``)
+    first, then the in-package/reference data directory; optionally
+    download into the cache dir and verify the registered MD5
+    (see :mod:`kikuchipy_tpu.data._registry`)."""
+    from kikuchipy_tpu.data._registry import fetch, verify
+
+    env = os.environ.get("KP_TPU_DATA_DIR")
+    candidates = [Path(env)] if env else []
+    if _REFERENCE_DATA.exists():
+        candidates.append(_REFERENCE_DATA)
+    for root in candidates:
+        p = root / relpath
+        if p.exists():
+            if check_hash and not verify(p, relpath):
+                raise ValueError(f"MD5 mismatch for {p}")
+            return p
+    cache = Path(env) if env else Path.home() / ".cache" / "kikuchipy_tpu"
+    return fetch(
+        relpath, cache, allow_download=allow_download, check_hash=check_hash
+    )
+
+
+def _fetch_opts(kwargs):
+    """Pop fetch-related options from an accessor's kwargs."""
+    return dict(
+        allow_download=kwargs.pop("allow_download", False),
+        check_hash=kwargs.pop("check_hash", False),
+    )
 
 
 def nickel_ebsd_small(**kwargs):
@@ -48,7 +73,8 @@ def nickel_ebsd_small(**kwargs):
     orientations (reference ``data/_data.py:97``)."""
     from kikuchipy_tpu.io._io import load
 
-    return load(_require("kikuchipy_h5ebsd/patterns.h5"), **kwargs)
+    opts = _fetch_opts(kwargs)
+    return load(_require("kikuchipy_h5ebsd/patterns.h5", **opts), **kwargs)
 
 
 def nickel_ebsd_master_pattern_small(
@@ -58,9 +84,11 @@ def nickel_ebsd_master_pattern_small(
     ``data/_data.py:455``)."""
     from kikuchipy_tpu.io._io import load
 
+    opts = _fetch_opts(kwargs)
     return load(
         _require(
-            "emsoft_ebsd_master_pattern/ni_mc_mp_20kv_uint8_gzip_opts9.h5"
+            "emsoft_ebsd_master_pattern/ni_mc_mp_20kv_uint8_gzip_opts9.h5",
+            **opts,
         ),
         projection=projection,
         hemisphere=hemisphere,
@@ -73,7 +101,8 @@ def nickel_ebsd_large(**kwargs):
     ``data/_data.py:129``); requires a cached copy."""
     from kikuchipy_tpu.io._io import load
 
-    return load(_require("nickel_ebsd_large/patterns.h5"), **kwargs)
+    opts = _fetch_opts(kwargs)
+    return load(_require("nickel_ebsd_large/patterns.h5", **opts), **kwargs)
 
 
 def ni_gain(number: int = 1, **kwargs):
@@ -84,7 +113,8 @@ def ni_gain(number: int = 1, **kwargs):
 
     if not 1 <= int(number) <= 10:
         raise ValueError("number must be in [1, 10]")
-    return load(_require(f"ni_gain/{int(number)}/Pattern.dat"), **kwargs)
+    opts = _fetch_opts(kwargs)
+    return load(_require(f"ni_gain/{int(number)}/Pattern.dat", **opts), **kwargs)
 
 
 def ni_gain_calibration(number: int = 1, **kwargs):
@@ -94,8 +124,9 @@ def ni_gain_calibration(number: int = 1, **kwargs):
 
     if not 1 <= int(number) <= 10:
         raise ValueError("number must be in [1, 10]")
+    opts = _fetch_opts(kwargs)
     return load(
-        _require(f"ni_gain/{int(number)}/Setting.txt"),
+        _require(f"ni_gain/{int(number)}/Setting.txt", **opts),
         reader="nordif_calibration_patterns",
         **kwargs,
     )
@@ -110,8 +141,10 @@ def si_ebsd_moving_screen(distance: int = 0, **kwargs):
     names = {0: "si_in.h5", 5: "si_out5mm.h5", 10: "si_out10mm.h5"}
     if distance not in names:
         raise ValueError("distance must be 0, 5 or 10 (mm)")
+    opts = _fetch_opts(kwargs)
     return load(
-        _require(f"silicon_ebsd_moving_screen/{names[distance]}"), **kwargs
+        _require(f"silicon_ebsd_moving_screen/{names[distance]}", **opts),
+        **kwargs,
     )
 
 
@@ -120,11 +153,13 @@ def si_wafer(**kwargs):
     ``data/_data.py:392``; download-backed)."""
     from kikuchipy_tpu.io._io import load
 
-    return load(_require("si_wafer/Pattern.dat"), **kwargs)
+    opts = _fetch_opts(kwargs)
+    return load(_require("si_wafer/Pattern.dat", **opts), **kwargs)
 
 
 _MASTER_PATTERN_PHASES = (
-    "al", "ni", "si", "austenite", "ferrite", "steel_chi", "steel_sigma"
+    "al", "ni", "si", "austenite", "ferrite", "steel_chi", "steel_sigma",
+    "steel_sigma2", "r", "pi", "cr2n", "al6mn", "alpha_almnsi",
 )
 
 
@@ -143,8 +178,9 @@ def ebsd_master_pattern(
         raise ValueError(
             f"phase must be one of {_MASTER_PATTERN_PHASES}, got {phase!r}"
         )
+    opts = _fetch_opts(kwargs)
     return load(
-        _require(f"ebsd_master_pattern/{phase}_mc_mp_20kv.h5"),
+        _require(f"ebsd_master_pattern/{phase}_mc_mp_20kv.h5", **opts),
         energy=energy,
         projection=projection,
         hemisphere=hemisphere,

@@ -1,0 +1,68 @@
+"""Dataset registry: MD5 verification, cache-dir resolution, download
+gating (reference pooch registry, data/_registry.py)."""
+
+import numpy as np
+import pytest
+
+import kikuchipy_tpu.data as kpdata
+from kikuchipy_tpu.data._registry import (
+    REGISTRY_HASHES,
+    REGISTRY_URLS,
+    fetch,
+    md5sum,
+    verify,
+)
+
+
+class TestRegistry:
+    def test_hashes_and_urls_consistent(self):
+        # Every URL entry has a hash (so downloads are verifiable).
+        for relpath in REGISTRY_URLS:
+            assert relpath in REGISTRY_HASHES
+
+    def test_in_package_file_verifies(self):
+        p = kpdata.data_path() / "kikuchipy_h5ebsd/patterns.h5"
+        if not p.exists():
+            pytest.skip("reference data not available")
+        assert verify(p, "kikuchipy_h5ebsd/patterns.h5")
+
+    def test_md5_mismatch_detected(self, tmp_path):
+        bad = tmp_path / "kikuchipy_h5ebsd" / "patterns.h5"
+        bad.parent.mkdir(parents=True)
+        bad.write_bytes(b"not the real file")
+        assert not verify(bad, "kikuchipy_h5ebsd/patterns.h5")
+        with pytest.raises(ValueError, match="MD5 mismatch"):
+            fetch("kikuchipy_h5ebsd/patterns.h5", tmp_path, check_hash=True)
+
+    def test_unregistered_file_passes_verify(self, tmp_path):
+        f = tmp_path / "anything.bin"
+        f.write_bytes(b"data")
+        assert verify(f, "not/in/registry.bin")
+
+    def test_missing_file_raises_without_download(self, tmp_path):
+        with pytest.raises(FileNotFoundError, match="allow_download=True"):
+            fetch("nickel_ebsd_large/patterns.h5", tmp_path)
+        # No URL registered -> different message.
+        with pytest.raises(FileNotFoundError, match="manually"):
+            fetch("si_wafer/Pattern.dat", tmp_path)
+
+    def test_md5sum_known_value(self, tmp_path):
+        f = tmp_path / "x"
+        f.write_bytes(b"abc")
+        assert md5sum(f) == "900150983cd24fb0d6963f7d28e17f72"
+
+
+class TestAccessors:
+    def test_nickel_small_with_hash_check(self):
+        s = kpdata.nickel_ebsd_small(check_hash=True)
+        assert s.data.shape == (3, 3, 60, 60)
+
+    def test_missing_dataset_clear_error(self, monkeypatch, tmp_path):
+        monkeypatch.setenv("KP_TPU_DATA_DIR", str(tmp_path))
+        monkeypatch.setattr(kpdata, "_REFERENCE_DATA", tmp_path / "none")
+        with pytest.raises(FileNotFoundError):
+            kpdata.si_wafer()
+
+    def test_master_pattern_phase_validation(self):
+        with pytest.raises(ValueError, match="phase must be one of"):
+            kpdata.ebsd_master_pattern("kryptonite")
