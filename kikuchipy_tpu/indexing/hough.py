@@ -30,7 +30,13 @@ from kikuchipy_tpu.crystallography.crystal_map import CrystalMap, Phase, PhaseLi
 from kikuchipy_tpu.crystallography.sampling import reduce_to_fundamental_zone
 from kikuchipy_tpu.geometry import quaternion as quat
 
-__all__ = ["radon_transform", "detect_bands", "hough_indexing", "bands_to_normals"]
+__all__ = [
+    "radon_transform",
+    "detect_bands",
+    "detect_bands_refined",
+    "hough_indexing",
+    "bands_to_normals",
+]
 
 
 from functools import lru_cache
@@ -137,6 +143,44 @@ def _butterfly_kernel() -> np.ndarray:
     return k / np.abs(k).sum()
 
 
+def _enhance(flat: jnp.ndarray) -> jnp.ndarray:
+    """Butterfly-enhance sinograms ``(b, 1, n_rho, n_theta)`` ->
+    ``(b, n_rho, n_theta)``."""
+    kernel = jnp.asarray(_butterfly_kernel(), jnp.float32)[None, None]
+    # Theta is periodic with a twist: the line at theta + pi is the
+    # line at theta with rho -> -rho, so the wrap columns are taken
+    # with the rho axis mirrored.
+    padded = jnp.pad(flat, ((0, 0), (0, 0), (4, 4), (0, 0)), mode="edge")
+    left = padded[:, :, ::-1, -4:]
+    right = padded[:, :, ::-1, :4]
+    padded = jnp.concatenate([left, padded, right], axis=-1)
+    dn = jax.lax.conv_dimension_numbers(
+        padded.shape, kernel.shape, ("NCHW", "OIHW", "NCHW")
+    )
+    return jax.lax.conv_general_dilated(
+        padded, kernel, (1, 1), "VALID", dimension_numbers=dn
+    )[:, 0]
+
+
+def _peak_pick(enhanced: jnp.ndarray, n_bands: int):
+    """3x3 NMS + top-k peaks on ``(b, n_rho, n_theta)``."""
+    n_theta = enhanced.shape[-1]
+    nms = jax.lax.reduce_window(
+        enhanced,
+        -jnp.inf,
+        jax.lax.max,
+        (1, 3, 3),
+        (1, 1, 1),
+        "SAME",
+    )
+    is_peak = (enhanced >= nms) & (enhanced > 0)
+    scores = jnp.where(is_peak, enhanced, -jnp.inf).reshape(
+        enhanced.shape[0], -1
+    )
+    top_scores, top_idx = jax.lax.top_k(scores, n_bands)
+    return top_idx // n_theta, top_idx % n_theta, top_scores
+
+
 @partial(jax.jit, static_argnames=("n_bands",))
 def detect_bands(
     sinograms: jnp.ndarray, n_bands: int = 9
@@ -151,38 +195,121 @@ def detect_bands(
     s = jnp.asarray(sinograms, dtype=jnp.float32)
     lead = s.shape[:-2]
     n_rho, n_theta = s.shape[-2:]
-    flat = s.reshape((-1, 1, n_rho, n_theta))
-
-    kernel = jnp.asarray(_butterfly_kernel(), jnp.float32)[None, None]
-    # Periodic padding in theta (theta + pi == theta with rho -> -rho;
-    # approximate with wrap), reflect in rho.
-    padded = jnp.pad(flat, ((0, 0), (0, 0), (4, 4), (0, 0)), mode="edge")
-    padded = jnp.pad(padded, ((0, 0), (0, 0), (0, 0), (4, 4)), mode="wrap")
-    dn = jax.lax.conv_dimension_numbers(
-        padded.shape, kernel.shape, ("NCHW", "OIHW", "NCHW")
-    )
-    enhanced = jax.lax.conv_general_dilated(
-        padded, kernel, (1, 1), "VALID", dimension_numbers=dn
-    )[:, 0]
-
-    # 3x3 non-maximum suppression.
-    nms = jax.lax.reduce_window(
-        enhanced,
-        -jnp.inf,
-        jax.lax.max,
-        (1, 3, 3),
-        (1, 1, 1),
-        "SAME",
-    )
-    is_peak = (enhanced >= nms) & (enhanced > 0)
-    scores = jnp.where(is_peak, enhanced, -jnp.inf).reshape(flat.shape[0], -1)
-    top_scores, top_idx = jax.lax.top_k(scores, n_bands)
-    rho_idx = top_idx // n_theta
-    theta_idx = top_idx % n_theta
+    enhanced = _enhance(s.reshape((-1, 1, n_rho, n_theta)))
+    rho_idx, theta_idx, top_scores = _peak_pick(enhanced, n_bands)
     return (
         rho_idx.reshape(lead + (n_bands,)),
         theta_idx.reshape(lead + (n_bands,)),
         top_scores.reshape(lead + (n_bands,)),
+    )
+
+
+@partial(jax.jit, static_argnames=("n_bands",))
+def detect_bands_refined(
+    sinograms: jnp.ndarray, n_bands: int = 9
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Detect band peaks with sub-pixel position refinement and
+    band-width estimation.
+
+    Like :func:`detect_bands`, but additionally:
+
+    - the peak position is refined to sub-bin precision by fitting a
+      parabola through the butterfly response at the peak and its two
+      neighbours along each of rho and theta (theta wraps);
+    - the band's width is estimated as the full width at half maximum
+      of the butterfly response profile along rho (linearly
+      interpolated crossings), in rho bins. This tracks 2*theta_Bragg
+      for well-resolved bands and feeds the ``band_width`` /
+      ``band_theta`` quality metrics of :func:`hough_indexing` (the
+      reference exposes pyebsdindex band widths for PC optimization
+      quality; ``_hough_indexing.py:513``).
+
+    Returns ``(rho, theta, intensity, width)``, each ``(..., n_bands)``
+    float32; ``rho``/``theta`` are fractional bin coordinates.
+    """
+    s = jnp.asarray(sinograms, dtype=jnp.float32)
+    lead = s.shape[:-2]
+    n_rho, n_theta = s.shape[-2:]
+    enhanced = _enhance(s.reshape((-1, 1, n_rho, n_theta)))
+    rho_idx, theta_idx, top_scores = _peak_pick(enhanced, n_bands)
+    b = enhanced.shape[0]
+
+    batch = jnp.arange(b)[:, None]
+
+    def _at(dr, dt):
+        # Theta wrap carries the rho mirror (theta + pi <=> rho -> -rho).
+        t_raw = theta_idx + dt
+        wrapped = (t_raw < 0) | (t_raw >= n_theta)
+        t = t_raw % n_theta
+        r_raw = rho_idx + dr
+        r = jnp.where(wrapped, n_rho - 1 - r_raw, r_raw)
+        r = jnp.clip(r, 0, n_rho - 1)
+        return enhanced[batch, r, t]
+
+    c = _at(0, 0)
+    # Parabolic sub-bin refinement: x0 = (f(-1) - f(+1)) / (2 (f(-1)
+    # - 2 f(0) + f(+1))), clamped to +-0.5.
+    def _subpix(fm, f0, fp):
+        denom = fm - 2 * f0 + fp
+        off = jnp.where(
+            jnp.abs(denom) > 1e-12, 0.5 * (fm - fp) / denom, 0.0
+        )
+        return jnp.clip(off, -0.5, 0.5)
+
+    rho_off = _subpix(_at(-1, 0), c, _at(1, 0))
+    theta_off = _subpix(_at(0, -1), c, _at(0, 1))
+    # Peaks at the rho border have a clipped neighbour; keep integer.
+    rho_off = jnp.where(
+        (rho_idx == 0) | (rho_idx == n_rho - 1), 0.0, rho_off
+    )
+    rho = rho_idx.astype(jnp.float32) + rho_off
+    theta = theta_idx.astype(jnp.float32) + theta_off
+
+    # FWHM along rho of the butterfly response (profile at the peak's
+    # theta column). Find the interpolated half-max crossing nearest
+    # the peak on each side.
+    prof = enhanced.transpose(0, 2, 1)[batch, theta_idx]  # (b, k, n_rho)
+    half = 0.5 * c[..., None]
+    rr = jnp.arange(n_rho)[None, None, :]
+    peak_r = rho_idx[..., None]
+    below = prof < half
+    # Left crossing: largest index <= peak where the profile is below
+    # half-max; right crossing: smallest index >= peak below half-max.
+    left_cand = jnp.where(below & (rr <= peak_r), rr, -1)
+    left = jnp.max(left_cand, axis=-1)
+    right_cand = jnp.where(below & (rr >= peak_r), rr, n_rho)
+    right = jnp.min(right_cand, axis=-1)
+
+    def _frac(idx_below, step):
+        """Linear interpolation between the below-half bin and its
+        inward neighbour."""
+        i0 = jnp.clip(idx_below, 0, n_rho - 1)
+        i1 = jnp.clip(idx_below + step, 0, n_rho - 1)
+        f0 = jnp.take_along_axis(prof, i0[..., None], axis=-1)[..., 0]
+        f1 = jnp.take_along_axis(prof, i1[..., None], axis=-1)[..., 0]
+        h = half[..., 0]
+        return jnp.where(
+            jnp.abs(f1 - f0) > 1e-12, (h - f0) / (f1 - f0), 0.5
+        )
+
+    left_edge = jnp.where(
+        left < 0,
+        0.0,
+        left.astype(jnp.float32) + _frac(left, 1),
+    )
+    right_edge = jnp.where(
+        right > n_rho - 1,
+        float(n_rho - 1),
+        right.astype(jnp.float32) - _frac(right, -1),
+    )
+    width = jnp.maximum(right_edge - left_edge, 1.0)
+
+    shape = lead + (n_bands,)
+    return (
+        rho.reshape(shape),
+        theta.reshape(shape),
+        top_scores.reshape(shape),
+        width.reshape(shape),
     )
 
 
@@ -192,6 +319,7 @@ def bands_to_normals(
     detector,
     n_theta: int = 90,
     n_rho: int = 96,
+    return_rho_g: bool = False,
 ) -> np.ndarray:
     """Convert detected Radon peaks to unit band-plane normals in the
     sample frame ``(..., n_bands, 3)``.
@@ -200,7 +328,9 @@ def bands_to_normals(
     center corresponds to the plane through the beam source containing
     the detector line; its normal in the gnomonic frame is
     ``(cos t, sin t, -rho_g)`` with ``rho_g`` the line's gnomonic
-    offset from the PC.
+    offset from the PC. ``rho_idx``/``theta_idx`` may be fractional
+    (sub-bin refined) coordinates. With ``return_rho_g`` also returns
+    the gnomonic line offsets ``(..., n_bands)``.
     """
     sy, sx = detector.shape
     cy, cx = (sy - 1) / 2, (sx - 1) / 2
@@ -226,7 +356,10 @@ def bands_to_normals(
     )
     n_det /= np.linalg.norm(n_det, axis=-1, keepdims=True)
     # Detector -> sample frame
-    return n_det @ np.asarray(detector.detector_to_sample).T
+    normals = n_det @ np.asarray(detector.detector_to_sample).T
+    if return_rho_g:
+        return normals, rho_g
+    return normals
 
 
 def _triad(v1: jnp.ndarray, v2: jnp.ndarray) -> jnp.ndarray:
@@ -346,6 +479,53 @@ def _vote_orientations(
     return R_best, err_best, nin_best
 
 
+@partial(jax.jit, static_argnames=())
+def _refit_orientations(
+    R: jnp.ndarray,
+    normals: jnp.ndarray,
+    g_unit: jnp.ndarray,
+    tol: float,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Polish voted orientations with (sub-bin refined) band normals.
+
+    Each band is assigned the pole nearest its voted mapping ``R n``;
+    inlier (normal, signed pole) pairs are re-solved by Kabsch/SVD.
+    Returns ``(R_refined, mean_err, n_inliers)``.
+    """
+    mapped = jnp.einsum("nab,nqb->nqa", R, normals)  # (n, nb, 3)
+    dots = jnp.einsum("nqa,ga->nqg", mapped, g_unit)
+    j = jnp.argmax(jnp.abs(dots), axis=-1)  # (n, nb)
+    d_best = jnp.take_along_axis(dots, j[..., None], axis=-1)[..., 0]
+    sign = jnp.where(d_best >= 0, 1.0, -1.0)
+    target = sign[..., None] * g_unit[j]  # (n, nb, 3)
+    w = (jnp.abs(d_best) > jnp.cos(tol)).astype(jnp.float32)
+
+    # Weighted Kabsch: R' = argmin sum w ||R n - t||^2 = U diag(1,1,s) V^T
+    # from SVD of M = sum w t n^T.
+    M = jnp.einsum("nq,nqa,nqb->nab", w, target, normals)
+    U, _, Vt = jnp.linalg.svd(M)
+    s = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
+    D = jnp.stack(
+        [jnp.ones_like(s), jnp.ones_like(s), s], axis=-1
+    )
+    R_ref = jnp.einsum("nab,nb,nbc->nac", U, D, Vt)
+    # Fall back to the voted R when fewer than 2 inliers (degenerate M).
+    enough = jnp.sum(w, axis=-1) >= 2
+    R_out = jnp.where(enough[:, None, None], R_ref, R)
+
+    mapped2 = jnp.einsum("nab,nqb->nqa", R_out, normals)
+    cosang = jnp.clip(
+        jnp.max(jnp.abs(jnp.einsum("nqa,ga->nqg", mapped2, g_unit)), axis=-1),
+        0.0,
+        1.0,
+    )
+    inlier = cosang > jnp.cos(tol)
+    n_in = jnp.sum(inlier, axis=-1)
+    err = jnp.sum(jnp.arccos(cosang) * inlier, axis=-1) / jnp.maximum(n_in, 1)
+    err = jnp.where(n_in > 0, err, jnp.inf)
+    return R_out, err, n_in
+
+
 def hough_indexing(
     signal,
     phase_list: PhaseList | Phase | None = None,
@@ -373,7 +553,10 @@ def hough_indexing(
     Returns
     -------
     CrystalMap with rotations, ``fit`` (mean inlier angle error, deg),
-    ``nbands`` (inlier band count) and ``band_intensity`` properties.
+    ``nbands`` (inlier band count), ``band_intensity``, ``band_width``
+    (mean band FWHM in gnomonic units) and ``band_theta`` (per-band
+    first-order Bragg-angle estimates, radians) properties. Band
+    positions are sub-bin refined (:func:`detect_bands_refined`).
     """
     from kikuchipy_tpu.crystallography.reciprocal import (
         Lattice,
@@ -429,14 +612,38 @@ def hough_indexing(
     )
 
     sino = radon_transform(signal.data, n_theta=n_theta, n_rho=n_rho)
+    # Integer peaks drive the (robust) triplet vote; sub-bin refined
+    # peaks drive the final orientation polish and the width metrics.
     rho_idx, theta_idx, intensity = detect_bands(sino, n_bands=n_bands)
+    rho_ref, theta_ref, _, width = detect_bands_refined(
+        sino, n_bands=n_bands
+    )
     rho_idx = np.asarray(rho_idx).reshape(-1, n_bands)
     theta_idx = np.asarray(theta_idx).reshape(-1, n_bands)
     intensity = np.asarray(intensity).reshape(-1, n_bands)
+    rho_ref = np.asarray(rho_ref).reshape(-1, n_bands)
+    theta_ref = np.asarray(theta_ref).reshape(-1, n_bands)
+    width = np.asarray(width).reshape(-1, n_bands)
 
     normals = bands_to_normals(
         rho_idx, theta_idx, signal.detector, n_theta=n_theta, n_rho=n_rho
     )
+    normals_ref, rho_g = bands_to_normals(
+        rho_ref,
+        theta_ref,
+        signal.detector,
+        n_theta=n_theta,
+        n_rho=n_rho,
+        return_rho_g=True,
+    )
+    # Band width: rho bins -> pixels -> gnomonic units; first-order
+    # Bragg-angle estimate tan(theta_B) ~ w_g / (2 (1 + rho_g^2))
+    # (edge traces at tan(alpha_c +- theta_B) about the central plane).
+    sy, sx = signal.detector.shape
+    radius = min((sy - 1) / 2, (sx - 1) / 2)
+    pcz = signal.detector.pc_average[2]
+    width_g = width / (n_rho - 1) * 2 * radius / (pcz * sy)
+    band_theta = np.arctan(width_g / (2.0 * (1.0 + rho_g**2)))
 
     n = normals.shape[0]
     tol = np.deg2rad(angle_tol_deg)
@@ -464,10 +671,14 @@ def hough_indexing(
         err_parts.append(e_b)
         nin_parts.append(c_b)
     R_all = jnp.concatenate(R_parts, axis=0)
+    # Polish the voted orientations with the sub-bin refined normals.
+    R_all, err_ref, nin_ref = _refit_orientations(
+        R_all, jnp.asarray(normals_ref, jnp.float32), g_j, tol
+    )
     quats = np.asarray(quat.from_matrix(R_all))
-    err = np.asarray(jnp.concatenate(err_parts))
+    err = np.asarray(err_ref)
     fit = np.where(np.isfinite(err), np.rad2deg(err), np.nan)
-    nbands = np.asarray(jnp.concatenate(nin_parts)).astype(np.int32)
+    nbands = np.asarray(nin_ref).astype(np.int32)
 
     pg = phase.get_point_group()
     quats = reduce_to_fundamental_zone(quats, pg.proper_name)
@@ -480,6 +691,8 @@ def hough_indexing(
             "fit": fit,
             "nbands": nbands,
             "band_intensity": intensity.mean(axis=1),
+            "band_width": width_g.mean(axis=1),
+            "band_theta": band_theta,
         },
         phases=PhaseList(phase),
     )

@@ -162,3 +162,74 @@ class TestRadonMatmulEquivalence:
                     v = np.where(valid, v, 0.0)
                     want[k, ri, ti] = v.sum() / max(valid.sum(), 1)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+
+class TestRefinedBandDetection:
+    """Sub-bin peak refinement + FWHM band-width estimation
+    (detect_bands_refined). Synthetic Gaussian-profile bands at known
+    sub-bin positions."""
+
+    def _band(self, y0, fwhm, angle_deg=90.0, sy=60, sx=60):
+        cy, cx = (sy - 1) / 2, (sx - 1) / 2
+        a = np.deg2rad(angle_deg)
+        xx, yy = np.meshgrid(np.arange(sx) - cx, np.arange(sy) - cy)
+        d = xx * np.cos(a) + yy * np.sin(a) - y0
+        return np.exp(-0.5 * (d / (fwhm / 2.355)) ** 2).astype(np.float32)
+
+    def test_subpixel_rho_theta(self):
+        from kikuchipy_tpu.indexing.hough import (
+            detect_bands_refined,
+            radon_transform,
+        )
+
+        radius = 29.5
+        # Band at rho=+3.7 px, theta=61 deg (neither on a bin center).
+        pat = self._band(3.7, 8, angle_deg=61.0)
+        sino = radon_transform(pat[None], n_theta=90, n_rho=96)
+        rho, th, sc, wd = (
+            np.asarray(a)[0] for a in detect_bands_refined(sino, n_bands=1)
+        )
+        rho_px = rho / 95 * 2 * radius - radius
+        assert abs(rho_px[0] - 3.7) < 0.15
+        assert abs(th[0] * 2.0 - 61.0) < 0.25  # 2 deg/bin
+
+    def test_width_monotone_and_scaled(self):
+        from kikuchipy_tpu.indexing.hough import (
+            detect_bands_refined,
+            radon_transform,
+        )
+
+        radius = 29.5
+        widths = []
+        for fwhm in [5, 8]:
+            pat = self._band(-3.3, fwhm)
+            sino = radon_transform(pat[None], n_theta=90, n_rho=96)
+            _, _, _, wd = (
+                np.asarray(a)[0]
+                for a in detect_bands_refined(sino, n_bands=1)
+            )
+            wd_px = wd[0] / 95 * 2 * radius
+            # Butterfly-response FWHM under-reads the band FWHM but
+            # stays proportional for realistic widths.
+            assert 0.4 * fwhm < wd_px < 1.0 * fwhm
+            widths.append(wd_px)
+        assert widths[1] > widths[0]
+
+    def test_refined_matches_integer_peaks(self, rng_patterns=None):
+        from kikuchipy_tpu.indexing.hough import (
+            detect_bands,
+            detect_bands_refined,
+            radon_transform,
+        )
+
+        rng = np.random.default_rng(3)
+        pats = rng.uniform(size=(4, 60, 60)).astype(np.float32)
+        pats += self._band(2.0, 7)
+        sino = radon_transform(pats, n_theta=90, n_rho=96)
+        r0, t0, s0 = (np.asarray(a) for a in detect_bands(sino, n_bands=5))
+        r1, t1, s1, _ = (
+            np.asarray(a) for a in detect_bands_refined(sino, n_bands=5)
+        )
+        np.testing.assert_allclose(s0, s1, rtol=1e-6)
+        assert np.all(np.abs(r1 - r0) <= 0.5)
+        assert np.all(np.abs(((t1 - t0 + 45) % 90) - 45) <= 0.5)
