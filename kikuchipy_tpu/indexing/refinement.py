@@ -165,24 +165,36 @@ def _exp_map(delta: jnp.ndarray) -> jnp.ndarray:
     return q / jnp.sqrt(1.0 + jnp.sum(jnp.square(half), axis=-1, keepdims=True))
 
 
-@partial(jax.jit, static_argnames=("objective", "iters"))
+@partial(jax.jit, static_argnames=("objective", "iters", "blocks"))
 def _adam_minimize_batched(
     objective,
     x0: jnp.ndarray,
     lr: float,
     iters: int,
-    max_norm: float,
+    blocks: tuple[tuple[int, float], ...],
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched Adam descent on an elementwise objective with a norm
-    trust region; returns (x_best, f_best). Every map point optimizes
-    simultaneously (same lockstep philosophy as the batched
-    Nelder-Mead, but using the projector's exact gradients)."""
+    """Batched Adam descent on an elementwise objective with per-block
+    norm trust regions; returns (x_best, f_best). Every map point
+    optimizes simultaneously (same lockstep philosophy as the batched
+    Nelder-Mead, but using the projector's exact gradients).
+
+    ``blocks``: static ``((size, max_norm), ...)`` partition of the
+    parameter axis; each block is clipped to its own norm ball (e.g.
+    rotation vector in radians vs. PC shift in detector fractions for
+    the joint mode).
+    """
     grad_fn = jax.grad(lambda x: jnp.sum(objective(x)))
     b1, b2, eps = 0.9, 0.999, 1e-8
 
     def clip(x):
-        norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
-        return jnp.where(norm > max_norm, x * (max_norm / norm), x)
+        parts = []
+        start = 0
+        for size, max_norm in blocks:
+            seg = x[:, start : start + size]
+            norm = jnp.linalg.norm(seg, axis=-1, keepdims=True)
+            parts.append(jnp.where(norm > max_norm, seg * (max_norm / norm), seg))
+            start += size
+        return jnp.concatenate(parts, axis=-1)
 
     def step(i, state):
         x, m, v, x_best, f_best = state
@@ -292,7 +304,7 @@ def refine_orientation(
             delta0,
             lr=np.deg2rad(0.25),
             iters=max_iters,
-            max_norm=max_norm,
+            blocks=((3, max_norm),),
         )
         refined_rot = np.asarray(quat.multiply(q0, _exp_map(d_best)))
         scores = 1.0 - np.asarray(f_best)
@@ -388,11 +400,16 @@ def refine_projection_center(
     trust_region=None,
     max_iters: int = 150,
     rtol: float = 1e-4,
+    method: str = "nm",
 ) -> RefinementResult:
     """Refine projection centers with fixed orientations (reference
     ``EBSD.refine_projection_center``, ``signals/ebsd.py:2187``).
 
     ``trust_region``: optional ``(3,)`` half-widths (PC fractions).
+
+    ``method``: ``"nm"`` (batched Nelder-Mead, matching the reference's
+    derivative-free solvers) or ``"gradient"`` (batched Adam on the
+    projector's exact PC gradients; no reference equivalent).
     """
     xmap = xmap if xmap is not None else signal.xmap
     detector = detector if detector is not None else signal.detector
@@ -427,6 +444,38 @@ def refine_projection_center(
         )
         sim = _project_at(q0, dc, master, npx, npy, scale)
         return 1.0 - _ncc_centered(exp, sq_norm, sim)
+
+    if method == "gradient":
+        max_norm = (
+            float(np.max(trust_region)) if trust_region is not None else 0.05
+        )
+        pc0_j = jnp.asarray(pc0)
+
+        def objective_delta(dpc):
+            return objective(pc0_j + dpc)
+
+        d_best, f_best = _adam_minimize_batched(
+            objective_delta,
+            jnp.zeros((n, 3), dtype=jnp.float32),
+            lr=2e-3,
+            iters=max_iters,
+            blocks=((3, max_norm),),
+        )
+        new_pc = np.asarray(pc0 + np.asarray(d_best), dtype=np.float64)
+        new_detector = dataclasses.replace(
+            detector,
+            pc=new_pc.reshape(
+                nav_shape + (3,) if len(nav_shape) == 2 else (-1, 3)
+            ),
+        )
+        scores = 1.0 - np.asarray(f_best)
+        new_xmap = _finalize_xmap(
+            xmap, np.asarray(xmap.best_rotations), scores,
+            np.full(n, max_iters), nav_shape,
+        )
+        return RefinementResult(xmap=new_xmap, detector=new_detector)
+    if method != "nm":
+        raise ValueError(f"method must be 'nm' or 'gradient', got {method!r}")
 
     lb = ub = None
     if trust_region is not None:
@@ -466,6 +515,7 @@ def refine_orientation_projection_center(
     trust_region=None,
     max_iters: int = 200,
     rtol: float = 1e-4,
+    method: str = "nm",
 ) -> RefinementResult:
     """Jointly refine orientations and PCs (reference
     ``EBSD.refine_orientation_projection_center``,
@@ -473,6 +523,10 @@ def refine_orientation_projection_center(
 
     ``trust_region``: optional ``(6,)``: three Euler half-widths in
     degrees then three PC half-widths.
+
+    ``method``: ``"nm"`` or ``"gradient"`` (batched Adam over the
+    6-vector (rotation vector, PC shift), each block trust-region
+    clipped separately).
     """
     xmap = xmap if xmap is not None else signal.xmap
     detector = detector if detector is not None else signal.detector
@@ -504,6 +558,51 @@ def refine_orientation_projection_center(
         dc = _dc_for_pc(x_b[:, 3:].astype(jnp.float32), nrows, ncols, om, mask_static)
         sim = _project_at(q, dc, master, npx, npy, scale)
         return 1.0 - _ncc_centered(exp, sq_norm, sim)
+
+    if method == "gradient":
+        if trust_region is not None:
+            tr = np.asarray(trust_region, dtype=np.float64)
+            rot_norm = float(np.deg2rad(np.max(tr[:3])))
+            pc_norm = float(np.max(tr[3:]))
+        else:
+            rot_norm, pc_norm = np.deg2rad(3.0), 0.05
+        q0 = jnp.asarray(xmap.best_rotations, dtype=jnp.float32)
+        pc0_j = jnp.asarray(pc0, dtype=jnp.float32)
+
+        def objective_delta(x_b):
+            q = quat.multiply(q0, _exp_map(x_b[:, :3])).astype(jnp.float32)
+            dc = _dc_for_pc(
+                (pc0_j + x_b[:, 3:]).astype(jnp.float32),
+                nrows, ncols, om, mask_static,
+            )
+            sim = _project_at(q, dc, master, npx, npy, scale)
+            return 1.0 - _ncc_centered(exp, sq_norm, sim)
+
+        d_best, f_best = _adam_minimize_batched(
+            objective_delta,
+            jnp.zeros((n, 6), dtype=jnp.float32),
+            lr=2e-3,
+            iters=max_iters,
+            blocks=((3, rot_norm), (3, pc_norm)),
+        )
+        d_best = np.asarray(d_best)
+        refined_rot = np.asarray(
+            quat.multiply(q0, _exp_map(jnp.asarray(d_best[:, :3])))
+        )
+        new_pc = np.asarray(pc0 + d_best[:, 3:], dtype=np.float64)
+        new_detector = dataclasses.replace(
+            detector,
+            pc=new_pc.reshape(
+                nav_shape + (3,) if len(nav_shape) == 2 else (-1, 3)
+            ),
+        )
+        scores = 1.0 - np.asarray(f_best)
+        new_xmap = _finalize_xmap(
+            xmap, refined_rot, scores, np.full(n, max_iters), nav_shape
+        )
+        return RefinementResult(xmap=new_xmap, detector=new_detector)
+    if method != "nm":
+        raise ValueError(f"method must be 'nm' or 'gradient', got {method!r}")
 
     lb = ub = None
     if trust_region is not None:

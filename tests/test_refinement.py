@@ -250,3 +250,47 @@ class TestNavChunking:
         np.testing.assert_allclose(
             chunked.xmap.prop["scores"], whole.xmap.prop["scores"], atol=1e-4
         )
+
+
+class TestGradientPCAndJoint:
+    """method="gradient" extended to PC and joint modes (batched Adam
+    on the projector's exact gradients; per-block trust regions)."""
+
+    def test_pc_gradient_refines_towards_known_pc(self, nickel_setup):
+        s, mp = nickel_setup
+        import dataclasses
+
+        true_pc = s.detector.pc_average
+        bad_pc = true_pc + np.array([0.02, -0.02, 0.02])
+        det = dataclasses.replace(s.detector, pc=np.tile(bad_pc, (9, 1)))
+
+        res = s.refine_projection_center(
+            detector=det, master_pattern=mp, max_iters=150,
+            method="gradient",
+        )
+        refined_avg = res.detector.pc.reshape(-1, 3).mean(axis=0)
+        err_before = np.abs(bad_pc - true_pc).max()
+        err_after = np.abs(refined_avg - true_pc).max()
+        assert err_after < err_before
+        assert err_after < 0.015, (refined_avg, true_pc)
+
+    def test_joint_gradient_improves_score(self, nickel_setup):
+        s, mp = nickel_setup
+        res = s.refine_orientation_projection_center(
+            master_pattern=mp, max_iters=150, method="gradient"
+        )
+        assert res.xmap.prop["scores"].min() > 0.3
+        stored = s.xmap.best_rotations
+        ang = np.degrees(
+            disorientation_angle(stored, res.xmap.best_rotations, "m-3m")
+        )
+        assert ang.max() < 3.0
+
+    def test_unknown_method_raises(self, nickel_setup):
+        s, mp = nickel_setup
+        with pytest.raises(ValueError, match="method"):
+            s.refine_projection_center(master_pattern=mp, method="bogus")
+        with pytest.raises(ValueError, match="method"):
+            s.refine_orientation_projection_center(
+                master_pattern=mp, method="bogus"
+            )
