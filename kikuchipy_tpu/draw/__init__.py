@@ -11,6 +11,7 @@ from kikuchipy_tpu.draw.markers import (
 )
 
 from kikuchipy_tpu.draw.positions import plot_pattern_positions_in_map
+from kikuchipy_tpu.draw.sphere import plot_master_pattern_sphere, sample_sphere
 
 __all__ = [
     "plot_pattern_positions_in_map",

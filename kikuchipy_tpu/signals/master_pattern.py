@@ -180,6 +180,40 @@ class KikuchiMasterPattern:
             projection="lambert",
         )
 
+    def plot_spherical(
+        self,
+        energy: float | None = None,
+        style: str = "surface",
+        return_figure: bool = False,
+        **kwargs,
+    ):
+        """Plot the master pattern on the sphere (reference
+        ``KikuchiMasterPattern.plot_spherical``,
+        ``signals/_kikuchi_master_pattern.py:215`` — pyvista there,
+        matplotlib 3D here, so it works headless).
+
+        Requires the stereographic projection with both hemispheres.
+        """
+        if self.projection != "stereographic":
+            raise ValueError(
+                "plot_spherical requires the stereographic projection "
+                f"(signal is {self.projection!r}); load with "
+                "projection='stereographic'"
+            )
+        if self.hemisphere != "both":
+            raise ValueError(
+                "plot_spherical requires both hemispheres (signal has "
+                f"{self.hemisphere!r})"
+            )
+        from kikuchipy_tpu.draw.sphere import plot_master_pattern_sphere
+
+        hemis = self._hemispheres_at_energy(energy)
+        fig = plot_master_pattern_sphere(
+            hemis[0], hemis[1], style=style, **kwargs
+        )
+        if return_figure:
+            return fig
+
     def plot(self, energy: float | None = None, ax=None):
         """Show the (upper-hemisphere) master pattern."""
         import matplotlib.pyplot as plt

@@ -7,6 +7,8 @@ matplotlib.use("Agg")
 import numpy as np
 import pytest
 
+import kikuchipy_tpu as kp
+
 from kikuchipy_tpu.draw import (
     get_line_segment_list,
     get_point_list,
@@ -95,3 +97,54 @@ class TestPlotPatternPositions:
 
         with pytest.raises(ValueError, match=r"\(n, 2\)"):
             plot_pattern_positions_in_map(np.ones((3, 3)), (5, 5))
+
+
+class TestSpherePlot:
+    """Master-pattern sphere rendering (reference plot_spherical is
+    pyvista; ours is matplotlib 3D, usable headless)."""
+
+    def test_sample_sphere_continuity_at_equator(self):
+        from kikuchipy_tpu.draw.sphere import sample_sphere
+
+        mp = kp.data.nickel_ebsd_master_pattern_small(
+            projection="stereographic", hemisphere="both"
+        )
+        hemis = mp._hemispheres_at_energy()
+        x, y, z, vals = sample_sphere(hemis[0], hemis[1], 91, 181)
+        assert vals.shape == (91, 181)
+        # Upper and lower samples must agree along the equator (both
+        # hemispheres share the boundary circle).
+        eq = np.argmin(np.abs(z[:, 0]))
+        upper_row = vals[eq - 1]
+        lower_row = vals[eq + 1]
+        # Intensities are uint8-scaled; neighbouring rings are close.
+        assert np.abs(upper_row.astype(float) - lower_row.astype(float)).mean() < 12
+
+    def test_plot_spherical_smoke(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        mp = kp.data.nickel_ebsd_master_pattern_small(
+            projection="stereographic", hemisphere="both"
+        )
+        fig = mp.plot_spherical(return_figure=True, n_polar=31, n_azimuth=61)
+        assert fig is not None
+        plt.close(fig)
+        fig = mp.plot_spherical(
+            return_figure=True, style="points", n_polar=31, n_azimuth=61
+        )
+        plt.close(fig)
+
+    def test_plot_spherical_requires_stereographic_both(self):
+        mp = kp.data.nickel_ebsd_master_pattern_small(
+            projection="lambert", hemisphere="both"
+        )
+        with pytest.raises(ValueError, match="stereographic"):
+            mp.plot_spherical()
+        mp2 = kp.data.nickel_ebsd_master_pattern_small(
+            projection="stereographic", hemisphere="upper"
+        )
+        with pytest.raises(ValueError, match="hemispheres"):
+            mp2.plot_spherical()
