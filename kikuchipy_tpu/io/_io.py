@@ -125,9 +125,19 @@ def load(filename: str | Path, **kwargs):
     return _get_plugin(plugin).file_reader(path, **kwargs)
 
 
-def save(filename: str | Path, signal, **kwargs) -> None:
+def save(
+    filename: str | Path, signal, overwrite: bool | None = None, **kwargs
+) -> None:
     """Save a signal to a writable format chosen by extension
-    (reference ``io/_io.py:354``)."""
+    (reference ``io/_io.py:354``).
+
+    ``overwrite``: what to do when ``filename`` already exists —
+    ``None`` (default) raises, ``True`` replaces the file, ``False``
+    returns without writing. (The reference prompts interactively;
+    a production pipeline needs an explicit decision instead.)
+    ``add_scan=True`` (kikuchipy h5ebsd only) appends a new scan group
+    to the existing file and is exempt from the overwrite check.
+    """
     path = Path(filename)
     ext = path.suffix.lower()
     if ext in (".h5", ".hdf5", ".h5ebsd"):
@@ -139,4 +149,12 @@ def save(filename: str | Path, signal, **kwargs) -> None:
             f"'{ext}' does not correspond to any supported writable format "
             "(.h5/.hdf5/.h5ebsd or .dat)"
         )
+    if path.exists() and not kwargs.get("add_scan"):
+        if overwrite is None:
+            raise FileExistsError(
+                f"{path} exists; pass overwrite=True to replace it "
+                "(or overwrite=False to skip silently)"
+            )
+        if overwrite is False:
+            return
     _get_plugin(plugin).file_writer(path, signal, **kwargs)

@@ -346,3 +346,26 @@ class TestEdaxCrystalMap:
         assert s.xmap.size == 9
         assert "ci" in s.xmap.prop and "iq" in s.xmap.prop
         assert s.xmap.phases.names == ["Nickel"]
+
+
+class TestSaveOverwriteSemantics:
+    """Explicit overwrite decisions replace the reference's interactive
+    prompt (io/_io.py:354)."""
+
+    def test_existing_file_raises_then_overwrites(self, tmp_path):
+        import kikuchipy_tpu as kp
+        from kikuchipy_tpu.signals.ebsd import EBSD
+
+        s = EBSD(data=np.arange(81, dtype=np.uint8).reshape(1, 1, 9, 9))
+        p = tmp_path / "scan.h5"
+        s.save(p)
+        with pytest.raises(FileExistsError, match="overwrite=True"):
+            s.save(p)
+        # overwrite=False: silently skipped (file unchanged).
+        before = p.stat().st_mtime_ns
+        s.save(p, overwrite=False)
+        assert p.stat().st_mtime_ns == before
+        s2 = EBSD(data=np.full((1, 1, 9, 9), 7, dtype=np.uint8))
+        s2.save(p, overwrite=True)
+        back = kp.load(p)
+        assert np.all(np.asarray(back.data) == 7)

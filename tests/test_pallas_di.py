@@ -61,3 +61,53 @@ class TestPallasKernelV3:
         e, d = problem
         with pytest.raises(ValueError, match="multiple of 128"):
             ncc_match_topk_pallas_v3(e, d, k=5, tile_d=100, interpret=True)
+
+
+class TestPallasKernelV4:
+    def test_v4_matches_bf16_topk_exactly(self, problem):
+        """v4 (bf16 matmul + streaming-insertion top-k) must be
+        bit-identical to XLA's bf16 matmul + lax.top_k, including tie
+        ordering (stable, lowest index first)."""
+        from kikuchipy_tpu.ops.pallas_di import ncc_match_topk_pallas_v4
+
+        e, d = problem
+        # Plant exact duplicates to exercise tie-breaking.
+        d = np.array(d, copy=True)
+        d[10] = d[50] = np.asarray(e)[0]
+        d = jnp.asarray(d)
+        s, i = ncc_match_topk_pallas_v4(
+            e, d, k=7, tile_n=128, tile_m=256, interpret=True
+        )
+        sim = jnp.matmul(
+            e.astype(jnp.bfloat16),
+            d.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        )
+        ref_s, ref_i = jax.lax.top_k(sim, 7)
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(ref_s))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+    def test_v4_pads_contraction(self, problem):
+        from kikuchipy_tpu.ops.pallas_di import ncc_match_topk_pallas_v4
+
+        e, d = problem
+        # Odd d: zero-padded to a lane multiple internally.
+        e2 = e[:, :200]
+        d2 = d[:, :200]
+        s, i = ncc_match_topk_pallas_v4(
+            e2, d2, k=5, tile_n=128, tile_m=256, interpret=True
+        )
+        sim = jnp.matmul(
+            e2.astype(jnp.bfloat16),
+            d2.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        )
+        ref_s, ref_i = jax.lax.top_k(sim, 5)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+    def test_v4_bad_tiling_raises(self, problem):
+        from kikuchipy_tpu.ops.pallas_di import ncc_match_topk_pallas_v4
+
+        e, d = problem
+        with pytest.raises(ValueError, match="multiples"):
+            ncc_match_topk_pallas_v4(e[:100], d, k=5, interpret=True)
