@@ -16,18 +16,19 @@ new score block — only max/min reductions and selects (robust Mosaic
 lowering), with a threshold test skipping blocks that cannot beat the
 current per-row k-th score.
 
-STATUS: exact against ``lax.top_k`` in interpreter mode (covered by
-tests/test_pallas_di.py). On v5e hardware the in-kernel ``dot_general``
-runs as a single bf16 MXU pass, so scores carry ~1e-4 absolute error on
-normalized NCC inputs (top-1 agreement 98.6% on adversarial random
-data, higher on real data) — acceptable for a fast mode. Measured on
-the 2048 x 100k x 3600 benchmark: v1 (single-block D, 256x256 tiles)
-10k patterns/s; v3 (D-blocked accumulation, fori_loop extraction)
-24.7k patterns/s at 17.9 TF/s — still behind the XLA ``matmul`` +
-``top_k`` scan in :mod:`kikuchipy_tpu.indexing.di` (82.7k amortized),
-which therefore remains the production default. Round-2 work: larger
-tiles within VMEM (reuse exp tile across kd), log-depth bitonic
-extraction, per-row-block threshold skip.
+STATUS (line CLOSED after the v4/v5 experiment set; see
+BENCH_NOTES.md): exact against ``lax.top_k`` in interpreter mode
+(covered by tests/test_pallas_di.py). On the 2048 x 100k x 3600
+benchmark: v1 10k pps, v3 (D-blocked) 24.7k pps, v4 full-D bf16 tiles
+with while_loop streaming insertion 46.3k pps — and the matmul-only
+floor of the same structure is 76.8k pps (55.5 TF/s), equal to the XLA
+``matmul`` + ``top_k`` production path (82.7k amortized). This backend
+promotes bf16 tiles to f32-class matmuls (scores match f32 to 3e-8),
+so there is no single-pass-bf16 headroom for a fused kernel to win;
+extraction temporaries additionally spill VMEM at full-D tiles. The
+kernel's remaining value is HBM footprint (the (n, m) score block is
+never materialized); the XLA path in :mod:`kikuchipy_tpu.indexing.di`
+stays the production default.
 """
 
 from __future__ import annotations
