@@ -1,5 +1,6 @@
 """Visualization tools (public namespace mirroring ``kikuchipy.draw``)."""
 
+from kikuchipy_tpu.draw.detector_plotter import EBSDDetectorPlotter
 from kikuchipy_tpu.draw.detector_plot import (
     plot_detector,
     plot_detector_sample_geometry,
@@ -14,6 +15,7 @@ from kikuchipy_tpu.draw.positions import plot_pattern_positions_in_map
 from kikuchipy_tpu.draw.sphere import plot_master_pattern_sphere, sample_sphere
 
 __all__ = [
+    "EBSDDetectorPlotter",
     "plot_pattern_positions_in_map",
     "get_line_segment_list",
     "get_point_list",

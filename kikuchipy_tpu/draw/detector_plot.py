@@ -99,13 +99,17 @@ def plot_detector_sample_geometry(
     detector,
     mode: str = "side",
     return_figure: bool = False,
+    ax=None,
 ):
     """Schematic side ("side") or top ("top") view of the
     detector-sample geometry: tilted sample, detector screen, and the
     PC ray (reference ``draw/_ebsd_detector_plot.py:177-331``)."""
     import matplotlib.pyplot as plt
 
-    fig, ax = plt.subplots()
+    if ax is None:
+        fig, ax = plt.subplots()
+    else:
+        fig = ax.figure
     sigma = np.deg2rad(detector.sample_tilt)
     theta = np.deg2rad(detector.tilt)
     pc = detector.pc_average

@@ -86,7 +86,6 @@ def plot_master_pattern_sphere(
     Returns the matplotlib figure.
     """
     import matplotlib.pyplot as plt
-    from matplotlib import cm
 
     if style not in ("surface", "points"):
         raise ValueError(
@@ -104,7 +103,7 @@ def plot_master_pattern_sphere(
         ax = fig.add_subplot(projection="3d")
     else:
         fig = ax.figure
-    colormap = cm.get_cmap(cmap) if hasattr(cm, "get_cmap") else plt.get_cmap(cmap)
+    colormap = plt.get_cmap(cmap)
     if style == "surface":
         ax.plot_surface(
             x,

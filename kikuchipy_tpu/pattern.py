@@ -2,6 +2,7 @@
 reference's ``kikuchipy.pattern``; the same batched kernels as
 :mod:`kikuchipy_tpu.ops.pattern`)."""
 
+from kikuchipy_tpu import pattern_chunk as chunk
 from kikuchipy_tpu.ops.pattern import (
     fft,
     fft_filter,
@@ -19,6 +20,7 @@ from kikuchipy_tpu.ops.pattern import (
 __all__ = [
     "fft",
     "fft_filter",
+    "chunk",
     "fft_frequency_vectors",
     "fft_spectrum",
     "get_dynamic_background",
