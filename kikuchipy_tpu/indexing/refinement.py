@@ -61,6 +61,27 @@ class RefinementResult:
     detector: object = None
 
 
+def _normalize_method(method: str) -> str:
+    """Map the reference's solver names (scipy ``minimize``/global
+    optimizers, NLopt ``LN_NELDERMEAD``; ``_refinement/_solvers.py``) to
+    this framework's batched solvers. Local derivative-free solvers map
+    to the batched Nelder-Mead; the global optimizers have no batched
+    equivalent and raise with guidance.
+    """
+    m = method.lower()
+    if m in ("nm", "minimize", "ln_neldermead", "nelder-mead"):
+        return "nm"
+    if m == "gradient":
+        return "gradient"
+    if m in ("differential_evolution", "dual_annealing", "basinhopping", "shgo"):
+        raise NotImplementedError(
+            f"Global optimizer {method!r} has no batched TPU equivalent; "
+            "use method='nm' with pseudo_symmetry_ops (multi-start) or "
+            "method='gradient', which cover the reference's use cases"
+        )
+    raise ValueError(f"method must be 'nm' or 'gradient', got {method!r}")
+
+
 def _prepare_experimental(patterns, signal_mask_idx) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Rescale each pattern to [-1, 1], apply mask, center; return the
     centered patterns and their squared norms (reference
@@ -243,6 +264,7 @@ def refine_orientation(
     ``pseudo_symmetry_index`` property (reference ``_refinement/
     _refinement.py`` pseudo-symmetry support).
     """
+    method = _normalize_method(method)
     if pseudo_symmetry_ops is not None:
         return _refine_orientation_pseudo_symmetry(
             signal, xmap, detector, master_pattern, energy, signal_mask,
@@ -411,6 +433,7 @@ def refine_projection_center(
     derivative-free solvers) or ``"gradient"`` (batched Adam on the
     projector's exact PC gradients; no reference equivalent).
     """
+    method = _normalize_method(method)
     xmap = xmap if xmap is not None else signal.xmap
     detector = detector if detector is not None else signal.detector
     nav_shape = signal.navigation_shape
@@ -528,6 +551,7 @@ def refine_orientation_projection_center(
     6-vector (rotation vector, PC shift), each block trust-region
     clipped separately).
     """
+    method = _normalize_method(method)
     xmap = xmap if xmap is not None else signal.xmap
     detector = detector if detector is not None else signal.detector
     nav_shape = signal.navigation_shape

@@ -294,3 +294,26 @@ class TestGradientPCAndJoint:
             s.refine_orientation_projection_center(
                 master_pattern=mp, method="bogus"
             )
+
+
+class TestMethodNameCompat:
+    """Reference solver names map to the batched solvers
+    (_refinement/_solvers.py naming)."""
+
+    def test_reference_names_accepted(self, nickel_setup):
+        s, mp = nickel_setup
+        res = s.refine_orientation(
+            master_pattern=mp, max_iters=5, method="LN_NELDERMEAD"
+        )
+        assert "scores" in res.xmap.prop
+        res = s.refine_orientation(
+            master_pattern=mp, max_iters=5, method="minimize"
+        )
+        assert "scores" in res.xmap.prop
+
+    def test_global_optimizers_guide_user(self, nickel_setup):
+        s, mp = nickel_setup
+        with pytest.raises(NotImplementedError, match="pseudo_symmetry_ops"):
+            s.refine_orientation(
+                master_pattern=mp, method="differential_evolution"
+            )
