@@ -129,7 +129,9 @@ def fetch(
         url = REGISTRY_URLS.get(relpath)
         if not allow_download or url is None:
             raise FileNotFoundError(
-                f"Dataset file {relpath} not found under {cache_dir}."
+                f"Dataset file {relpath} not found under {cache_dir}"
+                " (override the cache location with the KP_TPU_DATA_DIR"
+                " environment variable)."
                 + (
                     f" Pass allow_download=True to fetch it from {url}"
                     if url

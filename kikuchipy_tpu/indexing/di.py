@@ -125,37 +125,63 @@ def _index_resident(
     ``approx``, per-tile candidates come from the TPU-optimized
     ``lax.approx_max_k`` (recall target 0.99; the cross-tile merge stays
     exact), trading a tiny recall loss on ties for ~25% less top-k
-    overhead."""
+    overhead.
+
+    ``precision="mixed"`` selects candidates with a single-pass bfloat16
+    matmul (full MXU rate) carrying ``2*keep_n`` candidates per pattern,
+    then rescores only the surviving candidates at float32
+    ``Precision.HIGHEST`` — final scores are f32-exact while the O(n*m*d)
+    matmul runs at bf16 speed. A true top-keep_n entry is lost only if
+    bf16 rounding (|error| ~ 4e-3 on unit-norm NCC scores) pushes it
+    below the carried 2*keep_n-th candidate; callers wanting guarantees
+    validate against a "highest" subset (as ``bench.py`` does)."""
     n_exp = exp_prepared.shape[0]
     m = dict_prepared.shape[0]
     n_tiles = m // tile
     dtype = exp_prepared.dtype
+
+    mixed = precision == "mixed"
+    if mixed:
+        # Carry extra candidates so bf16 ranking noise near the keep_n
+        # boundary is corrected by the exact rescore.
+        k_carry = min(max(2 * keep_n, keep_n + 8), m)
+        exp_mm = exp_prepared.astype(jnp.bfloat16)
+        mm_precision = jax.lax.Precision.DEFAULT
+    else:
+        k_carry = keep_n
+        exp_mm = exp_prepared
+        mm_precision = _PRECISIONS[precision]
 
     def tile_topk(sim, k):
         if approx:
             return jax.lax.approx_max_k(sim, k, recall_target=0.99)
         return jax.lax.top_k(sim, k)
 
+    def match_block(block):
+        if mixed:
+            block = block.astype(jnp.bfloat16)
+        return jnp.matmul(
+            exp_mm,
+            block.T,
+            precision=mm_precision,
+            preferred_element_type=dtype,
+        )
+
     def step(carry, tile_i):
         best_scores, best_idx = carry
         block = jax.lax.dynamic_slice_in_dim(dict_prepared, tile_i * tile, tile, 0)
-        sim = jnp.matmul(
-            exp_prepared,
-            block.T,
-            precision=_PRECISIONS[precision],
-            preferred_element_type=dtype,
-        )
-        t_scores, t_idx = tile_topk(sim, min(keep_n, tile))
+        sim = match_block(block)
+        t_scores, t_idx = tile_topk(sim, min(k_carry, tile))
         t_idx = (t_idx + tile_i * tile).astype(jnp.int32)
         all_s = jnp.concatenate([best_scores, t_scores], axis=1)
         all_i = jnp.concatenate([best_idx, t_idx], axis=1)
-        s, pos = jax.lax.top_k(all_s, keep_n)
+        s, pos = jax.lax.top_k(all_s, k_carry)
         i = jnp.take_along_axis(all_i, pos, axis=1)
         return (s, i), None
 
     init = (
-        jnp.full((n_exp, keep_n), -jnp.inf, dtype=dtype),
-        jnp.zeros((n_exp, keep_n), dtype=jnp.int32),
+        jnp.full((n_exp, k_carry), -jnp.inf, dtype=dtype),
+        jnp.zeros((n_exp, k_carry), dtype=jnp.int32),
     )
     (scores, idx), _ = jax.lax.scan(step, init, jnp.arange(n_tiles))
 
@@ -163,19 +189,50 @@ def _index_resident(
     rem = m - n_tiles * tile
     if rem:
         block = dict_prepared[n_tiles * tile :]
-        sim = jnp.matmul(
-            exp_prepared,
-            block.T,
-            precision=_PRECISIONS[precision],
-            preferred_element_type=dtype,
-        )
-        t_scores, t_idx = tile_topk(sim, min(keep_n, rem))
+        sim = match_block(block)
+        t_scores, t_idx = tile_topk(sim, min(k_carry, rem))
         t_idx = (t_idx + n_tiles * tile).astype(jnp.int32)
         all_s = jnp.concatenate([scores, t_scores], axis=1)
         all_i = jnp.concatenate([idx, t_idx], axis=1)
-        scores, pos = jax.lax.top_k(all_s, keep_n)
+        scores, pos = jax.lax.top_k(all_s, k_carry)
         idx = jnp.take_along_axis(all_i, pos, axis=1)
+
+    if mixed:
+        scores, idx = _rescore_candidates(
+            exp_prepared, dict_prepared, idx, keep_n
+        )
     return scores, idx
+
+
+def _rescore_candidates(
+    exp_prepared: jnp.ndarray,
+    dict_prepared: jnp.ndarray,
+    cand_idx: jnp.ndarray,
+    keep_n: int,
+    slab: int = 2048,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact f32 rescoring of per-pattern candidate sets.
+
+    Gathers the candidates' dictionary rows (a DMA-friendly row gather;
+    slabbed over patterns to bound the ``(slab, k_c, d)`` buffer) and
+    recomputes their scores at ``Precision.HIGHEST``, then keeps the
+    exact top ``keep_n``."""
+    n_exp = exp_prepared.shape[0]
+    out_s, out_i = [], []
+    for s0 in range(0, n_exp, slab):
+        e = exp_prepared[s0 : s0 + slab]
+        ci = cand_idx[s0 : s0 + slab]
+        rows = jnp.take(dict_prepared, ci, axis=0)
+        sc = jnp.einsum(
+            "nd,nkd->nk", e, rows, precision=jax.lax.Precision.HIGHEST
+        )
+        s, pos = jax.lax.top_k(sc, keep_n)
+        i = jnp.take_along_axis(ci, pos, axis=1)
+        out_s.append(s)
+        out_i.append(i)
+    if len(out_s) == 1:
+        return out_s[0], out_i[0]
+    return jnp.concatenate(out_s, axis=0), jnp.concatenate(out_i, axis=0)
 
 
 def _default_tile(n_exp: int, budget_bytes: int = 2 << 30) -> int:
@@ -232,6 +289,11 @@ def dictionary_index(
         Boolean map mask over the flattened navigation grid, True =
         exclude the pattern from indexing. Scores for excluded patterns
         are returned as NaN and indices as -1.
+    precision
+        Matmul precision for the in-memory ``dictionary`` path:
+        "highest" (default, f32-exact), "high", "default", or "mixed"
+        (bf16 candidate selection + exact f32 rescoring of the
+        survivors; see :func:`_index_resident`).
     progress
         Optional callback ``progress(done, total)`` invoked per
         dictionary tile in the streaming paths (the reference shows a

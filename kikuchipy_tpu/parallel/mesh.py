@@ -59,12 +59,13 @@ def make_mesh(
     return Mesh(dev_array, axis_names=("scan", "dict"))
 
 
-@partial(jax.jit, static_argnames=("keep_n", "mesh"))
+@partial(jax.jit, static_argnames=("keep_n", "mesh", "precision"))
 def sharded_match_topk(
     exp_prepared: jnp.ndarray,
     dict_prepared: jnp.ndarray,
     keep_n: int,
     mesh: Mesh,
+    precision: str = "highest",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Match prepared experimental patterns against a prepared dictionary
     on a ``("scan", "dict")`` mesh and return the global top-k.
@@ -74,20 +75,47 @@ def sharded_match_topk(
     scan axis size and ``m`` by the dict axis size. Returns
     ``(scores, indices)`` of shape ``(n, keep_n)`` sharded over ``scan``
     and replicated over ``dict``.
+
+    ``precision="mixed"`` runs each shard's matmul in single-pass bf16
+    and rescores the shard-local bf16 top ``2*keep_n`` candidates at f32
+    ``Precision.HIGHEST`` *before* the cross-shard merge (candidate rows
+    are shard-local, so no extra communication) — final scores are
+    f32-exact at bf16 matmul speed, as in
+    :func:`kikuchipy_tpu.indexing.di._index_resident`.
     """
+    from kikuchipy_tpu.indexing.di import _PRECISIONS
+
     m = dict_prepared.shape[0]
     n_dict = mesh.shape["dict"]
     m_local = m // n_dict
+    mixed = precision == "mixed"
 
     def local_step(exp_local, dict_local):
+        exp_mm = exp_local.astype(jnp.bfloat16) if mixed else exp_local
+        dict_mm = dict_local.astype(jnp.bfloat16) if mixed else dict_local
         sim = jnp.matmul(
-            exp_local,
-            dict_local.T,
-            precision=jax.lax.Precision.HIGHEST,
+            exp_mm,
+            dict_mm.T,
+            precision=(
+                jax.lax.Precision.DEFAULT if mixed else _PRECISIONS[precision]
+            ),
             preferred_element_type=exp_local.dtype,
         )
         k_local = min(keep_n, m_local)
-        s, i = jax.lax.top_k(sim, k_local)
+        if mixed:
+            k_cand = min(max(2 * keep_n, keep_n + 8), m_local)
+            _, ci = jax.lax.top_k(sim, k_cand)
+            rows = jnp.take(dict_local, ci, axis=0)
+            sc = jnp.einsum(
+                "nd,nkd->nk",
+                exp_local,
+                rows,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            s, pos = jax.lax.top_k(sc, k_local)
+            i = jnp.take_along_axis(ci, pos, axis=1)
+        else:
+            s, i = jax.lax.top_k(sim, k_local)
         i = (i + jax.lax.axis_index("dict") * m_local).astype(jnp.int32)
         # Merge candidates across dictionary shards over ICI.
         s_all = jax.lax.all_gather(s, "dict", axis=1, tiled=True)
@@ -203,6 +231,7 @@ def sharded_dictionary_index(
     metric="ncc",
     mesh: Mesh | None = None,
     signal_mask: np.ndarray | None = None,
+    precision: str = "highest",
 ):
     """Dictionary indexing over a device mesh.
 
@@ -261,7 +290,9 @@ def sharded_dictionary_index(
 
     keep_n_eff = min(keep_n, m)
     k_query = min(keep_n_eff + m_pad, m + m_pad) if m_pad else keep_n_eff
-    scores, idx = sharded_match_topk(exp_prepared, dict_prepared, k_query, mesh)
+    scores, idx = sharded_match_topk(
+        exp_prepared, dict_prepared, k_query, mesh, precision
+    )
     scores = np.asarray(scores)[:n]
     idx = np.asarray(idx)[:n]
     if m_pad:

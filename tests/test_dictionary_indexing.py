@@ -216,3 +216,51 @@ class TestChanceLevelWarning:
         with caplog.at_level("WARNING", logger="kikuchipy_tpu.indexing.di"):
             dictionary_index(e, d, keep_n=5)
         assert not any("chance level" in r.message for r in caplog.records)
+
+
+class TestMixedPrecision:
+    """precision="mixed": bf16 candidate selection + exact f32 rescore.
+
+    Final scores must be f32-exact (they are recomputed at
+    Precision.HIGHEST), and on data with a clear winner the indices must
+    match the all-f32 path.
+    """
+
+    def test_mixed_matches_highest_self_match(self, exp):
+        exact = dictionary_index(exp, dictionary=exp, keep_n=3)
+        mixed = dictionary_index(exp, dictionary=exp, keep_n=3, precision="mixed")
+        np.testing.assert_array_equal(
+            mixed.simulation_indices[:, 0], exact.simulation_indices[:, 0]
+        )
+        np.testing.assert_allclose(
+            mixed.scores[:, 0], exact.scores[:, 0], atol=2e-6
+        )
+
+    def test_mixed_rescore_is_exact(self):
+        # Embed the experimental patterns in a noise dictionary: the
+        # self-match (score 1) must survive bf16 selection, and its
+        # rescored score must equal the f32 path's bitwise-closely.
+        rng = np.random.default_rng(3)
+        e = rng.normal(size=(16, 144)).astype(np.float32)
+        d = np.concatenate([rng.normal(size=(200, 144)).astype(np.float32), e])
+        exact = dictionary_index(e, d, keep_n=5)
+        mixed = dictionary_index(e, d, keep_n=5, precision="mixed")
+        np.testing.assert_array_equal(
+            mixed.simulation_indices[:, 0], exact.simulation_indices[:, 0]
+        )
+        np.testing.assert_allclose(
+            mixed.scores[:, 0], exact.scores[:, 0], atol=2e-6
+        )
+
+    def test_mixed_tiled_matches_untiled(self):
+        rng = np.random.default_rng(4)
+        e = rng.normal(size=(8, 64)).astype(np.float32)
+        d = np.concatenate([rng.normal(size=(100, 64)).astype(np.float32), e])
+        full = dictionary_index(e, d, keep_n=4, precision="mixed")
+        tiled = dictionary_index(
+            e, d, keep_n=4, precision="mixed", n_per_iteration=17
+        )
+        np.testing.assert_array_equal(
+            tiled.simulation_indices[:, 0], full.simulation_indices[:, 0]
+        )
+        np.testing.assert_allclose(tiled.scores[:, 0], full.scores[:, 0], atol=2e-6)

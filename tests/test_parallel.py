@@ -57,6 +57,22 @@ class TestShardedDI:
         np.testing.assert_array_equal(idx, ref.simulation_indices)
         np.testing.assert_allclose(scores, ref.scores, atol=1e-5)
 
+    @pytest.mark.parametrize("mesh_shape", [(8, 1), (2, 4)])
+    def test_mixed_precision_matches_highest(self, devices, problem, mesh_shape):
+        # bf16 candidate selection + local f32 rescore: top-1 indices and
+        # scores must agree with the all-f32 path (planted exact matches
+        # give an unambiguous winner; rescored scores are f32-exact).
+        exp, dictionary = problem
+        mesh = make_mesh(*mesh_shape)
+        s_ref, i_ref = sharded_dictionary_index(
+            exp, dictionary, keep_n=5, mesh=mesh
+        )
+        s_mix, i_mix = sharded_dictionary_index(
+            exp, dictionary, keep_n=5, mesh=mesh, precision="mixed"
+        )
+        np.testing.assert_array_equal(i_mix[:, 0], i_ref[:, 0])
+        np.testing.assert_allclose(s_mix[:, 0], s_ref[:, 0], atol=2e-6)
+
     def test_padding_path(self, devices, problem):
         # 23 experimental patterns and 157 dictionary entries: neither
         # divides the mesh axes, exercising the padding logic.
