@@ -97,7 +97,9 @@ def sharded_match_topk(
             exp_mm,
             dict_mm.T,
             precision=(
-                jax.lax.Precision.DEFAULT if mixed else _PRECISIONS[precision]
+                # For bf16 inputs the flag is numerically moot but
+                # HIGHEST compiles to the faster path on this backend.
+                jax.lax.Precision.HIGHEST if mixed else _PRECISIONS[precision]
             ),
             preferred_element_type=exp_local.dtype,
         )

@@ -349,6 +349,64 @@ class EBSD:
         )
         return self._replace_data(data)
 
+    def get_decomposition_model_write(
+        self,
+        out_path,
+        components: int = 10,
+        chunk_size: int = 1024,
+    ) -> None:
+        """Write the PCA model reconstruction straight to a kikuchipy
+        h5ebsd file, navigation-chunk by navigation-chunk (the
+        out-of-core analogue of :meth:`get_decomposition_model`;
+        reference ``LazyEBSD.get_decomposition_model_write``,
+        ``signals/ebsd.py:3200``).
+
+        The factors/loadings/mean are computed once; each reconstructed
+        chunk is rescaled to the storage dtype and written before the
+        next is generated, so the float32 reconstruction of the full
+        scan is never materialized.
+        """
+        import h5py
+        import jax.numpy as jnp
+
+        from kikuchipy_tpu.io.plugins.kikuchipy_h5ebsd import file_writer
+        from kikuchipy_tpu.ops.decomposition import pca
+        from kikuchipy_tpu.utils.dtypes import get_dtype_range
+
+        data = np.asarray(self.data)
+        dtype = data.dtype
+        sy, sx = data.shape[-2:]
+        n = int(np.prod(data.shape[:-2]))
+        factors, loadings, mean = pca(data, components)
+        factors_d = jnp.asarray(factors)
+        mean_d = jnp.asarray(mean)
+
+        file_writer(str(out_path), self)
+        with h5py.File(out_path, "r+") as f:
+            ds = f["Scan 1/EBSD/Data/patterns"]
+            for start in range(0, n, chunk_size):
+                w = jnp.asarray(loadings[start : start + chunk_size])
+                recon = w @ factors_d + mean_d
+                if np.issubdtype(dtype, np.integer):
+                    omin, omax = get_dtype_range(dtype)
+                    imin = recon.min(axis=-1, keepdims=True)
+                    imax = recon.max(axis=-1, keepdims=True)
+                    recon = (recon - imin) / (imax - imin)
+                    recon = recon * (omax - omin) + omin
+                ds[start : start + w.shape[0]] = (
+                    np.asarray(recon).astype(dtype).reshape(-1, sy, sx)
+                )
+
+    def as_lazy(self) -> "EBSD":
+        """Reference-compat shim: laziness is replaced by jit staging
+        and :mod:`kikuchipy_tpu.io.streaming`; returns ``self``."""
+        return self
+
+    def compute(self) -> "EBSD":
+        """Reference-compat shim (arrays are always concrete);
+        returns ``self``."""
+        return self
+
     def hough_indexing(self, phase_list=None, **kwargs):
         """Hough/Radon band detection indexing (reference
         ``ebsd.py:1600``); see

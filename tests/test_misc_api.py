@@ -114,6 +114,27 @@ class TestDecomposition:
         assert np.asarray(model.data).shape == dummy_patterns.shape
         assert np.asarray(model.data).dtype == np.uint8
 
+    def test_model_write_matches_in_memory(self, dummy_patterns, tmp_path):
+        import kikuchipy_tpu as kp
+        from kikuchipy_tpu.signals.ebsd import EBSD
+
+        s = EBSD(data=dummy_patterns)
+        model = s.get_decomposition_model(components=3)
+        out = tmp_path / "model.h5"
+        s.get_decomposition_model_write(out, components=3, chunk_size=4)
+        written = kp.load(out)
+        np.testing.assert_array_equal(
+            np.asarray(written.data).reshape(-1, 3, 3),
+            np.asarray(model.data).reshape(-1, 3, 3),
+        )
+
+    def test_lazy_shims(self, dummy_patterns):
+        from kikuchipy_tpu.signals.ebsd import EBSD
+
+        s = EBSD(data=dummy_patterns)
+        assert s.as_lazy() is s
+        assert s.compute() is s
+
 
 class TestProfiling:
     def test_stage_timer(self):
