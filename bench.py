@@ -78,7 +78,7 @@ def main() -> None:
     ref_scores = np.asarray(ref_scores)
     ref_idx = np.asarray(ref_idx)
     precision = "highest"
-    for cand in ("mixed", "default", "high"):
+    for cand in ("int8", "mixed", "default", "high"):
         s, i = _index_resident(
             exp_prepared[:256], dict_prepared, KEEP_N, TILE, cand
         )

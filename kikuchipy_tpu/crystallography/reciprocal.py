@@ -160,12 +160,23 @@ class ReciprocalLatticeVectors:
     dspacing: np.ndarray
     structure_factor: np.ndarray | None = None
     theta: np.ndarray | None = None
+    phase: object | None = None
 
     @classmethod
     def from_min_dspacing(
         cls, lattice: Lattice, min_dspacing: float = 0.7
     ) -> "ReciprocalLatticeVectors":
-        """All {hkl} (excluding 000) with d >= ``min_dspacing``."""
+        """All {hkl} (excluding 000) with d >= ``min_dspacing``.
+
+        ``lattice`` may also be a crystal ``Phase`` (with a ``lattice``
+        attribute, like the reference's diffsims
+        ``ReciprocalLatticeVector.from_min_dspacing``); the phase is
+        then attached as :attr:`phase`.
+        """
+        phase = None
+        if hasattr(lattice, "lattice"):
+            phase = lattice
+            lattice = lattice.lattice
         g_max = 1.0 / min_dspacing
         # Conservative index bounds from the reciprocal cell edges.
         rec = lattice.reciprocal_structure_matrix
@@ -178,7 +189,9 @@ class ReciprocalLatticeVectors:
         keep = d >= min_dspacing
         hkl, d = hkl[keep], d[keep]
         order = np.argsort(-d, kind="stable")
-        return cls(hkl=hkl[order], lattice=lattice, dspacing=d[order])
+        return cls(
+            hkl=hkl[order], lattice=lattice, dspacing=d[order], phase=phase
+        )
 
     @property
     def size(self) -> int:
@@ -254,6 +267,7 @@ class ReciprocalLatticeVectors:
             dspacing=self.dspacing[keep],
             structure_factor=self.structure_factor[keep],
             theta=None if self.theta is None else self.theta[keep],
+            phase=self.phase,
         )
 
     def unique_families(self) -> tuple["ReciprocalLatticeVectors", np.ndarray]:
@@ -279,6 +293,7 @@ class ReciprocalLatticeVectors:
                 else self.structure_factor[first_idx]
             ),
             theta=None if self.theta is None else self.theta[first_idx],
+            phase=self.phase,
         )
         return sub, mult
 

@@ -98,10 +98,45 @@ class PCCalibrationMovingScreen:
         return np.linalg.norm(end - start, axis=-1)
 
     @property
+    def lines_start(self) -> np.ndarray:
+        """Starting points of the within-pattern lines, ``(2, n_lines,
+        2)`` (reference ``_calibration.py:140``)."""
+        return self._lines[:, :, :2]
+
+    @property
+    def lines_end(self) -> np.ndarray:
+        """End points of the within-pattern lines, ``(2, n_lines, 2)``
+        (reference ``_calibration.py:147``)."""
+        return self._lines[:, :, 2:]
+
+    def make_lines(self) -> None:
+        """(Re)build all lines between the feature points per pattern
+        (run on init; reference ``_calibration.py:255``). Call after
+        mutating :attr:`points`."""
+        self._lines = np.stack(
+            [
+                _lines_between_points(self.points[0]),
+                _lines_between_points(self.points[1]),
+            ]
+        )
+
+    @property
     def lines_out_in(self) -> np.ndarray:
         """Lines from each "out" feature to its "in" counterpart; they
         all pass (ideally) through (PCx, PCy)."""
         return np.hstack([self.points[1], self.points[0]])
+
+    @property
+    def lines_out_in_start(self) -> np.ndarray:
+        """Starting ("out") points of the between-pattern lines,
+        ``(n_points, 2)`` (reference ``_calibration.py:169``)."""
+        return self.lines_out_in[:, :2]
+
+    @property
+    def lines_out_in_end(self) -> np.ndarray:
+        """End ("in") points of the between-pattern lines,
+        ``(n_points, 2)`` (reference ``_calibration.py:176``)."""
+        return self.lines_out_in[:, 2:]
 
     @property
     def _pxy_all(self) -> np.ndarray:

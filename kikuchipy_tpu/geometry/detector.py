@@ -546,6 +546,151 @@ class EBSDDetector:
 
         return estimate_xtilt(self, degrees=degrees)
 
+    def estimate_xtilt_ztilt(
+        self, degrees: bool = True, is_outlier: np.ndarray | None = None
+    ) -> tuple[float, float]:
+        """Estimate tilts about the detector X and Z axes from the PC
+        plane over the map (reference
+        ``EBSDDetector.estimate_xtilt_ztilt``,
+        ``_ebsd_detector.py:1242``). Unlike the reference, angles
+        default to degrees (consistent with :meth:`estimate_xtilt`).
+
+        ``is_outlier``: boolean array (navigation-shaped or flattened)
+        marking PCs to exclude from the fit.
+        """
+        from kikuchipy_tpu.detectors.calibration import estimate_xtilt_ztilt
+
+        det = self
+        if is_outlier is not None:
+            keep = ~np.asarray(is_outlier).ravel()
+            if keep.size != self.navigation_size:
+                raise ValueError(
+                    "is_outlier must have one element per projection center"
+                )
+            det = dataclasses.replace(
+                self, pc=self.pc_flattened[keep]
+            )
+        if det.navigation_size == 1:
+            raise ValueError(
+                "Estimation requires more than one projection center"
+            )
+        return estimate_xtilt_ztilt(det, degrees=degrees)
+
+    def extrapolate_pc(
+        self,
+        pc_indices,
+        navigation_shape: tuple[int, int],
+        step_sizes: tuple[float, float],
+        shape: tuple[int, int] | None = None,
+        px_size: float | None = None,
+        binning: int | None = None,
+        is_outlier: np.ndarray | None = None,
+    ) -> "EBSDDetector":
+        """Extrapolate a full navigation grid of PCs from the average of
+        the current PCs measured at known map positions (reference
+        ``EBSDDetector.extrapolate_pc``, ``_ebsd_detector.py:1315``):
+        the PC gradient over the map follows from the step sizes, the
+        detector pixel size, and the tilt angle
+        ``alpha = 90 - sample_tilt + tilt``.
+
+        Parameters
+        ----------
+        pc_indices
+            Map (row, column) indices of each current PC: ``(2,)`` for
+            one PC, else ``(n, 2)`` or ``(2, n)``.
+        navigation_shape
+            Output grid shape ``(n rows, n cols)``.
+        step_sizes
+            ``(dy, dx)`` map step sizes (microns).
+        shape, px_size, binning
+            Output detector shape / unbinned pixel size / binning;
+            default to this detector's.
+        is_outlier
+            Boolean array marking PCs to exclude from the average.
+        """
+        idx = np.asarray(pc_indices, dtype=np.float64)
+        if idx.ndim == 1:
+            idx = idx[None]
+        elif idx.shape[0] == 2 and idx.shape[1] != 2:
+            idx = idx.T
+        pc = self.pc_flattened
+        if idx.shape[0] != pc.shape[0]:
+            raise ValueError(
+                f"Got {idx.shape[0]} pc_indices for {pc.shape[0]} PCs"
+            )
+        if is_outlier is not None:
+            keep = ~np.asarray(is_outlier).ravel()
+            pc = pc[keep]
+            idx = idx[keep]
+
+        ny, nx = navigation_shape
+        dy, dx = step_sizes
+        if shape is None:
+            shape = self.shape
+        nrows, ncols = shape
+        if px_size is None:
+            px_size = self.px_size
+        if binning is None:
+            binning = self.binning
+
+        pc_mean = pc.mean(axis=0)
+        row_mean, col_mean = np.round(idx.mean(axis=0)).astype(int)
+
+        alpha = np.deg2rad(90.0 - self.sample_tilt + self.tilt)
+        y, x = np.indices((ny, nx), dtype=float)
+        factor = px_size * binning
+        d_pcx = -(col_mean - x) * dx / (factor * ncols)
+        d_pcy = -(row_mean - y) * dy * np.cos(alpha) / (factor * nrows)
+        d_pcz = +(row_mean - y) * dy * np.sin(alpha) / (factor * nrows)
+        new_pc = np.stack(
+            [pc_mean[0] - d_pcx, pc_mean[1] - d_pcy, pc_mean[2] - d_pcz],
+            axis=-1,
+        )
+        return dataclasses.replace(
+            self,
+            shape=tuple(shape),
+            pc=new_pc,
+            px_size=float(px_size),
+            binning=int(binning),
+        )
+
+    def get_indexer(self, phase_list, reflectors=None, **kwargs):
+        """Return a configured native Hough indexer for this detector
+        (the TPU-native stand-in for the reference's PyEBSDIndex bridge,
+        ``_ebsd_detector.py:1598``); call ``indexer.index(signal)`` or
+        pass it to :meth:`kikuchipy_tpu.signals.ebsd.EBSD.
+        hough_indexing`."""
+        from kikuchipy_tpu.indexing.hough import HoughIndexer
+
+        return HoughIndexer(
+            detector=self,
+            phase_list=phase_list,
+            reflectors=reflectors,
+            **kwargs,
+        )
+
+    def plot_side_view(self, return_figure: bool = False, **kwargs):
+        """Schematic side view of the detector-sample geometry
+        (reference ``_ebsd_detector.py:1904``)."""
+        from kikuchipy_tpu.draw.detector_plot import (
+            plot_detector_sample_geometry,
+        )
+
+        return plot_detector_sample_geometry(
+            self, mode="side", return_figure=return_figure, **kwargs
+        )
+
+    def plot_top_view(self, return_figure: bool = False, **kwargs):
+        """Schematic top view of the detector-sample geometry
+        (reference ``_ebsd_detector.py:1989``)."""
+        from kikuchipy_tpu.draw.detector_plot import (
+            plot_detector_sample_geometry,
+        )
+
+        return plot_detector_sample_geometry(
+            self, mode="top", return_figure=return_figure, **kwargs
+        )
+
     def fit_pc(self, method: str = "plane"):
         """Fit the PC grid with a plane/affine/projective model and
         return a detector with the fitted (denoised) PCs."""

@@ -127,53 +127,100 @@ def _index_resident(
     exact), trading a tiny recall loss on ties for ~25% less top-k
     overhead.
 
-    ``precision="mixed"`` selects candidates with a single-pass bfloat16
-    matmul (full MXU rate) carrying ``2*keep_n`` candidates per pattern,
-    then rescores only the surviving candidates at float32
-    ``Precision.HIGHEST`` — final scores are f32-exact while the O(n*m*d)
-    matmul runs at bf16 speed. A true top-keep_n entry is lost only if
-    bf16 rounding (|error| ~ 4e-3 on unit-norm NCC scores) pushes it
-    below the carried 2*keep_n-th candidate; callers wanting guarantees
-    validate against a "highest" subset (as ``bench.py`` does)."""
+    Reduced-precision candidate selection + exact rescoring
+    (``precision="mixed"`` or ``"int8"``): the O(n*m*d) selection matmul
+    runs in single-pass bfloat16 ("mixed", 71.7 TF/s measured on v5e vs
+    20.8 for f32 HIGHEST) or rowwise max-abs-quantized int8 ("int8",
+    87.6 TOP/s), carrying ``2*keep_n`` candidates per pattern; the
+    surviving candidates are then rescored at float32
+    ``Precision.HIGHEST``, so final scores are f32-exact. A true
+    top-keep_n entry is lost only if selection rounding error (~4e-3
+    absolute for bf16, ~1e-2 relative for int8, on unit-norm NCC
+    scores) pushes it below the carried 2*keep_n-th candidate; callers
+    wanting guarantees validate against a "highest" subset (as
+    ``bench.py`` does)."""
     n_exp = exp_prepared.shape[0]
     m = dict_prepared.shape[0]
     n_tiles = m // tile
     dtype = exp_prepared.dtype
 
-    mixed = precision == "mixed"
-    if mixed:
-        # Carry extra candidates so bf16 ranking noise near the keep_n
-        # boundary is corrected by the exact rescore.
+    reduced = precision in ("mixed", "int8")
+    if reduced:
+        # Carry extra candidates so selection ranking noise near the
+        # keep_n boundary is corrected by the exact rescore.
         k_carry = min(max(2 * keep_n, keep_n + 8), m)
-        exp_mm = exp_prepared.astype(jnp.bfloat16)
-        # Precision is numerically moot for bf16 inputs (single MXU
-        # pass), but HIGHEST measures ~1.3x faster than DEFAULT on this
-        # backend (71.7 vs 53.0 TF/s, see BENCH_NOTES.md).
-        mm_precision = jax.lax.Precision.HIGHEST
     else:
         k_carry = keep_n
-        exp_mm = exp_prepared
-        mm_precision = _PRECISIONS[precision]
+
+    if precision == "int8":
+
+        def _quantize(x):
+            s = jnp.max(jnp.abs(x), axis=1, keepdims=True) / 127.0
+            s = jnp.where(s == 0, jnp.ones_like(s), s)
+            q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+            return q, s[:, 0]
+
+        # exp rows share a scale per row, which is rank-invariant per
+        # pattern and across tiles, so only the dictionary-side scales
+        # enter the selection scores.
+        exp_q, _ = _quantize(exp_prepared)
+        dict_q, dict_scale = _quantize(dict_prepared)
+
+        def sel_scores(block_q, block_scale):
+            d = jax.lax.dot_general(
+                exp_q,
+                block_q,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return d.astype(dtype) * block_scale[None, :]
+
+        def sel_block(start, size):
+            return sel_scores(
+                jax.lax.dynamic_slice_in_dim(dict_q, start, size, 0),
+                jax.lax.dynamic_slice_in_dim(dict_scale, start, size, 0),
+            )
+
+        def sel_tail(start):
+            return sel_scores(dict_q[start:], dict_scale[start:])
+
+    else:
+        if precision == "mixed":
+            exp_mm = exp_prepared.astype(jnp.bfloat16)
+            # Precision is numerically moot for bf16 inputs (single MXU
+            # pass), but HIGHEST measures ~1.3x faster than DEFAULT on
+            # this backend (71.7 vs 53.0 TF/s, see BENCH_NOTES.md).
+            mm_precision = jax.lax.Precision.HIGHEST
+        else:
+            exp_mm = exp_prepared
+            mm_precision = _PRECISIONS[precision]
+
+        def _match(block):
+            if precision == "mixed":
+                block = block.astype(jnp.bfloat16)
+            return jnp.matmul(
+                exp_mm,
+                block.T,
+                precision=mm_precision,
+                preferred_element_type=dtype,
+            )
+
+        def sel_block(start, size):
+            return _match(
+                jax.lax.dynamic_slice_in_dim(dict_prepared, start, size, 0)
+            )
+
+        def sel_tail(start):
+            return _match(dict_prepared[start:])
 
     def tile_topk(sim, k):
         if approx:
             return jax.lax.approx_max_k(sim, k, recall_target=0.99)
         return jax.lax.top_k(sim, k)
 
-    def match_block(block):
-        if mixed:
-            block = block.astype(jnp.bfloat16)
-        return jnp.matmul(
-            exp_mm,
-            block.T,
-            precision=mm_precision,
-            preferred_element_type=dtype,
-        )
-
     def step(carry, tile_i):
         best_scores, best_idx = carry
-        block = jax.lax.dynamic_slice_in_dim(dict_prepared, tile_i * tile, tile, 0)
-        sim = match_block(block)
+        sim = sel_block(tile_i * tile, tile)
         t_scores, t_idx = tile_topk(sim, min(k_carry, tile))
         t_idx = (t_idx + tile_i * tile).astype(jnp.int32)
         all_s = jnp.concatenate([best_scores, t_scores], axis=1)
@@ -191,8 +238,7 @@ def _index_resident(
     # Remainder tile (static shape).
     rem = m - n_tiles * tile
     if rem:
-        block = dict_prepared[n_tiles * tile :]
-        sim = match_block(block)
+        sim = sel_tail(n_tiles * tile)
         t_scores, t_idx = tile_topk(sim, min(k_carry, rem))
         t_idx = (t_idx + n_tiles * tile).astype(jnp.int32)
         all_s = jnp.concatenate([scores, t_scores], axis=1)
@@ -200,7 +246,7 @@ def _index_resident(
         scores, pos = jax.lax.top_k(all_s, k_carry)
         idx = jnp.take_along_axis(all_i, pos, axis=1)
 
-    if mixed:
+    if reduced:
         scores, idx = _rescore_candidates(
             exp_prepared, dict_prepared, idx, keep_n
         )
@@ -294,9 +340,10 @@ def dictionary_index(
         are returned as NaN and indices as -1.
     precision
         Matmul precision for the in-memory ``dictionary`` path:
-        "highest" (default, f32-exact), "high", "default", or "mixed"
+        "highest" (default, f32-exact), "high", "default", "mixed"
         (bf16 candidate selection + exact f32 rescoring of the
-        survivors; see :func:`_index_resident`).
+        survivors), or "int8" (quantized selection + exact rescoring,
+        the fastest; see :func:`_index_resident`).
     progress
         Optional callback ``progress(done, total)`` invoked per
         dictionary tile in the streaming paths (the reference shows a

@@ -19,6 +19,7 @@ reference's Hough capability without external dependencies.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from itertools import combinations
 
@@ -31,6 +32,7 @@ from kikuchipy_tpu.crystallography.sampling import reduce_to_fundamental_zone
 from kikuchipy_tpu.geometry import quaternion as quat
 
 __all__ = [
+    "HoughIndexer",
     "radon_transform",
     "detect_bands",
     "detect_bands_refined",
@@ -696,3 +698,52 @@ def hough_indexing(
         },
         phases=PhaseList(phase),
     )
+
+
+@dataclasses.dataclass
+class HoughIndexer:
+    """A configured native Hough indexer: detector geometry + phases +
+    band-detection settings bundled for reuse.
+
+    The TPU-native analogue of the PyEBSDIndex ``EBSDIndexer`` the
+    reference's ``EBSDDetector.get_indexer`` returns
+    (``_ebsd_detector.py:1598``): where the reference configures an
+    OpenCL Hough pipeline, this holds the inputs of
+    :func:`hough_indexing` (MXU Radon matmul + device-vectorized triplet
+    voting). Obtain one with ``detector.get_indexer(phase_list)``; call
+    :meth:`index` on patterns or pass it to
+    ``EBSD.hough_indexing(indexer=...)``.
+    """
+
+    detector: object
+    phase_list: object
+    reflectors: object = None
+    kwargs: dict = dataclasses.field(default_factory=dict)
+
+    def __init__(self, detector, phase_list, reflectors=None, **kwargs):
+        self.detector = detector
+        self.phase_list = phase_list
+        self.reflectors = reflectors
+        self.kwargs = kwargs
+
+    def index(self, signal, **overrides) -> CrystalMap:
+        """Hough-index an :class:`EBSD` signal (or raw pattern array)
+        with this indexer's configuration."""
+        import dataclasses as _dc
+
+        from kikuchipy_tpu.signals.ebsd import EBSD
+
+        if not isinstance(signal, EBSD):
+            signal = EBSD(data=np.asarray(signal))
+        if self.detector is not None:
+            signal = _dc.replace(signal, detector=self.detector)
+        kw = dict(self.kwargs)
+        kw.update(overrides)
+        phase_list = kw.pop("phase_list", self.phase_list)
+        reflectors = kw.pop("reflectors", self.reflectors)
+        return hough_indexing(
+            signal,
+            phase_list=phase_list,
+            reflectors=reflectors,
+            **kw,
+        )

@@ -407,12 +407,22 @@ class EBSD:
         returns ``self``."""
         return self
 
-    def hough_indexing(self, phase_list=None, **kwargs):
+    def hough_indexing(self, phase_list=None, indexer=None, **kwargs):
         """Hough/Radon band detection indexing (reference
         ``ebsd.py:1600``); see
-        :func:`kikuchipy_tpu.indexing.hough.hough_indexing`."""
+        :func:`kikuchipy_tpu.indexing.hough.hough_indexing`.
+
+        ``indexer``: a configured
+        :class:`~kikuchipy_tpu.indexing.hough.HoughIndexer` (from
+        :meth:`EBSDDetector.get_indexer`); its phase list is used when
+        ``phase_list`` is not given.
+        """
         from kikuchipy_tpu.indexing.hough import hough_indexing
 
+        if indexer is not None:
+            if phase_list is not None:
+                kwargs["phase_list"] = phase_list
+            return indexer.index(self, **kwargs)
         return hough_indexing(self, phase_list=phase_list, **kwargs)
 
     def extract_grid(

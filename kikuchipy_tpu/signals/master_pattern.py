@@ -94,6 +94,38 @@ class KikuchiMasterPattern:
 
         return copy.deepcopy(self)
 
+    def as_lazy(self) -> "KikuchiMasterPattern":
+        """Reference-compat shim (laziness is replaced by jit staging);
+        returns ``self``."""
+        return self
+
+    def compute(self) -> "KikuchiMasterPattern":
+        """Reference-compat shim (arrays are always concrete); returns
+        ``self``."""
+        return self
+
+    def set_signal_type(self, signal_type: str):
+        """Reference-compat shim for HyperSpy's signal-type switching:
+        returns this signal converted to the requested class
+        (``"EBSDMasterPattern"``, ``"ECPMasterPattern"``, or ``"EBSD"``).
+        """
+        name = signal_type.replace(" ", "").lower()
+        if name == "ebsd":
+            return EBSD(data=np.asarray(self.data))
+        targets = {
+            "ebsdmasterpattern": EBSDMasterPattern,
+            "ecpmasterpattern": ECPMasterPattern,
+        }
+        cls = targets.get(name)
+        if cls is None:
+            raise ValueError(f"Unknown signal type {signal_type!r}")
+        return cls(
+            **{
+                f.name: getattr(self, f.name)
+                for f in dataclasses.fields(cls)
+            }
+        )
+
     def _hemispheres_at_energy(self, energy: float | None = None) -> np.ndarray:
         """Return packed hemispheres ``(2, npy, npx)`` at the requested
         energy (highest if not given; reference

@@ -54,6 +54,26 @@ class VirtualBSEImage:
             lambda d: adaptive_histogram_equalization(d, **kwargs)
         )
 
+    def change_dtype(self, dtype) -> "VirtualBSEImage":
+        """Return the image cast to ``dtype`` (the reference's in-place
+        HyperSpy ``change_dtype``; a new signal is returned here)."""
+        return dataclasses.replace(
+            self, data=np.asarray(self.data).astype(np.dtype(dtype))
+        )
+
+    def deepcopy(self) -> "VirtualBSEImage":
+        import copy
+
+        return copy.deepcopy(self)
+
+    def as_lazy(self) -> "VirtualBSEImage":
+        """Reference-compat shim; returns ``self``."""
+        return self
+
+    def compute(self) -> "VirtualBSEImage":
+        """Reference-compat shim; returns ``self``."""
+        return self
+
     def plot(self, ax=None, **imshow_kwargs):
         import matplotlib.pyplot as plt
 

@@ -82,7 +82,9 @@ class KikuchiPatternSimulator:
         phase: Phase | None = None,
     ) -> None:
         self._reflectors = reflectors
-        self.phase = phase or Phase()
+        # Prefer an explicit phase, else the one the reflectors carry
+        # (reference: diffsims ReciprocalLatticeVector.phase).
+        self.phase = phase or getattr(reflectors, "phase", None) or Phase()
 
     @property
     def reflectors(self) -> ReciprocalLatticeVectors:
@@ -267,6 +269,7 @@ class KikuchiPatternSimulator:
             reflectors=visible,
             lines=lines,
             zone_axes=zone_axes,
+            phase=self.phase,
         )
 
     def __repr__(self) -> str:
@@ -281,16 +284,64 @@ class GeometricalKikuchiPatternSimulation:
     orientations (reference ``simulations/_kikuchi_pattern_simulation.py:
     44``)."""
 
-    def __init__(self, detector, rotations, reflectors, lines, zone_axes):
+    def __init__(
+        self, detector, rotations, reflectors, lines, zone_axes, phase=None
+    ):
         self.detector = detector
         self.rotations = rotations
         self.reflectors = reflectors
         self.lines = lines
         self.zone_axes = zone_axes
+        self._phase = phase
 
     @property
     def navigation_shape(self) -> tuple:
         return self.rotations.shape[:-1]
+
+    @property
+    def phase(self):
+        """The simulated crystal phase (reference
+        ``_kikuchi_pattern_simulation.py`` stores it alongside the
+        detector and rotations)."""
+        return self._phase or getattr(self.reflectors, "phase", None)
+
+    def as_markers(
+        self,
+        lines: bool = True,
+        zone_axes: bool = True,
+        lines_kwargs: dict | None = None,
+        zone_axes_kwargs: dict | None = None,
+    ) -> list:
+        """Per-navigation-point matplotlib artists for overlaying on a
+        plotted scan (reference ``as_markers``,
+        ``_kikuchi_pattern_simulation.py:214``, returns HyperSpy
+        markers; here a list over navigation points of
+        ``LineCollection`` / scatter-kwargs dicts from
+        :mod:`kikuchipy_tpu.draw.markers`)."""
+        from kikuchipy_tpu.draw.markers import (
+            get_line_segment_list,
+            get_point_list,
+        )
+
+        n = int(np.prod(self.navigation_shape)) if self.navigation_shape else 1
+        markers = []
+        for i in range(n):
+            per_point = []
+            if lines:
+                per_point.append(
+                    get_line_segment_list(
+                        self.lines_coordinates(i), **(lines_kwargs or {})
+                    )
+                )
+            if zone_axes:
+                per_point.append(
+                    get_point_list(
+                        self.zone_axes_coordinates(i),
+                        **(zone_axes_kwargs or {}),
+                    )
+                )
+            markers.append(per_point)
+        return markers
 
     def _gnomonic_to_pixel(self, x_g, y_g, nav_index):
         det = self.detector

@@ -264,3 +264,42 @@ class TestMixedPrecision:
             tiled.simulation_indices[:, 0], full.simulation_indices[:, 0]
         )
         np.testing.assert_allclose(tiled.scores[:, 0], full.scores[:, 0], atol=2e-6)
+
+
+class TestInt8Precision:
+    """precision="int8": quantized candidate selection + exact f32
+    rescore (selection error ~1e-2 relative; final scores f32-exact)."""
+
+    def test_int8_matches_highest(self):
+        rng = np.random.default_rng(5)
+        e = rng.normal(size=(16, 144)).astype(np.float32)
+        d = np.concatenate([rng.normal(size=(200, 144)).astype(np.float32), e])
+        exact = dictionary_index(e, d, keep_n=5)
+        q = dictionary_index(e, d, keep_n=5, precision="int8")
+        np.testing.assert_array_equal(
+            q.simulation_indices[:, 0], exact.simulation_indices[:, 0]
+        )
+        np.testing.assert_allclose(q.scores[:, 0], exact.scores[:, 0], atol=2e-6)
+
+    def test_int8_tiled_matches_untiled(self):
+        rng = np.random.default_rng(6)
+        e = rng.normal(size=(8, 64)).astype(np.float32)
+        d = np.concatenate([rng.normal(size=(100, 64)).astype(np.float32), e])
+        full = dictionary_index(e, d, keep_n=4, precision="int8")
+        tiled = dictionary_index(
+            e, d, keep_n=4, precision="int8", n_per_iteration=17
+        )
+        np.testing.assert_array_equal(
+            tiled.simulation_indices[:, 0], full.simulation_indices[:, 0]
+        )
+        np.testing.assert_allclose(tiled.scores[:, 0], full.scores[:, 0], atol=2e-6)
+
+    def test_int8_zero_row_safe(self):
+        # An all-constant pattern normalizes to zeros after NCC prepare;
+        # the quantization scale guard must not produce NaN.
+        rng = np.random.default_rng(7)
+        e = rng.normal(size=(4, 64)).astype(np.float32)
+        d = rng.normal(size=(20, 64)).astype(np.float32)
+        d[3] = 1.0  # constant row -> zero after centering
+        res = dictionary_index(e, d, keep_n=3, precision="int8")
+        assert np.isfinite(res.scores).all()

@@ -242,3 +242,71 @@ class TestCoordinateConversions:
         det = EBSDDetector(shape=(60, 60), pc=(0.5, 0.5, 0.5))
         with pytest.raises(ValueError, match="length 2"):
             det.to_gnomonic_coords(np.ones((2, 3)))
+
+
+class TestDetectorExtrapolatePC:
+    """Pinned to the reference's own test goldens
+    (/root/reference/tests/test_detectors/test_ebsd_detector.py:803-832).
+    """
+
+    def _det0(self):
+        from kikuchipy_tpu.geometry.detector import EBSDDetector
+
+        return EBSDDetector(
+            shape=(240, 240),
+            pc=(0.5, 0.3, 0.5),
+            sample_tilt=70,
+            tilt=0,
+            px_size=70,
+            binning=2,
+        )
+
+    def test_extrapolate_pc_reference_golden(self):
+        det = self._det0().extrapolate_pc(
+            pc_indices=[7, 15],
+            navigation_shape=(15, 31),
+            step_sizes=(50, 50),
+        )
+        assert det.navigation_shape == (15, 31)
+        np.testing.assert_allclose(det.pc_average, [0.5, 0.3, 0.5], atol=1e-7)
+        np.testing.assert_allclose(
+            det.pc_flattened.min(0), [0.4777, 0.2902, 0.4964], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            det.pc_flattened.max(0), [0.5223, 0.3098, 0.5036], atol=1e-4
+        )
+
+    def test_estimate_xtilt_ztilt_recovers_alpha(self):
+        # Extrapolated PC plane encodes alpha = 90 - sample_tilt + tilt
+        # (reference test :763-771).
+        det = self._det0().extrapolate_pc(
+            pc_indices=[0, 0],
+            navigation_shape=(15, 20),
+            step_sizes=(1, 1),
+        )
+        xtilt, ztilt = det.estimate_xtilt_ztilt(degrees=True)
+        np.testing.assert_allclose(xtilt, 20.0, atol=1e-6)
+        np.testing.assert_allclose(ztilt, 0.0, atol=1e-6)
+
+    def test_outlier_exclusion(self):
+        import dataclasses as dc
+
+        det = self._det0().extrapolate_pc(
+            pc_indices=[0, 0], navigation_shape=(4, 5), step_sizes=(1, 1)
+        )
+        pc = det.pc_flattened.copy()
+        pc[0] = [0.9, 0.9, 0.9]
+        det2 = dc.replace(det, pc=pc.reshape(4, 5, 3))
+        out = np.zeros(20, bool)
+        out[0] = True
+        xtilt, ztilt = det2.estimate_xtilt_ztilt(degrees=True, is_outlier=out)
+        np.testing.assert_allclose(xtilt, 20.0, atol=1e-6)
+        np.testing.assert_allclose(ztilt, 0.0, atol=1e-6)
+
+    def test_side_top_views(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        det = self._det0()
+        det.plot_side_view()
+        det.plot_top_view()

@@ -272,3 +272,111 @@ class TestDataAccessors:
         monkeypatch.setenv("KP_TPU_DATA_DIR", str(cache))
         d.clear_cache()
         assert not cache.exists()
+
+
+class TestReferenceShims:
+    def test_calibration_line_properties(self):
+        from kikuchipy_tpu.detectors.calibration import (
+            PCCalibrationMovingScreen,
+        )
+
+        c = PCCalibrationMovingScreen(
+            pattern_in=np.zeros((10, 10)),
+            pattern_out=np.zeros((10, 10)),
+            points_in=[(1, 1), (2, 7), (8, 4)],
+            points_out=[(2, 2), (3, 8), (9, 5)],
+        )
+        assert c.lines_start.shape == (2, c.n_lines, 2)
+        assert c.lines_end.shape == (2, c.n_lines, 2)
+        np.testing.assert_array_equal(
+            np.hstack([c.lines_start[0], c.lines_end[0]]), c.lines[0]
+        )
+        assert c.lines_out_in_start.shape == (c.n_points, 2)
+        np.testing.assert_array_equal(c.lines_out_in_start, c.points[1])
+        np.testing.assert_array_equal(c.lines_out_in_end, c.points[0])
+        old = c.lines.copy()
+        c.make_lines()
+        np.testing.assert_array_equal(c.lines, old)
+
+    def test_get_indexer_wiring(self, monkeypatch):
+        from kikuchipy_tpu.geometry.detector import EBSDDetector
+        from kikuchipy_tpu.indexing import hough as hough_mod
+        from kikuchipy_tpu.signals.ebsd import EBSD
+
+        det = EBSDDetector(shape=(8, 8), pc=(0.5, 0.3, 0.5))
+        indexer = det.get_indexer(phase_list="fake-phase", n_bands=7)
+        assert indexer.detector is det
+        assert indexer.kwargs == {"n_bands": 7}
+
+        calls = {}
+
+        def fake(signal, phase_list=None, reflectors=None, **kw):
+            calls["phase_list"] = phase_list
+            calls["kw"] = kw
+            calls["detector"] = signal.detector
+            return "xmap"
+
+        monkeypatch.setattr(hough_mod, "hough_indexing", fake)
+        s = EBSD(data=np.zeros((2, 8, 8), np.uint8))
+        out = s.hough_indexing(indexer=indexer, n_theta=45)
+        assert out == "xmap"
+        assert calls["phase_list"] == "fake-phase"
+        assert calls["kw"] == {"n_bands": 7, "n_theta": 45}
+        assert calls["detector"] is det
+
+    def test_master_pattern_shims(self):
+        from kikuchipy_tpu.signals.master_pattern import (
+            EBSDMasterPattern,
+            ECPMasterPattern,
+        )
+
+        mp = EBSDMasterPattern(data=np.zeros((2, 11, 11), np.uint8))
+        assert mp.as_lazy() is mp
+        assert mp.compute() is mp
+        ecp = mp.set_signal_type("ECPMasterPattern")
+        assert isinstance(ecp, ECPMasterPattern)
+        assert ecp.hemisphere == mp.hemisphere
+        ebsd = mp.set_signal_type("EBSD")
+        assert ebsd.data.shape == (2, 11, 11)
+        with pytest.raises(ValueError, match="Unknown signal type"):
+            mp.set_signal_type("nonsense")
+
+    def test_vbse_shims(self):
+        from kikuchipy_tpu.signals.virtual_bse_image import VirtualBSEImage
+
+        v = VirtualBSEImage(data=np.arange(9.0).reshape(3, 3))
+        assert v.as_lazy() is v and v.compute() is v
+        v8 = v.change_dtype(np.uint8)
+        assert np.asarray(v8.data).dtype == np.uint8
+        assert v.deepcopy() is not v
+
+    def test_simulation_as_markers(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from matplotlib.collections import LineCollection
+
+        from kikuchipy_tpu.crystallography.reciprocal import (
+            Lattice,
+            ReciprocalLatticeVectors,
+        )
+        from kikuchipy_tpu.crystallography.crystal_map import Phase
+        from kikuchipy_tpu.geometry.detector import EBSDDetector
+        from kikuchipy_tpu.simulation.kikuchi_pattern_simulator import (
+            KikuchiPatternSimulator,
+        )
+        from kikuchipy_tpu.geometry.quaternion import from_euler
+
+        phase = Phase(
+            name="ni", space_group=225, lattice=Lattice(3.52, 3.52, 3.52)
+        )
+        ref = ReciprocalLatticeVectors.from_min_dspacing(phase, 1.2)
+        sim = KikuchiPatternSimulator(ref)
+        det = EBSDDetector(shape=(60, 60), pc=(0.42, 0.21, 0.5), sample_tilt=70)
+        rot = np.asarray(from_euler(np.deg2rad([[10, 20, 30], [40, 50, 60]])))
+        geo = sim.on_detector(det, rot)
+        assert geo.phase is not None
+        markers = geo.as_markers()
+        assert len(markers) == 2
+        assert isinstance(markers[0][0], LineCollection)
+        assert "x" in markers[0][1]
