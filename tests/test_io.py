@@ -369,3 +369,57 @@ class TestSaveOverwriteSemantics:
         s2.save(p, overwrite=True)
         back = kp.load(p)
         assert np.all(np.asarray(back.data) == 7)
+
+
+class TestOxfordBinaryV5:
+    """Synthetic version-5 .ebsp: map_x/map_y header fields, one extra
+    byte before the position table, out-of-order storage (the reference
+    ships no v5 file; layout per oxford_binary/_api.py:72-585)."""
+
+    @pytest.fixture
+    def ebsp_v5_file(self, tmp_path):
+        import struct
+
+        rng = np.random.default_rng(42)
+        ny, nx, sy, sx = 3, 3, 60, 60
+        n = ny * nx
+        patterns = rng.integers(0, 255, (n, sy, sx), dtype=np.uint8)
+
+        # Stored order: shuffled, but keep map pattern (0, 0) first so
+        # its small (map_x, map_y) int64 does not look like a table jump
+        # (same constraint the reference's dummy files satisfy).
+        stored_order = [0, 4, 2, 8, 1, 7, 3, 5, 6]
+        header_size = 6 * 4
+        footer_size = 1 + 8 + 1 + 8
+        bytes_per = header_size + sy * sx + footer_size
+        first_pos = 9 + n * 8
+
+        # pattern_starts[map_index] -> byte offset of that pattern
+        starts = np.zeros(n, np.int64)
+        for slot, map_idx in enumerate(stored_order):
+            starts[map_idx] = first_pos + slot * bytes_per
+
+        f = tmp_path / "v5.ebsp"
+        with open(f, "wb") as fh:
+            fh.write(struct.pack("<q", -5))
+            fh.write(b"\x00")
+            starts.tofile(fh)
+            for map_idx in stored_order:
+                my, mx = divmod(map_idx, nx)
+                np.array(
+                    [mx, my, 0, sy, sx, sy * sx], np.int32
+                ).tofile(fh)
+                patterns[map_idx].tofile(fh)
+                fh.write(struct.pack("<?", True))
+                fh.write(struct.pack("<d", mx * 2.0))
+                fh.write(struct.pack("<?", True))
+                fh.write(struct.pack("<d", my * 2.0))
+        return f, patterns.reshape(ny, nx, sy, sx)
+
+    def test_load_v5_out_of_order(self, ebsp_v5_file):
+        path, expected = ebsp_v5_file
+        s = kp.load(path)
+        assert s.metadata["version"] == 5
+        assert s.navigation_shape == (3, 3)
+        assert s.metadata["step_x"] == 2.0
+        np.testing.assert_array_equal(np.asarray(s.data), expected)
