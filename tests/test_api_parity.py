@@ -51,6 +51,7 @@ REFERENCE_API = {
         "LazyEBSDMasterPattern", "LazyECPMasterPattern",
         "LazyVirtualBSEImage", "VirtualBSEImage", "util",
     ],
+    "signals.util": ["get_chunking", "get_dask_array", "grid_indices"],
     "simulations": [
         "GeometricalKikuchiPatternSimulation", "KikuchiPatternSimulator",
     ],
@@ -82,6 +83,67 @@ class TestCompatShims:
             )
         )
         np.testing.assert_allclose(out, batched)
+
+    def test_get_chunking_policy(self):
+        from kikuchipy_tpu.signals.util import get_chunking
+
+        # 55x75 nav of 60x60 float32 patterns at the reference's 30 MB
+        # default: signal axes whole, nav axes split to <= ~30 MB chunks.
+        chunks = get_chunking(
+            data_shape=(55, 75, 60, 60), nav_dim=2, sig_dim=2,
+            dtype="float32",
+        )
+        assert len(chunks) == 4
+        assert chunks[2] == (60,) and chunks[3] == (60,)
+        assert sum(chunks[0]) == 55 and sum(chunks[1]) == 75
+        max_chunk = max(chunks[0]) * max(chunks[1]) * 60 * 60 * 4
+        assert max_chunk <= 30e6
+        # A chunk must still be a useful fraction of the budget.
+        assert max_chunk >= 0.25 * 30e6
+
+        # Explicit chunk_shape wins over the byte budget.
+        chunks = get_chunking(
+            data_shape=(9, 60, 60), nav_dim=1, sig_dim=2,
+            chunk_shape=4, dtype="uint8",
+        )
+        assert chunks == ((4, 4, 1), (60,), (60,))
+
+        # Byte-string limits parse like dask's ("1 MB", "1MiB").
+        c1 = get_chunking(
+            data_shape=(100, 60, 60), nav_dim=1, sig_dim=2,
+            chunk_bytes="1 MB", dtype="float32",
+        )
+        assert max(c1[0]) * 60 * 60 * 4 <= 1e6
+
+        # Small data: one chunk covering everything.
+        c2 = get_chunking(
+            data_shape=(3, 3, 3, 3), nav_dim=2, sig_dim=2, dtype="uint8"
+        )
+        assert c2 == ((3,), (3,), (3,), (3,))
+
+    def test_get_chunking_from_signal(self, dummy_patterns):
+        from kikuchipy_tpu.signals.util import get_chunking
+
+        signal = kp.signals.EBSD(dummy_patterns)
+        chunks = get_chunking(signal=signal)
+        assert len(chunks) == signal.data.ndim
+        assert tuple(sum(c) for c in chunks) == signal.data.shape
+
+    def test_get_dask_array_requires_dask(self, dummy_patterns):
+        from kikuchipy_tpu.signals.util import get_dask_array
+
+        signal = kp.signals.EBSD(dummy_patterns)
+        try:
+            import dask.array as da  # noqa: F401
+        except ImportError:
+            with pytest.raises(ImportError, match="streaming"):
+                get_dask_array(signal)
+        else:
+            arr = get_dask_array(signal, dtype="float32")
+            assert arr.dtype == np.float32
+            np.testing.assert_array_equal(
+                np.asarray(arr), np.asarray(signal.data, dtype="float32")
+            )
 
     def test_detector_plotter_smoke(self):
         import matplotlib
