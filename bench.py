@@ -10,6 +10,18 @@ itself is not runnable in this image (hyperspy/numba absent), so the
 NumPy/BLAS path stands in for its dask-threaded einsum, which is
 generous to the baseline.
 
+Measurement model: production DI indexes a scan as many batches, so the
+steady-state number is *pipelined* throughput — K batches enqueued
+back-to-back with results read back at the end (device execution is
+in-order, so the final readback bounds all batches). This amortizes the
+~26-34 ms per-dispatch cost of this environment's tunneled TPU, which a
+per-call timing would charge to every batch. Precision tiers
+("int8"/"mixed"/"default"/...; see ``indexing/di._index_resident``) are
+first gated for score agreement with f32 ``Precision.HIGHEST`` on a
+validation subset, then the PASSING tiers are timed and the fastest
+measured one is selected — assumed speed orderings do not hold reliably
+through the tunnel.
+
 Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "patterns/s/chip", "vs_baseline": N}``
 """
@@ -46,11 +58,11 @@ def _baseline_cpu_pps(d: int, keep_n: int) -> float:
 
 
 def main() -> None:
-    import jax
-    import jax.numpy as jnp
-
     from kikuchipy_tpu.indexing.di import _index_resident
     from kikuchipy_tpu.indexing.metrics import ncc
+
+    import jax
+    import jax.numpy as jnp
 
     # Large batch amortizes the per-dispatch host->device latency of
     # this environment's tunneled TPU (~26 ms/call measured).
@@ -60,6 +72,7 @@ def main() -> None:
     D = SY * SX
     KEEP_N = 20
     TILE = 50_000
+    REPS = 4        # pipelined batches per timing pass
 
     rng = np.random.default_rng(0)
     exp = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
@@ -67,47 +80,62 @@ def main() -> None:
     exp_prepared = jax.block_until_ready(ncc.prepare(exp, None))
     dict_prepared = jax.block_until_ready(ncc.prepare(dic, None))
 
-    # Pick the fastest precision whose scores stay within 1e-3 of the
-    # highest-precision scores (score conformance target ~1e-4 on real
-    # data, which is smoother than white noise), and enable the
-    # approx_max_k tile top-k if its top-1 indices agree exactly on the
-    # validation subset.
+    # Gate: a tier qualifies if its scores stay within 1e-3 of the
+    # highest-precision scores on a validation subset (score conformance
+    # target ~1e-4 on real data, which is smoother than white noise).
+    # approx_max_k qualifies per tier if its top-1 indices agree exactly.
     ref_scores, ref_idx = _index_resident(
         exp_prepared[:256], dict_prepared, KEEP_N, TILE, "highest"
     )
     ref_scores = np.asarray(ref_scores)
     ref_idx = np.asarray(ref_idx)
-    precision = "highest"
-    for cand in ("int8", "mixed", "default", "high"):
-        s, i = _index_resident(
+    tiers = []
+    for cand in ("int8", "mixed", "default"):
+        s, _ = _index_resident(
             exp_prepared[:256], dict_prepared, KEEP_N, TILE, cand
         )
-        s = np.asarray(s)
-        if np.abs(s - ref_scores).max() < 1e-3:
-            precision = cand
-            break
-    approx = False
-    s, i = _index_resident(
-        exp_prepared[:256], dict_prepared, KEEP_N, TILE, precision, True
-    )
-    if (np.asarray(i)[:, 0] == ref_idx[:, 0]).all():
-        approx = True
-
-    def run():
-        scores, idx = _index_resident(
-            exp_prepared, dict_prepared, KEEP_N, TILE, precision, approx
+        if np.abs(np.asarray(s) - ref_scores).max() < 1e-3:
+            tiers.append(cand)
+    if not tiers:
+        tiers = ["highest"]
+    gated = []
+    for cand in tiers:
+        _, i = _index_resident(
+            exp_prepared[:256], dict_prepared, KEEP_N, TILE, cand, True
         )
-        np.asarray(scores)  # force completion (axon block_until_ready no-op)
-        return scores, idx
+        gated.append(
+            (cand, bool((np.asarray(i)[:, 0] == ref_idx[:, 0]).all()))
+        )
 
-    run()  # compile
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    pps = N / dt
+    def timed_pps(precision: str, approx: bool) -> float:
+        """Steady-state pipelined throughput: enqueue REPS batches,
+        read all results back once at the end (axon block_until_ready
+        is a no-op, so completion is forced by the host readback; the
+        device queue is in-order)."""
+
+        def pass_once() -> float:
+            t0 = time.perf_counter()
+            outs = [
+                _index_resident(
+                    exp_prepared, dict_prepared, KEEP_N, TILE, precision,
+                    approx,
+                )
+                for _ in range(REPS)
+            ]
+            for s, i in outs:
+                np.asarray(s)
+                np.asarray(i)
+            return time.perf_counter() - t0
+
+        pass_once()  # compile + warm
+        return REPS * N / min(pass_once() for _ in range(3))
+
+    best = ("highest", False, 0.0)
+    for cand, approx in gated:
+        pps = timed_pps(cand, approx)
+        if pps > best[2]:
+            best = (cand, approx, pps)
+    precision, approx, pps = best
 
     base_cps = _baseline_cpu_pps(D, KEEP_N)
     base_pps = base_cps / M
@@ -118,7 +146,8 @@ def main() -> None:
                 "metric": (
                     f"dictionary-indexing patterns/s/chip "
                     f"(NCC, {M}-entry 60x60 dict, keep_n={KEEP_N}, "
-                    f"precision={precision}, approx_topk={approx})"
+                    f"precision={precision}, approx_topk={approx}, "
+                    f"pipelined x{REPS})"
                 ),
                 "value": round(pps, 2),
                 "unit": "patterns/s",
