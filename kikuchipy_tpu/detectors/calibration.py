@@ -204,22 +204,36 @@ class PCCalibrationMovingScreen:
             **kwargs,
         )
 
-    def plot(self, return_figure: bool = False):
-        """Patterns with annotated points/lines and the PC estimate."""
+    def plot(
+        self,
+        pattern_kwargs: dict | None = None,
+        line_kwargs: dict | None = None,
+        scatter_kwargs: dict | None = None,
+        pc_kwargs: dict | None = None,
+        return_figure: bool = False,
+    ):
+        """Patterns with annotated points/lines and the PC estimate
+        (reference ``PCCalibrationMovingScreen.plot``,
+        ``detectors/_calibration.py``); the ``*_kwargs`` dicts pass
+        through to ``imshow``/``axline``/``scatter`` respectively."""
         import matplotlib.pyplot as plt
 
+        pattern_kwargs = {"cmap": "gray", **(pattern_kwargs or {})}
+        line_kwargs = {"color": "y", "lw": 0.7, **(line_kwargs or {})}
+        scatter_kwargs = {"c": "r", **(scatter_kwargs or {})}
+        pc_kwargs = {"c": "r", "marker": "*", "s": 150, **(pc_kwargs or {})}
         fig, axes = plt.subplots(ncols=3, figsize=(12, 4))
         for i, (ax, title) in enumerate(zip(axes[:2], ["in", "out"])):
-            ax.imshow(self.patterns[i], cmap="gray")
+            ax.imshow(self.patterns[i], **pattern_kwargs)
             pts = self.points[i]
-            ax.scatter(pts[:, 0], pts[:, 1], c="r")
+            ax.scatter(pts[:, 0], pts[:, 1], **scatter_kwargs)
             ax.set_title(title)
         ax = axes[2]
-        ax.imshow(self.patterns[0], cmap="gray")
+        ax.imshow(self.patterns[0], **pattern_kwargs)
         for line in self.lines_out_in:
-            ax.axline(line[:2], line[2:], color="y", lw=0.7)
+            ax.axline(line[:2], line[2:], **line_kwargs)
         pxy = self.pxy
-        ax.scatter(*pxy, c="r", marker="*", s=150)
+        ax.scatter(*pxy, **pc_kwargs)
         ax.set_title(f"PC = {np.round(self.pc, 3)}")
         if return_figure:
             return fig
@@ -316,6 +330,182 @@ def estimate_xtilt(
     slope = np.polyfit(pcy, pcz, 1)[0]
     xtilt = np.arctan(-slope)
     return float(np.rad2deg(xtilt)) if degrees else float(xtilt)
+
+
+def estimate_xtilt_robust(
+    detector: EBSDDetector,
+    degrees: bool = True,
+    outlier_sigma: float = 3.5,
+    max_pairs: int = 2_000_000,
+    seed: int = 0,
+) -> tuple[float, np.ndarray]:
+    """Robust estimate of the detector x-tilt with outlier detection
+    (the reference's ``detect_outliers=True`` path,
+    ``_fit_projection_center.py:207-223``, uses sklearn's 2-point
+    RANSAC; this uses a Theil-Sen line — the median of pairwise
+    PCy-vs-PCz slopes — which is deterministic and immune to the
+    leverage-point pivots RANSAC's MAD-of-y threshold can fall for).
+    Outliers are points whose line residual exceeds ``outlier_sigma``
+    scaled median absolute deviations; the final slope is refit on the
+    inliers.
+
+    Returns ``(x_tilt, is_outlier)``.
+    """
+    pc = detector.pc_flattened
+    pcz, pcy = pc[:, 2], pc[:, 1]
+    n = len(pc)
+    if n < 3:
+        raise ValueError("Robust estimation requires at least three PCs")
+    ii, jj = np.triu_indices(n, k=1)
+    if ii.size > max_pairs:
+        rng = np.random.default_rng(seed)
+        sel = rng.choice(ii.size, size=max_pairs, replace=False)
+        ii, jj = ii[sel], jj[sel]
+    dz = pcz[jj] - pcz[ii]
+    dy = pcy[jj] - pcy[ii]
+    ok = dz != 0
+    if not ok.any():
+        raise ValueError("All PCz values are identical; cannot fit PCy(PCz)")
+    slope = float(np.median(dy[ok] / dz[ok]))
+    intercept = float(np.median(pcy - slope * pcz))
+    resid = pcy - (intercept + slope * pcz)
+    mad = np.median(np.abs(resid - np.median(resid)))
+    scale = 1.4826 * mad if mad > 0 else np.finfo(float).eps
+    is_outlier = np.abs(resid) > outlier_sigma * scale
+    inliers = ~is_outlier
+    if inliers.sum() >= 2:
+        slope = float(np.polyfit(pcz[inliers], pcy[inliers], 1)[0])
+    # Reference convention: x_tilt = pi/2 + arctan(d PCy / d PCz).
+    x_tilt = np.pi / 2 + np.arctan(slope)
+    if degrees:
+        x_tilt = np.rad2deg(x_tilt)
+    return float(x_tilt), is_outlier
+
+
+def _rot_x(angle: float) -> np.ndarray:
+    c, s = np.cos(angle), np.sin(angle)
+    return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+
+
+def _rot_z(angle: float) -> np.ndarray:
+    c, s = np.cos(angle), np.sin(angle)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+
+def _projective_matrix(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Homography mapping ``src`` (n, 2) to ``dst`` (n, 2), estimated
+    with the normalized DLT (the reference delegates to
+    skimage ``ProjectiveTransform.estimate``,
+    ``_fit_projection_center.py:164-176``). Returns the (3, 3) matrix
+    ``H`` with ``dst_hom ~ src_hom @ H.T``."""
+
+    def _normalize(pts):
+        mean = pts.mean(axis=0)
+        rms = np.sqrt(((pts - mean) ** 2).sum(axis=1).mean())
+        scale = np.sqrt(2) / rms if rms > 0 else 1.0
+        T = np.array(
+            [
+                [scale, 0, -scale * mean[0]],
+                [0, scale, -scale * mean[1]],
+                [0, 0, 1],
+            ]
+        )
+        pts_h = np.column_stack([pts, np.ones(len(pts))]) @ T.T
+        return pts_h[:, :2], T
+
+    src_n, T_src = _normalize(np.asarray(src, dtype=np.float64))
+    dst_n, T_dst = _normalize(np.asarray(dst, dtype=np.float64))
+    n = len(src_n)
+    A = np.zeros((2 * n, 9))
+    for i, ((x, y), (u, v)) in enumerate(zip(src_n, dst_n)):
+        A[2 * i] = [-x, -y, -1, 0, 0, 0, u * x, u * y, u]
+        A[2 * i + 1] = [0, 0, 0, -x, -y, -1, v * x, v * y, v]
+    _, _, vt = np.linalg.svd(A)
+    H_n = vt[-1].reshape(3, 3)
+    H = np.linalg.inv(T_dst) @ H_n @ T_src
+    return H / H[2, 2]
+
+
+def fit_plane_to_pc(
+    detector: EBSDDetector,
+    pc_indices: np.ndarray,
+    map_indices: np.ndarray,
+    is_outlier: np.ndarray | None = None,
+    transformation: str = "projective",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, float, float, float]:
+    """Fit a plane through the detector's PCs at known map indices and
+    interpolate PCs for all ``map_indices`` (reference
+    ``fit_plane_to_pc``, ``_fit_projection_center.py:81-129``).
+
+    Returns ``(pc_fit, pc_fit_map, pc_flat, x_tilt, intercept, slope)``
+    where ``x_tilt`` (radians) comes from a linear fit of fitted PCy vs
+    fitted PCz.
+    """
+    from scipy import stats as scs
+
+    pc_flat = detector.pc_flattened
+    n_pc = pc_flat.shape[0]
+
+    pc_indices = np.asarray(pc_indices, dtype=np.float64)
+    map_indices = np.asarray(map_indices, dtype=np.float64)
+    pc_idx_flat = pc_indices.reshape(2, -1).T
+    pc_idx_h = np.column_stack([pc_idx_flat, np.ones(n_pc)])
+    map_idx_flat = map_indices.reshape(2, -1).T
+    map_idx_h = np.column_stack(
+        [map_idx_flat, np.ones(map_idx_flat.shape[0])]
+    )
+
+    if is_outlier is not None:
+        is_inlier = ~np.asarray(is_outlier).ravel()
+        pc_flat = pc_flat[is_inlier]
+        pc_idx_h = pc_idx_h[is_inlier]
+
+    if transformation == "projective":
+        pc_average = pc_flat.mean(axis=0)
+        pc_centered = pc_flat - pc_average
+
+        # Hyperplane fit (reference fit_hyperplane, :41-78): trimmed
+        # mean, SVD plane normal pointing towards the detector.
+        pc_trim_mean = scs.trim_mean(pc_centered, proportiontocut=0.1)
+        _, _, vh = np.linalg.svd(
+            pc_centered - pc_trim_mean, full_matrices=False
+        )
+        normal = vh[2] / np.linalg.norm(vh[2])
+        if normal[2] < 0:
+            normal = -normal
+        x_tilt_pl = np.arccos(normal[2])
+        z_tilt_pl = np.pi / 2 - np.arctan2(normal[1], normal[0])
+        # R = rot_z(-z_tilt) @ rot_x(-x_tilt) maps [0,0,1] to the
+        # normal; in-plane coordinates are R^T (pc - trim_mean).
+        R = _rot_z(-z_tilt_pl) @ _rot_x(-x_tilt_pl)
+        v_plane = (pc_centered - pc_trim_mean) @ R
+
+        H = _projective_matrix(pc_idx_h[:, :2], v_plane[:, :2])
+        matrix = H.T
+
+        def _project(idx_h):
+            p = idx_h @ matrix
+            p /= p[:, 2, None]
+            p[:, 2] = 0.0
+            return p @ R.T + pc_trim_mean + pc_average
+
+        pc_fit = _project(pc_idx_h)
+        pc_fit_map = _project(map_idx_h)
+    elif transformation == "affine":
+        coeffs, *_ = np.linalg.lstsq(pc_idx_h, pc_flat, rcond=None)
+        pc_fit = pc_idx_h @ coeffs
+        pc_fit_map = map_idx_h @ coeffs
+    else:
+        raise ValueError(
+            "transformation must be 'projective' or 'affine', got "
+            f"{transformation!r}"
+        )
+
+    res = scs.linregress(pc_fit[:, 2], pc_fit[:, 1])
+    x_tilt = np.pi / 2 + np.arctan(res.slope)
+
+    pc_fit_map = pc_fit_map.reshape(map_indices.shape[1:] + (3,))
+    return pc_fit, pc_fit_map, pc_flat, float(x_tilt), float(res.intercept), float(res.slope)
 
 
 def extrapolate_pc(

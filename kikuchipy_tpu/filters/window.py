@@ -196,29 +196,57 @@ class Window(np.ndarray):
 
     def plot(
         self,
+        grid: bool = True,
+        show_values: bool = True,
+        textcolors: tuple[str, str] | None = None,
         cmap: str = "viridis",
-        textcolors: tuple[str, str] = ("white", "black"),
+        cmap_label: str = "Value",
+        colorbar: bool = True,
         return_figure: bool = False,
     ):
         """Plot window coefficients as an annotated heatmap (reference
-        ``Window.plot``, ``filters/window.py:290``)."""
+        ``Window.plot``, ``filters/window.py:522``).
+
+        Parameters
+        ----------
+        grid
+            Draw minor grid lines between coefficients (default True).
+        show_values
+            Annotate each coefficient with its value (default True).
+        textcolors
+            (below-threshold, above-threshold) annotation colors;
+            default ("white", "black").
+        cmap, cmap_label, colorbar
+            Colormap, its colorbar label, and whether to draw the
+            colorbar.
+        """
         import matplotlib.pyplot as plt
 
+        if textcolors is None:
+            textcolors = ("white", "black")
         fig, ax = plt.subplots()
         arr = np.atleast_2d(np.asarray(self))
         im = ax.imshow(arr, cmap=cmap)
-        fig.colorbar(im, ax=ax)
-        threshold = arr.max() / 2
-        for (r, c), v in np.ndenumerate(arr):
-            ax.text(
-                c,
-                r,
-                f"{v:.4g}",
-                ha="center",
-                va="center",
-                color=textcolors[int(v > threshold)],
-                fontsize=8,
-            )
+        if colorbar:
+            cbar = fig.colorbar(im, ax=ax)
+            cbar.ax.set_ylabel(cmap_label)
+        if grid:
+            ax.set_xticks(np.arange(arr.shape[1] + 1) - 0.5, minor=True)
+            ax.set_yticks(np.arange(arr.shape[0] + 1) - 0.5, minor=True)
+            ax.grid(which="minor", color="w", linestyle="-", linewidth=0.8)
+            ax.tick_params(which="minor", bottom=False, left=False)
+        if show_values:
+            threshold = arr.max() / 2
+            for (r, c), v in np.ndenumerate(arr):
+                ax.text(
+                    c,
+                    r,
+                    f"{v:.4g}",
+                    ha="center",
+                    va="center",
+                    color=textcolors[int(v > threshold)],
+                    fontsize=8,
+                )
         ax.set_title(f"{self.name} {self.shape}")
         if return_figure:
             return fig

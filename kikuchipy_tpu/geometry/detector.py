@@ -408,58 +408,137 @@ class EBSDDetector:
         return np.stack([cy_out, cx_out], axis=-1)
 
     def to_gnomonic_coords(
-        self, coords, detector_index: int | tuple | None = None
+        self,
+        coords=None,
+        detector_index: int | tuple | None = None,
+        pos=None,
     ) -> np.ndarray:
         """Convert detector pixel ``(col, row)`` coordinates to
         gnomonic ``(x_g, y_g)`` (reference ``_ebsd_detector.py``
         ``to_gnomonic_coords`` /
         ``_convert_detector_coordinates.py:207-215``). Without
         ``detector_index`` and with per-point PCs, one conversion per
-        map point is returned (``nav_shape + coords.shape``)."""
+        map point is returned (``nav_shape + coords.shape``). ``pos``
+        is the reference's newer alias for ``coords``."""
+        if pos is not None:
+            coords = pos
+        if coords is None:
+            raise TypeError("to_gnomonic_coords requires coords (or pos)")
         return self._convert_coords(coords, "pix_to_gn", detector_index)
 
     def to_pixel_coords(
-        self, coords, detector_index: int | tuple | None = None
+        self,
+        coords=None,
+        detector_index: int | tuple | None = None,
+        pos=None,
     ) -> np.ndarray:
         """Convert gnomonic ``(x_g, y_g)`` coordinates to detector
         pixel ``(col, row)`` (reference ``to_pixel_coords`` /
-        ``_convert_detector_coordinates.py:218-226``)."""
+        ``_convert_detector_coordinates.py:218-226``). ``pos`` is the
+        reference's newer alias for ``coords``."""
+        if pos is not None:
+            coords = pos
+        if coords is None:
+            raise TypeError("to_pixel_coords requires coords (or pos)")
         return self._convert_coords(coords, "gn_to_pix", detector_index)
 
     # Reference-internal helper names, kept for discoverability.
     convert_pixel_to_gnomonic_coords = to_gnomonic_coords
     convert_gnomonic_to_pixel_coords = to_pixel_coords
 
-    def plot_pc(self, mode: str = "map", ax=None, **scatter_kwargs):
-        """Plot the projection centers: ``"map"`` (PCx/PCy scatter
-        colored by PCz), ``"scatter"`` (3D scatter), or ``"3d"`` (alias)
-        (reference ``_ebsd_detector.py`` ``plot_pc``). Returns the axes.
+    def plot_pc(
+        self,
+        mode: str = "map",
+        return_figure: bool = False,
+        orientation: str = "horizontal",
+        annotate: bool = False,
+        figure_kwargs: dict | None = None,
+        ax=None,
+        **kwargs,
+    ):
+        """Plot the projection centers (reference ``_ebsd_detector.py``
+        ``plot_pc``): ``"map"`` (PCx/PCy scatter colored by PCz),
+        ``"scatter"`` (per-component pair scatters, laid out by
+        ``orientation``), or ``"3d"``.
+
+        Parameters
+        ----------
+        mode
+            "map" (default), "scatter" or "3d".
+        return_figure
+            Return the figure (default False).
+        orientation
+            "horizontal" (default) or "vertical" subplot layout in
+            "scatter" mode.
+        annotate
+            Label each PC with its flattened index.
+        figure_kwargs
+            Passed to ``plt.figure``.
+        ax
+            Existing axes to draw into ("map"/"3d" modes only; this
+            framework's extension).
+        **kwargs
+            Passed to ``Axes.scatter``.
+
+        Returns
+        -------
+        The figure if ``return_figure``, else the axes ("map"/"3d") or
+        None ("scatter").
         """
         import matplotlib.pyplot as plt
 
+        figure_kwargs = dict(figure_kwargs or {})
         pcs = self.pc_flattened
+        labels = range(len(pcs)) if annotate else ()
+        fig = None
         if mode == "map":
             if ax is None:
-                _, ax = plt.subplots()
-            sc = ax.scatter(
-                pcs[:, 0], pcs[:, 1], c=pcs[:, 2], **scatter_kwargs
-            )
+                fig = plt.figure(**figure_kwargs)
+                ax = fig.add_subplot()
+            sc = ax.scatter(pcs[:, 0], pcs[:, 1], c=pcs[:, 2], **kwargs)
             ax.set_xlabel("PCx")
             ax.set_ylabel("PCy")
             ax.invert_yaxis()
             plt.colorbar(sc, ax=ax, label="PCz")
-        elif mode in ("scatter", "3d"):
+            for i in labels:
+                ax.annotate(str(i), (pcs[i, 0], pcs[i, 1]))
+        elif mode == "scatter":
+            if orientation not in ("horizontal", "vertical"):
+                raise ValueError(
+                    "orientation must be 'horizontal' or 'vertical', got "
+                    f"{orientation!r}"
+                )
+            nrows, ncols = (1, 3) if orientation == "horizontal" else (3, 1)
+            figure_kwargs.setdefault(
+                "figsize", (9, 3) if orientation == "horizontal" else (3, 9)
+            )
+            fig, axes = plt.subplots(nrows, ncols, **figure_kwargs)
+            pairs = [(0, 1), (0, 2), (2, 1)]
+            names = ["PCx", "PCy", "PCz"]
+            for a, (i, j) in zip(np.ravel(axes), pairs):
+                a.scatter(pcs[:, i], pcs[:, j], **kwargs)
+                a.set_xlabel(names[i])
+                a.set_ylabel(names[j])
+                for k in labels:
+                    a.annotate(str(k), (pcs[k, i], pcs[k, j]))
+            fig.tight_layout()
+            ax = None
+        elif mode == "3d":
             if ax is None:
-                fig = plt.figure()
+                fig = plt.figure(**figure_kwargs)
                 ax = fig.add_subplot(projection="3d")
-            ax.scatter(pcs[:, 0], pcs[:, 1], pcs[:, 2], **scatter_kwargs)
+            ax.scatter(pcs[:, 0], pcs[:, 1], pcs[:, 2], **kwargs)
             ax.set_xlabel("PCx")
             ax.set_ylabel("PCy")
             ax.set_zlabel("PCz")
+            for i in labels:
+                ax.text(pcs[i, 0], pcs[i, 1], pcs[i, 2], str(i))
         else:
             raise ValueError(
                 f"mode must be 'map', 'scatter' or '3d', got {mode!r}"
             )
+        if return_figure:
+            return fig if fig is not None else ax.figure
         return ax
 
     # --------------------------- Utilities --------------------------- #
@@ -505,8 +584,15 @@ class EBSDDetector:
         np.savetxt(filename, pc.reshape(-1, 3), fmt="%.10f", header=header)
 
     @classmethod
-    def load(cls, filename: str | Path) -> "EBSDDetector":
-        """Load a detector saved with :meth:`save`."""
+    def load(
+        cls, filename: str | Path | None = None, fname: str | Path | None = None
+    ) -> "EBSDDetector":
+        """Load a detector saved with :meth:`save` (``fname`` is the
+        reference's keyword name for the path)."""
+        if fname is not None:
+            filename = fname
+        if filename is None:
+            raise TypeError("load requires a file path")
         header: dict[str, str] = {}
         with open(filename) as f:
             for line in f:
@@ -539,12 +625,85 @@ class EBSDDetector:
 
         return plot_detector(self, pattern=pattern, **kwargs)
 
-    def estimate_xtilt(self, degrees: bool = True) -> float:
-        """Estimate the detector x-tilt from the map's PC plane (see
-        :func:`kikuchipy_tpu.detectors.calibration.estimate_xtilt`)."""
-        from kikuchipy_tpu.detectors.calibration import estimate_xtilt
+    def estimate_xtilt(
+        self,
+        detect_outliers: bool = False,
+        plot: bool = False,
+        degrees: bool = True,
+        return_figure: bool = False,
+        return_outliers: bool = False,
+        figure_kwargs: dict | None = None,
+    ):
+        """Estimate the detector x-tilt from the map's PC plane
+        (reference ``EBSDDetector.estimate_xtilt``,
+        ``_ebsd_detector.py:1045``; fit of PCy vs PCz).
 
-        return estimate_xtilt(self, degrees=degrees)
+        Parameters
+        ----------
+        detect_outliers
+            Robust fit with outlier detection (RANSAC-style; the
+            reference uses sklearn's ``RANSACRegressor``,
+            ``_fit_projection_center.py:207``).
+        plot
+            Plot PCz vs PCy with the fitted line (default False; the
+            reference defaults to True but requires a display).
+        degrees
+            Return degrees (default True here; the reference defaults
+            to radians — documented deviation, consistent with
+            :meth:`estimate_xtilt_ztilt`).
+        return_outliers
+            Also return the boolean outlier mask (requires
+            ``detect_outliers``).
+        return_figure
+            Also return the figure (requires ``plot``).
+
+        Returns
+        -------
+        x_tilt, then optionally the outlier mask, then optionally the
+        figure — in that order, matching the reference.
+        """
+        from kikuchipy_tpu.detectors.calibration import (
+            estimate_xtilt,
+            estimate_xtilt_robust,
+        )
+
+        if detect_outliers:
+            x_tilt, is_outlier = estimate_xtilt_robust(self, degrees=degrees)
+        else:
+            x_tilt = estimate_xtilt(self, degrees=degrees)
+            is_outlier = None
+
+        fig = None
+        if plot:
+            import matplotlib.pyplot as plt
+
+            fig = plt.figure(**(figure_kwargs or {}))
+            ax = fig.add_subplot()
+            pc = self.pc_flattened
+            keep = (
+                np.ones(len(pc), dtype=bool)
+                if is_outlier is None
+                else ~is_outlier
+            )
+            ax.scatter(pc[keep, 2], pc[keep, 1], label="PC")
+            if is_outlier is not None and is_outlier.any():
+                ax.scatter(
+                    pc[is_outlier, 2], pc[is_outlier, 1], c="r",
+                    label="outlier",
+                )
+            coef = np.polyfit(pc[keep, 2], pc[keep, 1], 1)
+            zz = np.linspace(pc[:, 2].min(), pc[:, 2].max(), 2)
+            ax.plot(zz, np.polyval(coef, zz), "k--")
+            ax.set_xlabel("PCz")
+            ax.set_ylabel("PCy")
+            ax.legend()
+
+        out = (x_tilt,)
+        if return_outliers:
+            out += (is_outlier,)
+        if return_figure and fig is not None:
+            out += (fig,)
+        return out[0] if len(out) == 1 else out
 
     def estimate_xtilt_ztilt(
         self, degrees: bool = True, is_outlier: np.ndarray | None = None
@@ -691,31 +850,138 @@ class EBSDDetector:
             self, mode="top", return_figure=return_figure, **kwargs
         )
 
-    def fit_pc(self, method: str = "plane"):
-        """Fit the PC grid with a plane/affine/projective model and
-        return a detector with the fitted (denoised) PCs."""
+    def fit_pc(
+        self,
+        pc_indices=None,
+        map_indices=None,
+        transformation: str = "projective",
+        is_outlier: np.ndarray | None = None,
+        plot: bool = False,
+        return_figure: bool = False,
+        figure_kwargs: dict | None = None,
+        method: str | None = None,
+    ):
+        """Return a new detector with PCs interpolated for all points
+        in a map by fitting a plane to :attr:`pc` (reference
+        ``EBSDDetector.fit_pc``, ``_ebsd_detector.py:1427``; the fit
+        follows Winkelmann et al.'s refined-geometry approach).
+
+        Parameters
+        ----------
+        pc_indices
+            (row, column) map coordinates of each PC, shape
+            ``(2,) + navigation_shape``.
+        map_indices
+            (row, column) coordinates of all map points to interpolate
+            PCs for, shape ``(2, m)`` or ``(2, n, m)``.
+        transformation
+            "projective" (default) or "affine".
+        is_outlier
+            Boolean array marking PCs to exclude from the fit.
+        plot
+            Plot experimental vs fitted PCs (default False; the
+            reference defaults to True but requires a display).
+        return_figure, figure_kwargs
+            Figure return/creation options when ``plot``.
+        method
+            Legacy simple mode of this framework: with
+            ``method="plane"|"affine"|"projective"`` (and no
+            ``pc_indices``), denoise the current PC grid in place of
+            interpolating to new map points.
+
+        Returns
+        -------
+        New detector with the interpolated PCs and a sample tilt
+        estimated from the fitted plane
+        (``90 - x_tilt_deg - detector.tilt``); with ``plot`` and
+        ``return_figure``, a ``(detector, figure)`` tuple.
+        """
         from kikuchipy_tpu.detectors import calibration as _cal
 
-        nav_shape = self.navigation_shape
-        if len(nav_shape) != 2:
-            raise ValueError("fit_pc requires a 2D navigation grid of PCs")
-        if method == "plane":
-            fitted, _ = _cal.fit_pc_plane(self.pc, nav_shape)
-        else:
-            yy, xx = np.indices(nav_shape)
-            xy = np.column_stack([xx.ravel(), yy.ravel()]).astype(float)
-            fit_fn = {
-                "affine": _cal.fit_pc_affine,
-                "projective": _cal.fit_pc_projective,
-            }.get(method)
-            if fit_fn is None:
+        if method is not None or pc_indices is None:
+            # Legacy denoising mode (kept for compatibility with this
+            # framework's earlier fit_pc(method=...) API).
+            method = method or "plane"
+            nav_shape = self.navigation_shape
+            if len(nav_shape) != 2:
                 raise ValueError(
-                    f"method must be 'plane', 'affine' or 'projective', got "
-                    f"{method!r}"
+                    "fit_pc requires a 2D navigation grid of PCs"
                 )
-            fitted, _ = fit_fn(xy, self.pc.reshape(-1, 3))
-            fitted = fitted.reshape(nav_shape + (3,))
-        return dataclasses.replace(self, pc=fitted)
+            if method == "plane":
+                fitted, _ = _cal.fit_pc_plane(self.pc, nav_shape)
+            else:
+                yy, xx = np.indices(nav_shape)
+                xy = np.column_stack([xx.ravel(), yy.ravel()]).astype(float)
+                fit_fn = {
+                    "affine": _cal.fit_pc_affine,
+                    "projective": _cal.fit_pc_projective,
+                }.get(method)
+                if fit_fn is None:
+                    raise ValueError(
+                        f"method must be 'plane', 'affine' or 'projective', "
+                        f"got {method!r}"
+                    )
+                fitted, _ = fit_fn(xy, self.pc.reshape(-1, 3))
+                fitted = fitted.reshape(nav_shape + (3,))
+            return dataclasses.replace(self, pc=fitted)
+
+        n_pc = self.navigation_size
+        if n_pc == 1:
+            raise ValueError(
+                "Fitting requires multiple projection centers (PCs)"
+            )
+        pc_indices = np.asarray(pc_indices)
+        map_indices = np.asarray(map_indices)
+        nav_shape = self.navigation_shape
+        if pc_indices.shape != (2,) + nav_shape:
+            raise ValueError(
+                f"`pc_indices` array shape {pc_indices.shape} must be equal "
+                f"to {(2,) + nav_shape}"
+            )
+        if map_indices.ndim not in (2, 3) or map_indices.shape[0] != 2:
+            raise ValueError(
+                f"`map_indices` array shape {map_indices.shape} must be "
+                "(2, m columns) or (2, n rows, m columns)"
+            )
+        if is_outlier is not None:
+            is_outlier = np.asarray(is_outlier)
+            if is_outlier.dtype != bool or is_outlier.size != n_pc:
+                raise ValueError(
+                    "`is_outlier` must be a boolean array of a size equal "
+                    "to the number of PCs"
+                )
+
+        pc_fit, pc_fit_map, pc_flat, x_tilt, intercept, slope = (
+            _cal.fit_plane_to_pc(
+                self, pc_indices, map_indices, is_outlier, transformation
+            )
+        )
+        new_detector = dataclasses.replace(
+            self,
+            pc=pc_fit_map,
+            sample_tilt=90.0 - np.rad2deg(x_tilt) - self.tilt,
+        )
+
+        fig = None
+        if plot:
+            import matplotlib.pyplot as plt
+
+            fig, axes = plt.subplots(
+                ncols=3, figsize=(9, 3), **(figure_kwargs or {})
+            )
+            for ax, (i, j) in zip(axes, [(0, 1), (0, 2), (2, 1)]):
+                ax.scatter(pc_flat[:, i], pc_flat[:, j], label="exp")
+                ax.scatter(
+                    pc_fit[:, i], pc_fit[:, j], marker="x", label="fit"
+                )
+                names = ["PCx", "PCy", "PCz"]
+                ax.set_xlabel(names[i])
+                ax.set_ylabel(names[j])
+            axes[0].legend()
+            fig.tight_layout()
+        if return_figure and fig is not None:
+            return new_detector, fig
+        return new_detector
 
     def __repr__(self) -> str:
         pc = tuple(np.round(self.pc_average, 3))

@@ -186,11 +186,14 @@ class VirtualBSEImager:
         self,
         pattern_idx: tuple[int, ...] | None = None,
         rgb_channels: dict | None = None,
+        visible_indices: bool = True,
         return_figure: bool = False,
     ):
         """Plot a pattern with the tile grid overlaid (reference
         ``imaging/vbse.py:320``); tiles used for R/G/B channels can be
-        highlighted via ``rgb_channels={"r": (0, 0), ...}``."""
+        highlighted via ``rgb_channels={"r": (0, 0), ...}``.
+        ``visible_indices`` labels each tile with its (row, column)
+        grid index (reference default True)."""
         import matplotlib.pyplot as plt
 
         data = np.asarray(self._signal.data)
@@ -205,6 +208,14 @@ class VirtualBSEImager:
             ax.axhline(r - 0.5, color="w", lw=0.5)
         for c in self.grid_cols[1:]:
             ax.axvline(c - 0.5, color="w", lw=0.5)
+        if visible_indices:
+            for ti in range(gy):
+                for tj in range(gx):
+                    r0, _, c0, _ = self.roi_from_grid((ti, tj))
+                    ax.text(
+                        c0 + 1, r0 + 1, f"{ti},{tj}", color="r",
+                        ha="left", va="top", fontsize=7,
+                    )
         colors = {"r": "red", "g": "green", "b": "blue"}
         for chan, idx in (rgb_channels or {}).items():
             r0, r1, c0, c1 = self.roi_from_grid(idx)

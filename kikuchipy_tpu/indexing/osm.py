@@ -31,6 +31,7 @@ def orientation_similarity_map(
     normalize: bool = False,
     from_n_best: int | None = None,
     footprint: np.ndarray | None = None,
+    center_index: int = 2,
 ) -> np.ndarray:
     """Orientation similarity map from a DI crystal map.
 
@@ -48,6 +49,11 @@ def orientation_similarity_map(
         stacked along the last axis (``n_best`` first).
     footprint
         Boolean neighbour window (default 4-neighbourhood 3x3 plus).
+    center_index
+        Flat index of the central navigation point among the truthy
+        values of ``footprint`` (reference
+        ``_orientation_similarity_map.py:37,137``); default 2, the
+        center of the default plus-shaped footprint.
 
     Returns
     -------
@@ -71,7 +77,15 @@ def orientation_similarity_map(
     if footprint is None:
         footprint = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], dtype=bool)
     footprint = np.asarray(footprint, dtype=bool)
-    oy, ox = footprint.shape[0] // 2, footprint.shape[1] // 2
+    # The center is the center_index-th truthy footprint cell (the
+    # reference picks it out of the generic_filter window the same way).
+    truthy = np.argwhere(footprint)
+    if not 0 <= center_index < len(truthy):
+        raise ValueError(
+            f"center_index {center_index} is out of range for a footprint "
+            f"with {len(truthy)} True values"
+        )
+    oy, ox = truthy[center_index]
 
     out = np.zeros(shape + (n_best - from_n_best + 1,), dtype=np.float32)
     for i, n in enumerate(range(n_best, from_n_best - 1, -1)):

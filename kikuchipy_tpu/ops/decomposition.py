@@ -41,13 +41,34 @@ def pca(
 
 
 def pca_reconstruct(
-    patterns: jnp.ndarray, components: int, dtype_out=None
+    patterns: jnp.ndarray,
+    components: int | list[int] | None,
+    dtype_out=None,
 ) -> np.ndarray:
     """Low-rank PCA reconstruction of the patterns, rescaled per pattern
-    to the output dtype range for integer dtypes."""
+    to the output dtype range for integer dtypes.
+
+    ``components`` follows the reference's
+    ``get_decomposition_model`` convention (``signals/ebsd.py:2683``):
+    an int keeps components ``0..components``, a list keeps exactly
+    those components, and None keeps all of them.
+    """
     patterns = jnp.asarray(patterns)
     shape = patterns.shape
-    factors, loadings, mean = pca(patterns, components)
+    if components is None:
+        n = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+        k_fit: int = min(n, int(shape[-2] * shape[-1]))
+        select = None
+    elif isinstance(components, (list, tuple, np.ndarray)):
+        select = np.asarray(components, dtype=int)
+        k_fit = int(select.max()) + 1
+    else:
+        k_fit = int(components)
+        select = None
+    factors, loadings, mean = pca(patterns, k_fit)
+    if select is not None:
+        factors = factors[select]
+        loadings = loadings[:, select]
     recon = loadings @ factors + mean
     recon = recon.reshape(shape)
     if dtype_out is None:

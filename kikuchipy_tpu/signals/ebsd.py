@@ -134,10 +134,12 @@ class EBSD:
         transfer_function,
         function_domain: str = "frequency",
         shift: bool = False,
+        show_progressbar=None,
     ) -> "EBSD":
         """Frequency-domain filter (reference ``ebsd.py:805``). With
         ``function_domain="spatial"``, the transfer function is a spatial
         kernel convolved via the Barnes rFFT filter."""
+        del show_progressbar  # reference compatibility; op is one program
         if function_domain == "frequency":
             out = _ops.fft_filter(
                 self.data.astype(jnp.float32), transfer_function, shift=shift
@@ -187,13 +189,23 @@ class EBSD:
             )
         return new
 
-    def get_image_quality(self, normalize: bool = True) -> np.ndarray:
-        """Image-quality map (reference ``ebsd.py:1312``)."""
+    def get_image_quality(
+        self, normalize: bool = True, show_progressbar=None
+    ) -> np.ndarray:
+        """Image-quality map (reference ``ebsd.py:1312``).
+        ``show_progressbar`` is accepted for reference compatibility
+        (the op runs as one device program)."""
+        del show_progressbar
         return np.asarray(_ops.get_image_quality(self.data, normalize=normalize))
 
     def adaptive_histogram_equalization(
-        self, kernel_size=None, clip_limit: float = 0.0, nbins: int = 128
+        self,
+        kernel_size=None,
+        clip_limit: float = 0.0,
+        nbins: int = 128,
+        show_progressbar=None,
     ) -> "EBSD":
+        del show_progressbar  # reference compatibility; op is one program
         from kikuchipy_tpu.ops.ahe import adaptive_histogram_equalization
 
         return self._replace_data(
@@ -229,20 +241,38 @@ class EBSD:
     def hough_indexing_optimize_pc(
         self,
         pc0=None,
-        phase_list=None,
+        indexer=None,
         batch: bool = False,
+        method: str = "Nelder-Mead",
+        phase_list=None,
         trust_region=(0.05, 0.05, 0.05),
         max_iters: int = 80,
         **hough_kwargs,
     ):
         """Optimize the projection center by maximizing the Hough
         band-fit quality (reference ``EBSD.hough_indexing_optimize_pc``,
-        ``ebsd.py:1721``): Nelder-Mead over (PCx, PCy, PCz) of the mean
+        ``ebsd.py:1721``): search over (PCx, PCy, PCz) of the mean
         angular misfit of detected bands to their best-matching lattice
         planes.
 
-        Returns a new :class:`EBSDDetector` with the optimized PC
-        (average over patterns unless ``batch=True``).
+        Parameters
+        ----------
+        pc0
+            Initial PC guess (default: the detector's average PC).
+        indexer
+            A configured :class:`~kikuchipy_tpu.indexing.hough.
+            HoughIndexer` (e.g. from ``detector.get_indexer``); its
+            phase list and Hough parameters are used when given.
+        method
+            "Nelder-Mead" (default, SciPy) or "PSO" (particle swarm) —
+            the reference's two supported optimizers (``ebsd.py:63-68``
+            of the method body).
+        batch
+            Reserved for per-pattern PCs (the reference returns one PC
+            per pattern with ``batch=True``); only ``False`` is
+            supported.
+
+        Returns a new :class:`EBSDDetector` with the optimized PC.
         """
         import dataclasses
 
@@ -250,9 +280,29 @@ class EBSD:
 
         from kikuchipy_tpu.indexing import hough as _hough
 
+        if batch:
+            raise NotImplementedError(
+                "batch=True (per-pattern PC optimization) is not supported; "
+                "optimize the average PC, then EBSDDetector.fit_pc / "
+                "extrapolate_pc interpolates per-point PCs"
+            )
+        supported = ("nelder-mead", "pso")
+        method = method.lower()
+        if method not in supported:
+            raise ValueError(
+                f"`method` '{method}' must be one of the supported methods "
+                f"{list(supported)}"
+            )
         det0 = self.detector
+        if indexer is not None:
+            if phase_list is None:
+                phase_list = getattr(indexer, "phase_list", None)
+            for key, value in getattr(indexer, "kwargs", {}).items():
+                hough_kwargs.setdefault(key, value)
+            det0 = getattr(indexer, "detector", None) or det0
         if pc0 is None:
             pc0 = det0.pc_average
+        pc0 = np.asarray(pc0, dtype=float)
 
         def misfit(pc):
             det = dataclasses.replace(det0, pc=np.asarray(pc))
@@ -264,14 +314,48 @@ class EBSD:
             return float(np.nanmean(fit) - 0.5 * nb.mean())
 
         tr = np.asarray(trust_region, dtype=float)
-        res = minimize(
-            misfit,
-            np.asarray(pc0, dtype=float),
-            method="Nelder-Mead",
-            bounds=list(zip(pc0 - tr, pc0 + tr)),
-            options={"maxiter": max_iters, "xatol": 1e-4, "fatol": 1e-4},
-        )
-        return dataclasses.replace(det0, pc=res.x)
+        lo, hi = pc0 - tr, pc0 + tr
+        if method == "nelder-mead":
+            res = minimize(
+                misfit,
+                pc0,
+                method="Nelder-Mead",
+                bounds=list(zip(lo, hi)),
+                options={"maxiter": max_iters, "xatol": 1e-4, "fatol": 1e-4},
+            )
+            best = res.x
+        else:
+            # Particle swarm (the reference delegates to pyebsdindex's
+            # PSOOpt): global-best PSO with standard inertia/cognitive/
+            # social coefficients, deterministic seed.
+            rng = np.random.default_rng(0)
+            n_particles = 12
+            pos = rng.uniform(lo, hi, size=(n_particles, 3))
+            pos[0] = pc0
+            vel = rng.uniform(-tr, tr, size=(n_particles, 3)) * 0.1
+            pbest = pos.copy()
+            pbest_val = np.array([misfit(p) for p in pos])
+            g = int(np.argmin(pbest_val))
+            gbest, gbest_val = pbest[g].copy(), pbest_val[g]
+            w, c1, c2 = 0.6, 1.5, 1.5
+            for _ in range(max(1, max_iters // n_particles)):
+                r1 = rng.random((n_particles, 3))
+                r2 = rng.random((n_particles, 3))
+                vel = (
+                    w * vel
+                    + c1 * r1 * (pbest - pos)
+                    + c2 * r2 * (gbest - pos)
+                )
+                pos = np.clip(pos + vel, lo, hi)
+                vals = np.array([misfit(p) for p in pos])
+                improved = vals < pbest_val
+                pbest[improved] = pos[improved]
+                pbest_val[improved] = vals[improved]
+                g = int(np.argmin(pbest_val))
+                if pbest_val[g] < gbest_val:
+                    gbest, gbest_val = pbest[g].copy(), pbest_val[g]
+            best = gbest
+        return dataclasses.replace(det0, pc=best)
 
     def get_neighbour_dot_product_matrices(self, window=None, **kwargs):
         """Dot-product matrices with window neighbours (reference
@@ -286,18 +370,25 @@ class EBSD:
 
         return average_dot_product_map(self.data, window=window, **kwargs)
 
-    def get_virtual_bse_intensity(self, roi) -> np.ndarray:
+    def get_virtual_bse_intensity(self, roi, out_signal_axes=None) -> np.ndarray:
         """Sum pattern intensities inside a detector ROI
-        ``(row0, row1, col0, col1)`` (reference ``ebsd.py:1555``)."""
+        ``(row0, row1, col0, col1)`` (reference ``ebsd.py:1555``).
+        ``out_signal_axes`` selects HyperSpy output axes in the
+        reference and is accepted for compatibility (the returned map
+        always spans the navigation grid here)."""
         from kikuchipy_tpu.imaging.vbse import VirtualBSEImager
 
+        del out_signal_axes
         return VirtualBSEImager(self).get_virtual_bse_intensity(roi)
 
-    def plot_virtual_bse_intensity(self, roi, ax=None, **imshow_kwargs):
+    def plot_virtual_bse_intensity(
+        self, roi, out_signal_axes=None, ax=None, **imshow_kwargs
+    ):
         """Plot the virtual BSE image for a detector ROI
         ``(row0, row1, col0, col1)`` (static counterpart of the
         reference's interactive ``plot_virtual_bse_intensity``,
         ``ebsd.py:1496``). Returns the matplotlib axes."""
+        del out_signal_axes
         import matplotlib.pyplot as plt
 
         img = self.get_virtual_bse_intensity(roi)
@@ -338,15 +429,24 @@ class EBSD:
                 self.detector, px_size=float(delta)
             )
 
-    def get_decomposition_model(self, components: int = 10) -> "EBSD":
-        """Reconstruct the scan from its first ``components`` principal
-        components (reference ``EBSD.get_decomposition_model``,
-        ``ebsd.py:2665``): a denoising PCA model of the patterns."""
+    def get_decomposition_model(
+        self, components: int | list[int] | None = 10, dtype_out=None
+    ) -> "EBSD":
+        """Reconstruct the scan from principal components (reference
+        ``EBSD.get_decomposition_model``, ``ebsd.py:2665``): a denoising
+        PCA model of the patterns.
+
+        ``components`` may be an int (keep the first n), a list of
+        component indices, or None (all). ``dtype_out`` is the model's
+        data type; the default (None) rescales back to the storage
+        dtype (pass ``"float32"`` for the reference's default raw
+        float reconstruction).
+        """
         from kikuchipy_tpu.ops.decomposition import pca_reconstruct
 
-        data = pca_reconstruct(
-            self.data, components, dtype_out=np.asarray(self.data).dtype
-        )
+        if dtype_out is None:
+            dtype_out = np.asarray(self.data).dtype
+        data = pca_reconstruct(self.data, components, dtype_out=dtype_out)
         return self._replace_data(data)
 
     def get_decomposition_model_write(

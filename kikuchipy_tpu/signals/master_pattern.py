@@ -151,7 +151,7 @@ class KikuchiMasterPattern:
             sel = np.concatenate([sel, sel], axis=0)
         return sel
 
-    def as_lambert(self) -> "KikuchiMasterPattern":
+    def as_lambert(self, show_progressbar=None) -> "KikuchiMasterPattern":
         """Re-project a stereographic master pattern onto the square
         Lambert grid (reference ``KikuchiMasterPattern.as_lambert``,
         ``signals/_kikuchi_master_pattern.py:135``): each Lambert grid
@@ -161,6 +161,7 @@ class KikuchiMasterPattern:
 
         from kikuchipy_tpu.geometry.lambert import lambert_to_vector
 
+        del show_progressbar  # reference compatibility; op is one program
         if self.projection == "lambert":
             return self
         data = np.asarray(self.data, dtype=np.float64)
@@ -278,6 +279,7 @@ class EBSDMasterPattern(KikuchiMasterPattern):
         chunk_size: int = 1024,
         signal_mask: np.ndarray | None = None,
         compute: bool = True,
+        show_progressbar=None,
     ) -> EBSD:
         """Project simulated patterns for ``rotations`` onto
         ``detector`` (reference ``signals/ebsd_master_pattern.py:97-329``).

@@ -272,6 +272,136 @@ class KikuchiPatternSimulator:
             phase=self.phase,
         )
 
+    def plot(
+        self,
+        projection: str | None = "stereographic",
+        mode: str | None = "lines",
+        hemisphere: str | None = "upper",
+        scaling: str | None = "linear",
+        figure=None,
+        return_figure: bool = False,
+        backend: str = "matplotlib",
+        show_plotter: bool = True,
+        color: str = "k",
+        **kwargs,
+    ):
+        """Plot reflectors as Kikuchi lines or bands in the
+        stereographic or spherical projection (reference
+        ``KikuchiPatternSimulator.plot``,
+        ``simulations/kikuchi_pattern_simulator.py:382``; matplotlib
+        only — ``backend="pyvista"`` is not available here).
+
+        Parameters
+        ----------
+        projection
+            "stereographic" (default) or "spherical".
+        mode
+            "lines" (default; band-center great circles) or "bands"
+            (both band edges at +-theta_Bragg; requires
+            ``reflectors.calculate_theta`` first).
+        hemisphere
+            "upper" (default), "lower" or "both" (stereographic only).
+        scaling
+            "linear" (|F|), "square" (|F|^2) or None — sets per-line
+            alpha, brightest = strongest reflector.
+        color
+            Matplotlib color, or "phase" to use the phase color.
+        """
+        import matplotlib.pyplot as plt
+
+        if backend == "pyvista":
+            raise ImportError(
+                "The pyvista backend is not available in kikuchipy_tpu; "
+                "use backend='matplotlib'"
+            )
+        del show_plotter
+        ref = self._reflectors
+        if mode not in ("lines", "bands"):
+            raise ValueError("Unknown `mode`, options are ['lines', 'bands']")
+        if mode == "bands" and ref.theta is None:
+            raise ValueError(
+                "Requires that reflectors have Bragg angles calculated with "
+                "`self.reflectors.calculate_theta()`."
+            )
+        intensity = self._intensities(scaling).astype(float)
+        alphas = intensity / intensity.max() if intensity.max() > 0 else intensity
+
+        if color == "phase":
+            color = getattr(self.phase, "color_rgb", None) or "tab:blue"
+
+        normals = ref.unit
+        t = np.linspace(0.0, 2.0 * np.pi, 361)
+
+        def circles(n_vec, offset_angle):
+            """Points of the circle at ``pi/2 - offset_angle`` from the
+            normal ``n_vec`` — the band center for offset 0, the band
+            edges for +-theta_Bragg."""
+            helper = np.array([0.0, 0.0, 1.0])
+            if abs(n_vec[2]) > 0.9:
+                helper = np.array([1.0, 0.0, 0.0])
+            e1 = np.cross(n_vec, helper)
+            e1 /= np.linalg.norm(e1)
+            e2 = np.cross(n_vec, e1)
+            ring = np.cos(t)[:, None] * e1 + np.sin(t)[:, None] * e2
+            return np.sin(offset_angle) * n_vec + np.cos(offset_angle) * ring
+
+        offsets_per_reflector = (
+            [(0.0,)] * ref.size
+            if mode == "lines"
+            else [(-th, th) for th in np.atleast_1d(ref.theta)]
+        )
+
+        fig = figure
+        if projection == "stereographic":
+            hemis = {"upper": ["upper"], "lower": ["lower"], "both": ["upper", "lower"]}.get(hemisphere)
+            if hemis is None:
+                raise ValueError(
+                    "hemisphere must be 'upper', 'lower' or 'both', got "
+                    f"{hemisphere!r}"
+                )
+            if fig is None:
+                fig, _ = plt.subplots(ncols=len(hemis), figsize=(5 * len(hemis), 5))
+            axes = np.atleast_1d(fig.axes)
+            for ax, hemi in zip(axes, hemis):
+                sign = 1.0 if hemi == "upper" else -1.0
+                for n_vec, offs, alpha in zip(normals, offsets_per_reflector, alphas):
+                    for off in offs:
+                        p = circles(n_vec, off)
+                        vis = sign * p[:, 2] >= -1e-12
+                        denom = 1.0 + np.abs(p[:, 2])
+                        x = np.where(vis, p[:, 0] / denom, np.nan)
+                        y = np.where(vis, p[:, 1] / denom, np.nan)
+                        ax.plot(x, y, color=color, alpha=max(alpha, 0.05), **kwargs)
+                ax.add_patch(plt.Circle((0, 0), 1.0, fill=False, color="k"))
+                ax.set_xlim(-1.05, 1.05)
+                ax.set_ylim(-1.05, 1.05)
+                ax.set_aspect("equal")
+                ax.set_axis_off()
+                ax.set_title(hemi)
+        elif projection == "spherical":
+            if fig is None:
+                fig = plt.figure()
+            ax = fig.add_subplot(projection="3d") if not fig.axes else fig.axes[0]
+            for n_vec, offs, alpha in zip(normals, offsets_per_reflector, alphas):
+                for off in offs:
+                    p = circles(n_vec, off)
+                    ax.plot(p[:, 0], p[:, 1], p[:, 2], color=color,
+                            alpha=max(alpha, 0.05), **kwargs)
+            u, v = np.mgrid[0 : 2 * np.pi : 40j, 0 : np.pi : 20j]
+            ax.plot_wireframe(
+                np.cos(u) * np.sin(v), np.sin(u) * np.sin(v), np.cos(v),
+                color="0.8", linewidth=0.3,
+            )
+            ax.set_box_aspect((1, 1, 1))
+            ax.set_axis_off()
+        else:
+            raise ValueError(
+                "projection must be 'stereographic' or 'spherical', got "
+                f"{projection!r}"
+            )
+        if return_figure:
+            return fig
+
     def __repr__(self) -> str:
         return (
             f"KikuchiPatternSimulator(n_reflectors={self._reflectors.size}, "

@@ -4,6 +4,7 @@ import matplotlib
 
 matplotlib.use("Agg")
 
+import matplotlib.pyplot as plt
 import numpy as np
 import pytest
 
@@ -148,3 +149,85 @@ class TestSpherePlot:
         )
         with pytest.raises(ValueError, match="hemispheres"):
             mp2.plot_spherical()
+
+
+class TestParityPlotUpgrades:
+    """Round-1 late additions: reference kwargs on plotting methods."""
+
+    def test_window_plot_options(self):
+        from kikuchipy_tpu.filters import Window
+
+        w = Window("gaussian", shape=(5, 5), std=1.0)
+        fig = w.plot(
+            grid=True, show_values=False, cmap="magma",
+            cmap_label="Coefficient", colorbar=True, return_figure=True,
+        )
+        plt.close(fig)
+        ax = w.plot(colorbar=False, show_values=True)
+        plt.close(ax.figure)
+
+    def test_vbse_plot_grid_visible_indices(self, dummy_patterns):
+        import kikuchipy_tpu as kp
+        from kikuchipy_tpu.imaging import VirtualBSEImager
+
+        imager = VirtualBSEImager(kp.signals.EBSD(dummy_patterns))
+        imager.grid_shape = (3, 3)
+        fig = imager.plot_grid(visible_indices=True, return_figure=True)
+        texts = [t for ax in fig.axes for t in ax.texts]
+        assert len(texts) == 9
+        plt.close(fig)
+        fig = imager.plot_grid(visible_indices=False, return_figure=True)
+        assert not [t for ax in fig.axes for t in ax.texts]
+        plt.close(fig)
+
+    def test_simulator_plot_stereographic_and_spherical(self):
+        from kikuchipy_tpu.crystallography.reciprocal import (
+            Lattice,
+            ReciprocalLatticeVectors,
+        )
+        from kikuchipy_tpu.simulations import KikuchiPatternSimulator
+
+        lat = Lattice(3.52, 3.52, 3.52, 90, 90, 90)
+        ref = ReciprocalLatticeVectors.from_min_dspacing(lat, 1.0)
+        ref.calculate_structure_factor([("Ni", 0, 0, 0)], space_group=225)
+        ref = ref.allowed()
+        ref.calculate_theta(20.0)
+        sim = KikuchiPatternSimulator(ref)
+
+        fig = sim.plot(return_figure=True)
+        assert len(fig.axes) >= 1
+        plt.close(fig)
+        fig = sim.plot(hemisphere="both", mode="bands", return_figure=True)
+        assert len(fig.axes) == 2
+        plt.close(fig)
+        fig = sim.plot(projection="spherical", scaling=None, return_figure=True)
+        plt.close(fig)
+        with pytest.raises(ValueError, match="mode"):
+            sim.plot(mode="dots")
+        with pytest.raises(ImportError, match="pyvista"):
+            sim.plot(projection="spherical", backend="pyvista")
+        with pytest.raises(ValueError, match="hemisphere"):
+            sim.plot(hemisphere="north")
+
+    def test_calibration_plot_kwargs(self):
+        from kikuchipy_tpu.detectors import PCCalibrationMovingScreen
+
+        rng = np.random.default_rng(0)
+        p_in = rng.random((60, 60)).astype(np.float32)
+        p_out = rng.random((60, 60)).astype(np.float32)
+        cal = PCCalibrationMovingScreen(
+            pattern_in=p_in,
+            pattern_out=p_out,
+            points_in=[(10, 10), (50, 10), (30, 50)],
+            points_out=[(5, 5), (55, 5), (30, 57)],
+            delta_z=1.0,
+            px_size=1.0,
+        )
+        fig = cal.plot(
+            pattern_kwargs={"cmap": "magma"},
+            line_kwargs={"color": "c"},
+            scatter_kwargs={"c": "b"},
+            pc_kwargs={"c": "g"},
+            return_figure=True,
+        )
+        plt.close(fig)

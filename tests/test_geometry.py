@@ -310,3 +310,148 @@ class TestDetectorExtrapolatePC:
         det = self._det0()
         det.plot_side_view()
         det.plot_top_view()
+
+
+class TestFitPCReferenceMode:
+    """EBSDDetector.fit_pc / estimate_xtilt with the reference's full
+    signatures (reference ``_ebsd_detector.py:1427,1045``)."""
+
+    def _planar_detector(self, noise=0.0, outliers=()):
+        # PCs on a plane over a 4x5 map, reference-like magnitudes.
+        ny, nx = 4, 5
+        yy, xx = np.indices((ny, nx)).astype(float)
+        pcx = 0.50 + 0.004 * xx
+        pcy = 0.30 + 0.006 * yy
+        pcz = 0.55 - 0.003 * yy
+        pc = np.stack([pcx, pcy, pcz], axis=-1)
+        if noise:
+            rng = np.random.default_rng(7)
+            pc += rng.normal(scale=noise, size=pc.shape)
+        for (r, c) in outliers:
+            pc[r, c] += np.array([0.05, -0.08, 0.06])
+        return EBSDDetector(shape=(60, 60), pc=pc, sample_tilt=70.0)
+
+    def test_fit_pc_projective_interpolates(self):
+        det = self._planar_detector()
+        ny, nx = 4, 5
+        idx = np.stack(np.indices((ny, nx)).astype(float))
+        new = det.fit_pc(idx, idx, transformation="projective")
+        assert new.navigation_shape == (ny, nx)
+        np.testing.assert_allclose(new.pc, det.pc, atol=5e-4)
+
+    def test_fit_pc_affine_extrapolates_to_larger_map(self):
+        det = self._planar_detector()
+        idx = np.stack(np.indices((4, 5)).astype(float))
+        big = np.stack(np.indices((8, 10)).astype(float))
+        new = det.fit_pc(idx, big, transformation="affine")
+        assert new.navigation_shape == (8, 10)
+        # The fitted plane extends the per-axis gradients.
+        np.testing.assert_allclose(new.pc[:4, :5], det.pc, atol=1e-6)
+        assert new.pc[7, 0, 1] > det.pc[3, 0, 1]
+        # Sample tilt re-estimated from the plane: near the original.
+        assert abs(new.sample_tilt - 70.0) < 15
+
+    def test_fit_pc_outlier_exclusion(self):
+        det = self._planar_detector(outliers=[(1, 2)])
+        clean = self._planar_detector()
+        idx = np.stack(np.indices((4, 5)).astype(float))
+        is_outlier = np.zeros((4, 5), dtype=bool)
+        is_outlier[1, 2] = True
+        new = det.fit_pc(
+            idx, idx, transformation="affine", is_outlier=is_outlier
+        )
+        np.testing.assert_allclose(new.pc, clean.pc, atol=1e-6)
+
+    def test_fit_pc_validation(self):
+        det = self._planar_detector()
+        idx = np.stack(np.indices((4, 5)).astype(float))
+        with pytest.raises(ValueError, match="pc_indices"):
+            det.fit_pc(idx[:, :2], idx)
+        with pytest.raises(ValueError, match="map_indices"):
+            det.fit_pc(idx, idx[0])
+        with pytest.raises(ValueError, match="is_outlier"):
+            det.fit_pc(idx, idx, is_outlier=np.zeros(3, dtype=bool))
+        one_pc = EBSDDetector(shape=(60, 60), pc=(0.5, 0.3, 0.5))
+        with pytest.raises(ValueError, match="multiple"):
+            one_pc.fit_pc(idx, idx)
+
+    def test_fit_pc_legacy_method_mode(self):
+        det = self._planar_detector(noise=1e-4)
+        new = det.fit_pc(method="plane")
+        assert new.navigation_shape == det.navigation_shape
+        resid = np.abs(new.pc - self._planar_detector().pc).max()
+        assert resid < 1e-3
+
+    def test_fit_pc_return_figure(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        det = self._planar_detector()
+        idx = np.stack(np.indices((4, 5)).astype(float))
+        out = det.fit_pc(idx, idx, plot=True, return_figure=True)
+        assert isinstance(out, tuple) and len(out) == 2
+        import matplotlib.pyplot as plt
+
+        plt.close(out[1])
+
+    def test_estimate_xtilt_robust_flags_outliers(self):
+        det = self._planar_detector(noise=2e-4, outliers=[(2, 3)])
+        tilt, outliers = det.estimate_xtilt(
+            detect_outliers=True, return_outliers=True
+        )
+        flat_out = np.nonzero(outliers)[0]
+        assert 2 * 5 + 3 in flat_out
+        # Reference convention: x_tilt = pi/2 + atan(dPCy/dPCz); with
+        # dPCy/dPCz = 0.006 / -0.003 = -2 the angle is ~26.6 deg.
+        assert abs(tilt - np.rad2deg(np.pi / 2 + np.arctan(-2.0))) < 3.0
+
+    def test_estimate_xtilt_plot(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        det = self._planar_detector()
+        out = det.estimate_xtilt(
+            detect_outliers=True, plot=True, return_figure=True
+        )
+        import matplotlib.pyplot as plt
+
+        assert isinstance(out, tuple)
+        plt.close(out[-1])
+
+
+class TestPlotPCModes:
+    def _det(self):
+        pc = np.random.default_rng(0).uniform(0.4, 0.6, size=(3, 4, 3))
+        return EBSDDetector(shape=(60, 60), pc=pc)
+
+    def test_modes(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        det = self._det()
+        for mode in ("map", "scatter", "3d"):
+            fig = det.plot_pc(mode=mode, return_figure=True, annotate=True)
+            plt.close(fig)
+        with pytest.raises(ValueError, match="mode"):
+            det.plot_pc(mode="nope")
+        with pytest.raises(ValueError, match="orientation"):
+            det.plot_pc(mode="scatter", orientation="diagonal")
+
+    def test_pos_alias_and_load_fname(self, tmp_path):
+        det = self._det()
+        coords = np.array([[10.0, 20.0]])
+        np.testing.assert_allclose(
+            det.to_gnomonic_coords(coords, detector_index=(0, 0)),
+            det.to_gnomonic_coords(pos=coords, detector_index=(0, 0)),
+        )
+        np.testing.assert_allclose(
+            det.to_pixel_coords(coords, detector_index=(0, 0)),
+            det.to_pixel_coords(pos=coords, detector_index=(0, 0)),
+        )
+        path = tmp_path / "det.txt"
+        det.save(path)
+        d1 = EBSDDetector.load(path)
+        d2 = EBSDDetector.load(fname=path)
+        np.testing.assert_allclose(d1.pc, d2.pc)

@@ -380,3 +380,48 @@ class TestReferenceShims:
         assert len(markers) == 2
         assert isinstance(markers[0][0], LineCollection)
         assert "x" in markers[0][1]
+
+
+class TestDecompositionModelOptions:
+    """Reference kwargs on get_decomposition_model (ref ebsd.py:2665)."""
+
+    def test_components_list_and_none(self, dummy_patterns):
+        from kikuchipy_tpu.signals.ebsd import EBSD
+
+        s = EBSD(data=dummy_patterns)
+        m_all = s.get_decomposition_model(components=None)
+        # All components reconstruct the (float32-cast) data up to SVD
+        # round-off; after rescale to uint8 that is the original
+        # pattern to within one gray level at rounding boundaries.
+        a = np.asarray(m_all.data).astype(int)
+        b = np.asarray(s.rescale_intensity(dtype_out=np.uint8).data).astype(int)
+        assert np.abs(a - b).max() <= 1
+        m_list = s.get_decomposition_model(components=[0, 2])
+        m_int = s.get_decomposition_model(components=3)
+        assert np.asarray(m_list.data).shape == dummy_patterns.shape
+        assert not np.array_equal(
+            np.asarray(m_list.data), np.asarray(m_int.data)
+        )
+
+    def test_dtype_out(self, dummy_patterns):
+        from kikuchipy_tpu.signals.ebsd import EBSD
+
+        s = EBSD(data=dummy_patterns)
+        m = s.get_decomposition_model(components=2, dtype_out="float32")
+        assert np.asarray(m.data).dtype == np.float32
+
+
+class TestOptimizePCMethodArg:
+    def test_unknown_method_raises(self, dummy_patterns):
+        from kikuchipy_tpu.signals.ebsd import EBSD
+
+        s = EBSD(data=dummy_patterns)
+        with pytest.raises(ValueError, match="must be one of"):
+            s.hough_indexing_optimize_pc(method="simplex")
+
+    def test_batch_not_supported(self, dummy_patterns):
+        from kikuchipy_tpu.signals.ebsd import EBSD
+
+        s = EBSD(data=dummy_patterns)
+        with pytest.raises(NotImplementedError, match="batch"):
+            s.hough_indexing_optimize_pc(batch=True)

@@ -258,3 +258,91 @@ class TestVBSE:
             r=(0, 0), g=(1, 1), b=(2, 2), percentiles=(1, 99)
         )
         assert rgb.dtype == np.uint8
+
+
+class TestOSMCenterIndex:
+    def test_center_index_selects_footprint_center(self):
+        # 3x1 vertical footprint: truthy cells (0,1),(1,1),(2,1) of a
+        # 3x3 array; center_index=1 is the geometric center.
+        sim = np.tile(np.arange(5), (9, 1))
+        xmap = CrystalMap(
+            rotations=super_fibonacci(9),
+            shape=(3, 3),
+            prop={"simulation_indices": sim, "scores": np.ones((9, 5))},
+        )
+        fp = np.array([[0, 1, 0], [0, 1, 0], [0, 1, 0]], dtype=bool)
+        osm = orientation_similarity_map(xmap, footprint=fp, center_index=1)
+        np.testing.assert_allclose(osm, 5.0)
+
+    def test_center_index_out_of_range(self):
+        sim = np.tile(np.arange(5), (9, 1))
+        xmap = CrystalMap(
+            rotations=super_fibonacci(9),
+            shape=(3, 3),
+            prop={"simulation_indices": sim, "scores": np.ones((9, 5))},
+        )
+        with pytest.raises(ValueError, match="center_index"):
+            orientation_similarity_map(xmap, center_index=9)
+
+
+class TestMergeNavigationMasks:
+    def _make_map(self, scores, name, sim_offset=0):
+        n, k = scores.shape
+        return CrystalMap(
+            rotations=super_fibonacci(n * k).reshape(n, k, 4),
+            shape=(n,),
+            prop={
+                "scores": scores,
+                "simulation_indices": np.arange(n * k).reshape(n, k)
+                + sim_offset,
+            },
+            phases=PhaseList(Phase(name, space_group=225)),
+        )
+
+    def test_disjoint_masks(self):
+        # Map a covers points 0,1 of a 4-point grid; map b covers 2,3.
+        m_a = self._make_map(np.array([[0.9, 0.8], [0.7, 0.6]]), "a")
+        m_b = self._make_map(np.array([[0.5, 0.4], [0.3, 0.2]]), "b")
+        mask_a = np.array([False, False, True, True])
+        mask_b = np.array([True, True, False, False])
+        merged = merge_crystal_maps(
+            [m_a, m_b], navigation_masks=[mask_a, mask_b]
+        )
+        np.testing.assert_array_equal(merged.phase_id, [0, 0, 1, 1])
+        np.testing.assert_allclose(
+            merged.prop["scores"][:, 0], [0.9, 0.7, 0.5, 0.3]
+        )
+
+    def test_overlapping_masks_pick_better(self):
+        # Both maps cover the middle two points; b wins the third point.
+        m_a = self._make_map(np.array([[0.9, 0.8], [0.2, 0.1], [0.5, 0.4]]), "a")
+        m_b = self._make_map(np.array([[0.7, 0.6], [0.6, 0.5]]), "b")
+        mask_a = np.array([False, False, False, True])
+        mask_b = np.array([True, False, False, True])
+        merged = merge_crystal_maps(
+            [m_a, m_b], navigation_masks=[mask_a, mask_b]
+        )
+        # point 0: only a; point 1: a 0.2 vs b 0.7 -> b; point 2:
+        # a 0.5 vs b 0.6 -> b; point 3: neither -> -1.
+        np.testing.assert_array_equal(merged.phase_id, [0, 1, 1, -1])
+        assert np.isnan(merged.prop["scores"][3]).all()
+
+    def test_mask_count_mismatch(self):
+        m_a = self._make_map(np.ones((2, 2)), "a")
+        m_b = self._make_map(np.ones((2, 2)), "b")
+        with pytest.raises(ValueError, match="navigation mask"):
+            merge_crystal_maps(
+                [m_a, m_b],
+                navigation_masks=[np.array([False, True, True]), None],
+            )
+
+    def test_lower_is_better_via_negative_mean_n_best(self):
+        m_a = self._make_map(np.array([[0.1, 0.2]]), "a")
+        m_b = self._make_map(np.array([[0.3, 0.4]]), "b")
+        merged = merge_crystal_maps([m_a, m_b], mean_n_best=-1)
+        assert merged.phase_id[0] == 0
+        # Explicit greater_is_better=False equals the sign convention.
+        merged2 = merge_crystal_maps(
+            [m_a, m_b], mean_n_best=1, greater_is_better=False
+        )
+        assert merged2.phase_id[0] == 0

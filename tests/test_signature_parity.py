@@ -1,0 +1,156 @@
+"""Signature-level parity with the reference public API.
+
+AST-parses the reference sources (they cannot be imported here —
+hyperspy/numba are absent) and asserts that every public
+method/function parameter of the audited classes exists in our
+signatures, modulo an explicit allowlist of documented design
+deviations (no ``inplace``/``lazy_output`` — the API is functional;
+batched ``patterns`` arrays instead of per-``pattern`` kernels).
+"""
+
+from __future__ import annotations
+
+import ast
+import inspect
+from pathlib import Path
+
+import pytest
+
+import kikuchipy_tpu as kp
+
+REF = Path("/root/reference/src/kikuchipy")
+
+# Parameters that are deliberately absent, with the reason documented in
+# doc/migration_from_kikuchipy.md.
+ALLOWED_MISSING = {
+    "inplace",  # functional API: ops return new signals
+    "lazy_output",  # no lazy/eager split; jit + streaming instead
+    "pattern",  # kernels are batched: `patterns`
+    "fft_pattern",  # same, `fft_patterns`
+    "dtype_range",  # rescale uses in_range/out_range pair naming
+    "n_jobs",  # no joblib threading layer
+    "num_workers",
+    "navigation_mask_kwargs",
+}
+
+# Methods that are HyperSpy-runtime plumbing with no analogue here.
+ALLOWED_MISSING_METHODS = {
+    "EBSD.decomposition",  # use ops.decomposition.pca / get_decomposition_model
+    "EBSD.compute",  # no lazy signals
+    "EBSD.rechunk",
+    "EBSD.as_lazy",
+    "KikuchipySignal2D.as_lazy",
+}
+
+
+def _ref_signatures(path: Path) -> dict[str, list[str]]:
+    tree = ast.parse(path.read_text())
+    out: dict[str, list[str]] = {}
+
+    def grab(fn, prefix=""):
+        a = fn.args
+        names = [x.arg for x in a.posonlyargs + a.args if x.arg not in ("self", "cls")]
+        names += [x.arg for x in a.kwonlyargs]
+        # Overloaded stubs repeat the name; the implementation comes
+        # last, so later entries overwrite earlier ones.
+        out[prefix + fn.name] = names
+
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef):
+            grab(node)
+        elif isinstance(node, ast.ClassDef):
+            for sub in node.body:
+                if isinstance(sub, ast.FunctionDef):
+                    grab(sub, node.name + ".")
+    return out
+
+
+CLASS_CHECKS = [
+    (REF / "signals/ebsd.py", "EBSD", kp.signals.EBSD),
+    (REF / "signals/_kikuchipy_signal.py", "KikuchipySignal2D", kp.signals.EBSD),
+    (
+        REF / "signals/ebsd_master_pattern.py",
+        "EBSDMasterPattern",
+        kp.signals.EBSDMasterPattern,
+    ),
+    (
+        REF / "signals/virtual_bse_image.py",
+        "VirtualBSEImage",
+        kp.signals.VirtualBSEImage,
+    ),
+    (REF / "detectors/_ebsd_detector.py", "EBSDDetector", kp.detectors.EBSDDetector),
+    (
+        REF / "detectors/_calibration.py",
+        "PCCalibrationMovingScreen",
+        kp.detectors.PCCalibrationMovingScreen,
+    ),
+    (REF / "imaging/vbse.py", "VirtualBSEImager", kp.imaging.VirtualBSEImager),
+    (REF / "filters/window.py", "Window", kp.filters.Window),
+    (
+        REF / "simulations/kikuchi_pattern_simulator.py",
+        "KikuchiPatternSimulator",
+        kp.simulations.KikuchiPatternSimulator,
+    ),
+]
+
+FUNCTION_CHECKS = [
+    (REF / "indexing/_merge_crystal_maps.py", "merge_crystal_maps", kp.indexing),
+    (
+        REF / "indexing/_orientation_similarity_map.py",
+        "orientation_similarity_map",
+        kp.indexing,
+    ),
+]
+
+
+def _check_params(name: str, ref_args: list[str], obj) -> list[str]:
+    try:
+        params = list(inspect.signature(obj).parameters)
+    except (TypeError, ValueError):
+        return []
+    if "kwargs" in params:
+        return []
+    return [
+        a
+        for a in ref_args
+        if a not in params and a not in ALLOWED_MISSING
+    ]
+
+
+@pytest.mark.parametrize(
+    "path,clsname,ours", CLASS_CHECKS, ids=[c[1] for c in CLASS_CHECKS]
+)
+def test_class_method_signatures(path, clsname, ours):
+    sigs = _ref_signatures(path)
+    problems = []
+    for name, args in sorted(sigs.items()):
+        if not name.startswith(clsname + "."):
+            continue
+        meth = name.split(".", 1)[1]
+        if meth.startswith("_"):
+            continue
+        if name in ALLOWED_MISSING_METHODS:
+            continue
+        m = getattr(ours, meth, None)
+        if m is None:
+            # Dataclass fields/instance attributes (detector, xmap, ...)
+            # only exist on instances; accept them if declared.
+            fields = getattr(ours, "__dataclass_fields__", {})
+            if meth in fields or meth in getattr(ours, "__init__").__code__.co_varnames:
+                continue
+            problems.append(f"missing method {clsname}.{meth} (ref args {args})")
+            continue
+        missing = _check_params(name, args, m)
+        if missing:
+            problems.append(f"{clsname}.{meth} lacks parameters {missing}")
+    assert not problems, "\n".join(problems)
+
+
+@pytest.mark.parametrize(
+    "path,fname,mod", FUNCTION_CHECKS, ids=[c[1] for c in FUNCTION_CHECKS]
+)
+def test_function_signatures(path, fname, mod):
+    sigs = _ref_signatures(path)
+    fn = getattr(mod, fname)
+    missing = _check_params(fname, sigs[fname], fn)
+    assert not missing, f"{fname} lacks parameters {missing}"
