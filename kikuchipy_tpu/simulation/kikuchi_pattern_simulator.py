@@ -474,12 +474,16 @@ class GeometricalKikuchiPatternSimulation:
         return markers
 
     def _gnomonic_to_pixel(self, x_g, y_g, nav_index):
+        """Gnomonic -> pixel with the detector's (n-1)-denominator
+        scales, matching the reference's conversion
+        (``_convert_detector_coordinates.py:218-226`` via
+        ``x_scale = (x_max - x_min) / (ncols - 1)``)."""
         det = self.detector
-        pc = det.pc.reshape(-1, 3)
-        i = 0 if pc.shape[0] == 1 else nav_index
-        pcx, pcy, pcz = pc[i]
-        x_px = x_g * pcz * det.nrows + pcx * det.ncols
-        y_px = -y_g * pcz * det.nrows + pcy * det.nrows
+        i = 0 if det.navigation_size == 1 else nav_index
+        x_min = np.ravel(det.x_min)[i]
+        y_max = np.ravel(det.y_max)[i]
+        x_px = (x_g - x_min) / np.ravel(det.x_scale)[i]
+        y_px = (y_max - y_g) / np.ravel(det.y_scale)[i]
         return x_px, y_px
 
     def lines_coordinates(

@@ -190,3 +190,60 @@ class TestOnDetector:
         assert len(colls) == 2
         ax = geo.plot(0, pattern=np.zeros((60, 60)))
         assert ax is not None
+
+
+class TestGeometricalSimulationReferenceGoldens:
+    """Pixel-coordinate goldens from the reference's own test suite
+    (/root/reference/tests/test_simulations/
+    test_kikuchi_pattern_simulation.py:104-125): Al {200} Kikuchi lines
+    and <100> zone axis on a (60, 60) default detector at +-80 deg
+    rotations about Z."""
+
+    def _sim(self):
+        hkl = np.array(
+            [[2, 0, 0], [-2, 0, 0], [0, 2, 0], [0, -2, 0], [0, 0, 2],
+             [0, 0, -2]],
+            dtype=float,
+        )
+        lat = Lattice(4.05, 4.05, 4.05, 90, 90, 90)
+        ref = ReciprocalLatticeVectors(
+            hkl=hkl, lattice=lat, dspacing=lat.d_spacing(hkl)
+        )
+        ref.calculate_theta(20.0)
+        det = EBSDDetector(shape=(60, 60))
+        half = np.deg2rad(80) / 2
+        pair = np.array(
+            [
+                [np.cos(half), 0, 0, np.sin(half)],
+                [np.cos(half), 0, 0, -np.sin(half)],
+            ]
+        )
+        rot = np.stack([pair, pair])  # (2, 2, 4) like the reference's stack
+        return KikuchiPatternSimulator(ref).on_detector(det, rot)
+
+    def test_lines_coordinates_golden(self):
+        sim = self._sim()
+        lc = sim.lines_coordinates(0)
+        visible = lc[~np.isnan(lc).any(axis=1)]
+        assert np.allclose(
+            visible,
+            [[24.4, -11.9, 38.0, 70.3], [-12.1, 26.6, 67.2, 11.7]],
+            atol=0.1,
+        )
+        # Flat index 3 is the reference's (1, 1): the -80 deg rotation.
+        lc3 = sim.lines_coordinates(3)
+        visible3 = lc3[~np.isnan(lc3).any(axis=1)]
+        assert np.allclose(
+            visible3,
+            [[21.0, 70.3, 34.6, -11.9], [-8.2, 11.7, 71.1, 26.6]],
+            atol=0.1,
+        )
+
+    def test_zone_axes_coordinates_golden(self):
+        sim = self._sim()
+        za = sim.zone_axes_coordinates(0)
+        visible = za[~np.isnan(za).any(axis=1)]
+        assert np.allclose(visible, [[29.5, 18.76]], atol=0.01)
+        za3 = sim.zone_axes_coordinates(3)
+        visible3 = za3[~np.isnan(za3).any(axis=1)]
+        assert np.allclose(visible3, [[29.5, 18.76]], atol=0.01)
