@@ -89,6 +89,14 @@ class KikuchiMasterPattern:
             lambda d: adaptive_histogram_equalization(d, **kwargs)
         )
 
+    def change_dtype(self, dtype) -> "KikuchiMasterPattern":
+        """Return the master pattern with data cast to ``dtype`` (the
+        reference's in-place HyperSpy ``change_dtype``; here a new
+        signal is returned like all other operations)."""
+        return dataclasses.replace(
+            self, data=np.asarray(self.data).astype(np.dtype(dtype))
+        )
+
     def deepcopy(self) -> "KikuchiMasterPattern":
         import copy
 
