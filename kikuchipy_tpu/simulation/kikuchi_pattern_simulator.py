@@ -486,11 +486,29 @@ class GeometricalKikuchiPatternSimulation:
         y_px = (y_max - y_g) / np.ravel(det.y_scale)[i]
         return x_px, y_px
 
+    def _flat_index(self, index) -> int:
+        """Normalize a reference-style index (None, int, or navigation
+        tuple) to a flat navigation index."""
+        if index is None:
+            return 0
+        if isinstance(index, tuple):
+            nav = self.navigation_shape
+            return int(np.ravel_multi_index(index, nav)) if nav else 0
+        return int(index)
+
     def lines_coordinates(
-        self, index: int = 0, coordinates: str = "pixel"
+        self,
+        index=None,
+        coordinates: str = "pixel",
+        exclude_nan: bool = True,
     ) -> np.ndarray:
         """Band line segments ``(n_lines, 4)`` as ``(x0, y0, x1, y1)``
-        for one navigation point, NaN for bands not in this pattern."""
+        for one navigation point (reference
+        ``GeometricalKikuchiPatternSimulation.lines_coordinates``,
+        ``_kikuchi_pattern_simulation.py:391``). With
+        ``exclude_nan`` (reference default) bands not in this pattern
+        are dropped; otherwise they are NaN rows."""
+        index = self._flat_index(index)
         traces = self.lines.plane_trace_coordinates.reshape(
             -1, self.lines.plane_trace_coordinates.shape[-2], 4
         )[index].copy()
@@ -500,13 +518,20 @@ class GeometricalKikuchiPatternSimulation:
             x0, y0 = self._gnomonic_to_pixel(traces[:, 0], traces[:, 1], index)
             x1, y1 = self._gnomonic_to_pixel(traces[:, 2], traces[:, 3], index)
             traces = np.stack([x0, y0, x1, y1], axis=-1)
+        if exclude_nan:
+            traces = traces[~np.isnan(traces).any(axis=-1)]
         return traces
 
     def zone_axes_coordinates(
-        self, index: int = 0, coordinates: str = "pixel"
+        self,
+        index=None,
+        coordinates: str = "pixel",
+        exclude_nan: bool = True,
     ) -> np.ndarray:
-        """Zone-axis positions ``(n_axes, 2)`` for one navigation
-        point, NaN where not in this pattern."""
+        """Zone-axis positions ``(n_axes, 2)`` for one navigation point
+        (reference ``zone_axes_coordinates``,
+        ``_kikuchi_pattern_simulation.py:419``)."""
+        index = self._flat_index(index)
         xy = self.zone_axes.xy_within_r_gnomonic.reshape(
             -1, self.zone_axes.xy_within_r_gnomonic.shape[-2], 2
         )[index].copy()
@@ -515,42 +540,165 @@ class GeometricalKikuchiPatternSimulation:
         if coordinates == "pixel":
             x, y = self._gnomonic_to_pixel(xy[:, 0], xy[:, 1], index)
             xy = np.stack([x, y], axis=-1)
+        if exclude_nan:
+            xy = xy[~np.isnan(xy).any(axis=-1)]
         return xy
 
-    def as_collections(self, index: int = 0, zone_axes: bool = True):
-        """Matplotlib artists (LineCollection, and a scatter offsets
-        array) for overlaying on a pattern image."""
-        from matplotlib.collections import LineCollection
+    def _zone_axes_labels(self) -> list[str]:
+        uvw = np.round(np.asarray(self.zone_axes.uvw)).astype(int)
+        return ["".join(str(i) for i in row) for row in uvw]
 
-        traces = self.lines_coordinates(index)
-        segments = [
-            [(t[0], t[1]), (t[2], t[3])]
-            for t in traces
-            if not np.isnan(t).any()
-        ]
-        collections = [
-            LineCollection(segments, colors="r", linewidths=1, alpha=0.7)
-        ]
+    def as_collections(
+        self,
+        index=None,
+        coordinates: str = "pixel",
+        lines: bool = True,
+        zone_axes: bool = False,
+        zone_axes_labels: bool = False,
+        lines_kwargs: dict | None = None,
+        zone_axes_kwargs: dict | None = None,
+        zone_axes_labels_kwargs: dict | None = None,
+    ) -> list:
+        """Matplotlib artists for one simulation (reference
+        ``as_collections``, ``_kikuchi_pattern_simulation.py:124``):
+        a ``LineCollection`` of Kikuchi lines, a ``PathCollection`` of
+        zone-axis circles, and a list of zone-axis ``Text`` labels —
+        in that order, for the requested flags."""
+        import matplotlib.path as mpath
+        import matplotlib.text as mtext
+        from matplotlib.collections import LineCollection, PathCollection
+
+        det = self.detector
+        flat = self._flat_index(index)
+        collections = []
+        if lines:
+            traces = self.lines_coordinates(index, coordinates)
+            segments = [[(t[0], t[1]), (t[2], t[3])] for t in traces]
+            kw = {
+                "color": "r",
+                "linewidth": 1,
+                "alpha": 1,
+                "zorder": 1,
+                "label": "kikuchi_lines",
+            }
+            kw.update(lines_kwargs or {})
+            collections.append(LineCollection(segments=segments, **kw))
+        if zone_axes or zone_axes_labels:
+            if coordinates == "pixel":
+                scale_n = det.nrows
+                y_span = det.nrows
+            else:
+                i = 0 if det.navigation_size == 1 else flat
+                scale_n = float(np.diff(np.atleast_2d(
+                    det.x_range.reshape(-1, 2))[i])[0])
+                y_span = float(np.diff(np.atleast_2d(
+                    det.y_range.reshape(-1, 2))[i])[0])
         if zone_axes:
-            xy = self.zone_axes_coordinates(index)
-            collections.append(xy[~np.isnan(xy).any(axis=1)])
+            coords = self.zone_axes_coordinates(index, coordinates)
+            circles = [
+                mpath.Path.circle((x, y), 0.01 * scale_n) for x, y in coords
+            ]
+            kw = {"ec": "k", "fc": "w", "zorder": 1, "label": "zone_axes"}
+            kw.update(zone_axes_kwargs or {})
+            collections.append(PathCollection(circles, **kw))
+        if zone_axes_labels:
+            coords = self.zone_axes_coordinates(
+                index, coordinates, exclude_nan=False
+            )
+            coords = coords.copy()
+            # Labels sit 3% of the pattern height above the zone axis
+            # (reference ``_zone_axes_labels_as_list``, ``:583-611``).
+            if coordinates == "pixel":
+                coords[..., 1] -= 0.03 * det.nrows
+            else:
+                coords[..., 1] += 0.03 * y_span
+            kw = {
+                "color": "k",
+                "horizontalalignment": "center",
+                "bbox": {"boxstyle": "square", "fc": "w", "pad": 0.1},
+            }
+            kw.update(zone_axes_labels_kwargs or {})
+            texts = [
+                mtext.Text(x, y, label, **kw)
+                for (x, y), label in zip(coords, self._zone_axes_labels())
+                if not np.isnan(x)
+            ]
+            collections.append(texts)
         return collections
 
-    def plot(self, index: int = 0, pattern: np.ndarray | None = None, ax=None):
-        """Plot the simulation for one pattern (optionally overlaid)."""
+    def plot(
+        self,
+        index=None,
+        coordinates: str = "pixel",
+        pattern: np.ndarray | None = None,
+        lines: bool = True,
+        zone_axes: bool = True,
+        zone_axes_labels: bool = True,
+        pc: bool = True,
+        pattern_kwargs: dict | None = None,
+        lines_kwargs: dict | None = None,
+        zone_axes_kwargs: dict | None = None,
+        zone_axes_labels_kwargs: dict | None = None,
+        pc_kwargs: dict | None = None,
+        return_figure: bool = False,
+        ax=None,
+    ):
+        """Plot one simulation, optionally over a pattern (reference
+        ``GeometricalKikuchiPatternSimulation.plot``,
+        ``_kikuchi_pattern_simulation.py:323``)."""
         import matplotlib.pyplot as plt
 
+        det = self.detector
+        flat = self._flat_index(index)
         if ax is None:
-            _, ax = plt.subplots()
+            fig, ax = plt.subplots()
+        else:
+            fig = ax.figure
         if pattern is not None:
-            ax.imshow(pattern, cmap="gray")
-        coll, *rest = self.as_collections(index)
-        ax.add_collection(coll)
-        if rest:
-            xy = rest[0]
-            ax.scatter(xy[:, 0], xy[:, 1], c="b", s=20, zorder=3)
-        ax.set_xlim(0, self.detector.ncols - 1)
-        ax.set_ylim(self.detector.nrows - 1, 0)
+            kw = {"cmap": "gray"}
+            kw.update(pattern_kwargs or {})
+            extent = None
+            if coordinates == "gnomonic":
+                i = 0 if det.navigation_size == 1 else flat
+                bounds = np.atleast_2d(det.gnomonic_bounds.reshape(-1, 4))[i]
+                extent = [bounds[0], bounds[1], bounds[3], bounds[2]]
+            ax.imshow(pattern, extent=extent, **kw)
+        colls = self.as_collections(
+            index,
+            coordinates,
+            lines=lines,
+            zone_axes=zone_axes,
+            zone_axes_labels=zone_axes_labels,
+            lines_kwargs=lines_kwargs,
+            zone_axes_kwargs=zone_axes_kwargs,
+            zone_axes_labels_kwargs=zone_axes_labels_kwargs,
+        )
+        for coll in colls:
+            if isinstance(coll, list):
+                for text in coll:
+                    ax.add_artist(text)
+            else:
+                ax.add_collection(coll)
+        if pc:
+            kw = {"marker": "*", "fc": "gold", "ec": "k", "s": 150, "zorder": 4}
+            kw.update(pc_kwargs or {})
+            i = 0 if det.navigation_size == 1 else flat
+            pcx, pcy, _ = det.pc_flattened[i]
+            if coordinates == "pixel":
+                ax.scatter(pcx * det.ncols, pcy * det.nrows, **kw)
+            else:
+                ax.scatter(0.0, 0.0, **kw)
+        if pattern is None:
+            if coordinates == "pixel":
+                ax.set_xlim(0, det.ncols - 1)
+                ax.set_ylim(det.nrows - 1, 0)
+            else:
+                i = 0 if det.navigation_size == 1 else flat
+                bounds = np.atleast_2d(det.gnomonic_bounds.reshape(-1, 4))[i]
+                ax.set_xlim(bounds[0], bounds[1])
+                ax.set_ylim(bounds[2], bounds[3])
+        if return_figure:
+            return fig
         return ax
 
     def __repr__(self) -> str:

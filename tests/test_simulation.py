@@ -148,7 +148,9 @@ class TestOnDetector:
         geo = sim.on_detector(det, rot)
 
         for idx in range(2):
-            traces = geo.lines_coordinates(idx, coordinates="gnomonic")
+            traces = geo.lines_coordinates(
+                idx, coordinates="gnomonic", exclude_nan=False
+            )
             in_pat = ~np.isnan(traces).any(axis=1)
             assert in_pat.sum() > 3  # several bands visible
             m_d2s = det.detector_to_sample
@@ -176,7 +178,7 @@ class TestOnDetector:
         sim = KikuchiPatternSimulator(fam)
         geo = sim.on_detector(det, rot)
         xy = geo.zone_axes_coordinates(0, coordinates="gnomonic")
-        assert (~np.isnan(xy).any(axis=1)).sum() > 0
+        assert xy.shape[0] > 0 and not np.isnan(xy).any()
 
     def test_as_collections_and_plot(self, ni_reflectors):
         import matplotlib
@@ -186,8 +188,14 @@ class TestOnDetector:
         det = EBSDDetector(shape=(60, 60), pc=(0.5, 0.3, 0.5))
         sim = KikuchiPatternSimulator(fam)
         geo = sim.on_detector(det, np.array([[1.0, 0, 0, 0]]))
-        colls = geo.as_collections(0)
-        assert len(colls) == 2
+        from matplotlib.collections import LineCollection, PathCollection
+        from matplotlib.text import Text
+
+        colls = geo.as_collections(0, zone_axes=True, zone_axes_labels=True)
+        assert len(colls) == 3
+        assert isinstance(colls[0], LineCollection)
+        assert isinstance(colls[1], PathCollection)
+        assert all(isinstance(t, Text) for t in colls[2])
         ax = geo.plot(0, pattern=np.zeros((60, 60)))
         assert ax is not None
 
@@ -223,27 +231,41 @@ class TestGeometricalSimulationReferenceGoldens:
 
     def test_lines_coordinates_golden(self):
         sim = self._sim()
-        lc = sim.lines_coordinates(0)
-        visible = lc[~np.isnan(lc).any(axis=1)]
         assert np.allclose(
-            visible,
+            sim.lines_coordinates(),
             [[24.4, -11.9, 38.0, 70.3], [-12.1, 26.6, 67.2, 11.7]],
             atol=0.1,
         )
-        # Flat index 3 is the reference's (1, 1): the -80 deg rotation.
-        lc3 = sim.lines_coordinates(3)
-        visible3 = lc3[~np.isnan(lc3).any(axis=1)]
+        # (1, 1) is the -80 deg rotation, as in the reference test.
         assert np.allclose(
-            visible3,
+            sim.lines_coordinates((1, 1)),
             [[21.0, 70.3, 34.6, -11.9], [-8.2, 11.7, 71.1, 26.6]],
             atol=0.1,
         )
 
     def test_zone_axes_coordinates_golden(self):
         sim = self._sim()
-        za = sim.zone_axes_coordinates(0)
-        visible = za[~np.isnan(za).any(axis=1)]
-        assert np.allclose(visible, [[29.5, 18.76]], atol=0.01)
-        za3 = sim.zone_axes_coordinates(3)
-        visible3 = za3[~np.isnan(za3).any(axis=1)]
-        assert np.allclose(visible3, [[29.5, 18.76]], atol=0.01)
+        assert np.allclose(sim.zone_axes_coordinates(), [[29.5, 18.76]], atol=0.01)
+        assert np.allclose(
+            sim.zone_axes_coordinates((1, 1)), [[29.5, 18.76]], atol=0.01
+        )
+
+    def test_as_collections_coordinates_golden(self):
+        # Reference test_coordinates (:240-262): first Kikuchi line in
+        # pixel and gnomonic coordinates, zone-axis circle center and
+        # label position in gnomonic coordinates.
+        sim = self._sim()
+        coll1 = sim.as_collections()
+        coords1 = coll1[0].get_paths()[0].vertices.ravel()
+        assert np.allclose(coords1, [24.4, -11.92, 38.0, 70.3], atol=0.1)
+        coll2 = sim.as_collections(
+            coordinates="gnomonic", zone_axes=True, zone_axes_labels=True
+        )
+        coords2 = coll2[0].get_paths()[0].vertices.ravel()
+        assert np.allclose(coords2, [-0.2, 1.4, 0.3, -1.4], atol=0.1)
+        za_coords2 = coll2[1].get_paths()[0].vertices
+        assert np.allclose(za_coords2.mean(axis=0), [0, 0.36], atol=0.01)
+        za_labels_coords2 = coll2[2][0]
+        assert np.allclose(
+            za_labels_coords2.get_position(), [0, 0.42], atol=0.01
+        )
