@@ -438,21 +438,26 @@ class GeometricalKikuchiPatternSimulation:
     def as_markers(
         self,
         lines: bool = True,
-        zone_axes: bool = True,
+        zone_axes: bool = False,
+        zone_axes_labels: bool = False,
+        pc: bool = False,
         lines_kwargs: dict | None = None,
         zone_axes_kwargs: dict | None = None,
+        zone_axes_labels_kwargs: dict | None = None,
+        pc_kwargs: dict | None = None,
     ) -> list:
         """Per-navigation-point matplotlib artists for overlaying on a
         plotted scan (reference ``as_markers``,
         ``_kikuchi_pattern_simulation.py:214``, returns HyperSpy
         markers; here a list over navigation points of
-        ``LineCollection`` / scatter-kwargs dicts from
-        :mod:`kikuchipy_tpu.draw.markers`)."""
+        ``LineCollection`` / scatter-kwargs dicts / ``(xy, label)``
+        tuples from :mod:`kikuchipy_tpu.draw.markers`)."""
         from kikuchipy_tpu.draw.markers import (
             get_line_segment_list,
             get_point_list,
         )
 
+        det = self.detector
         n = int(np.prod(self.navigation_shape)) if self.navigation_shape else 1
         markers = []
         for i in range(n):
@@ -469,6 +474,37 @@ class GeometricalKikuchiPatternSimulation:
                         self.zone_axes_coordinates(i),
                         **(zone_axes_kwargs or {}),
                     )
+                )
+            if zone_axes_labels:
+                coords = self.zone_axes_coordinates(i, exclude_nan=False)
+                coords = coords.copy()
+                coords[..., 1] -= 0.03 * det.nrows
+                kw = {"color": "k", "ha": "center"}
+                kw.update(zone_axes_labels_kwargs or {})
+                per_point.append(
+                    [
+                        (tuple(xy), label, dict(kw))
+                        for xy, label in zip(coords, self._zone_axes_labels())
+                        if not np.isnan(xy[0])
+                    ]
+                )
+            if pc:
+                kw = {
+                    "marker": "*",
+                    "fc": "gold",
+                    "ec": "k",
+                    "s": 150,
+                    "zorder": 4,
+                }
+                kw.update(pc_kwargs or {})
+                j = 0 if det.navigation_size == 1 else i
+                pcx, pcy, _ = det.pc_flattened[j]
+                per_point.append(
+                    {
+                        "x": pcx * det.ncols,
+                        "y": pcy * det.nrows,
+                        **kw,
+                    }
                 )
             markers.append(per_point)
         return markers

@@ -455,3 +455,57 @@ class TestPlotPCModes:
         d1 = EBSDDetector.load(path)
         d2 = EBSDDetector.load(fname=path)
         np.testing.assert_allclose(d1.pc, d2.pc)
+
+
+class TestCoordinateConversionReferenceGoldens:
+    """Conversion-factor goldens from the reference test suite
+    (/root/reference/tests/test_utils/test_detector_coordinates.py:59-75)
+    on the real nickel_ebsd_small detector (first navigation row).
+
+    The pixel<->gnomonic conversion is affine per navigation point, so
+    the slope/offset are recovered from our to_gnomonic_coords /
+    to_pixel_coords by probing (0, 0) and (1, 1)."""
+
+    def _factors(self, convert, det_index):
+        p0 = convert(np.array([[0.0, 0.0]]), detector_index=det_index)[0]
+        p1 = convert(np.array([[1.0, 1.0]]), detector_index=det_index)[0]
+        # Conversions return (y, x)-ordered pairs.
+        m_y, m_x = p1 - p0
+        c_y, c_x = p0
+        return m_x, c_x, m_y, c_y
+
+    def test_conversion_factors(self):
+        import h5py
+
+        path = (
+            "/root/reference/src/kikuchipy/data/kikuchipy_h5ebsd/patterns.h5"
+        )
+        with h5py.File(path) as f:
+            h = f["Scan 1/EBSD/Header"]
+            pc = np.stack([h["pcx"][:], h["pcy"][:], h["pcz"][:]], axis=-1)
+        det = EBSDDetector(shape=(60, 60), pc=pc[0], sample_tilt=70)
+        exp = {
+            "pix_to_gn": {
+                "m_x": [0.03319923, 0.03326385, 0.03330547],
+                "c_x": [-0.83957734, -0.84652344, -0.85204404],
+                "m_y": [-0.03319923, -0.03326385, -0.03330547],
+                "c_y": [0.42827701, 0.41940433, 0.42255835],
+            },
+            "gn_to_pix": {
+                "m_x": [30.12118421, 30.06266362, 30.02509794],
+                "c_x": [25.28906376, 25.4487495, 25.58270568],
+                "m_y": [-30.12118421, -30.06266362, -30.02509794],
+                "c_y": [12.90021062, 12.60841133, 12.6873559],
+            },
+        }
+        for i in range(3):
+            m_x, c_x, m_y, c_y = self._factors(det.to_gnomonic_coords, i)
+            assert np.allclose(
+                [m_x, c_x, m_y, c_y],
+                [exp["pix_to_gn"][k][i] for k in ("m_x", "c_x", "m_y", "c_y")],
+            )
+            m_x, c_x, m_y, c_y = self._factors(det.to_pixel_coords, i)
+            assert np.allclose(
+                [m_x, c_x, m_y, c_y],
+                [exp["gn_to_pix"][k][i] for k in ("m_x", "c_x", "m_y", "c_y")],
+            )

@@ -376,10 +376,15 @@ class TestReferenceShims:
         rot = np.asarray(from_euler(np.deg2rad([[10, 20, 30], [40, 50, 60]])))
         geo = sim.on_detector(det, rot)
         assert geo.phase is not None
+        # Reference defaults: lines only.
         markers = geo.as_markers()
         assert len(markers) == 2
+        assert [len(per_point) for per_point in markers] == [1, 1]
+        assert isinstance(markers[0][0], LineCollection)
+        markers = geo.as_markers(zone_axes=True, pc=True)
         assert isinstance(markers[0][0], LineCollection)
         assert "x" in markers[0][1]
+        assert markers[0][2]["marker"] == "*"
 
 
 class TestDecompositionModelOptions:

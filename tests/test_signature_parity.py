@@ -91,6 +91,11 @@ CLASS_CHECKS = [
         "KikuchiPatternSimulator",
         kp.simulations.KikuchiPatternSimulator,
     ),
+    (
+        REF / "simulations/_kikuchi_pattern_simulation.py",
+        "GeometricalKikuchiPatternSimulation",
+        kp.simulations.GeometricalKikuchiPatternSimulation,
+    ),
 ]
 
 FUNCTION_CHECKS = [
