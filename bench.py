@@ -137,6 +137,33 @@ def main() -> None:
             best = (cand, approx, pps)
     precision, approx, pps = best
 
+    # Secondary headline figure (BASELINE.json names both): preprocess
+    # throughput of the uint8 static+dynamic background chain.
+    from kikuchipy_tpu.ops import pattern as _ops
+
+    raw = jnp.asarray(
+        rng.integers(1, 255, size=(N, SY, SX), dtype=np.uint8)
+    )
+    static_bg = jnp.asarray(
+        rng.integers(1, 255, size=(SY, SX), dtype=np.uint8)
+    )
+
+    @jax.jit
+    def preprocess(x):
+        x = _ops.remove_static_background(x, static_bg)
+        return _ops.remove_dynamic_background(x)
+
+    def preprocess_pass():
+        t0 = time.perf_counter()
+        outs = [preprocess(raw) for _ in range(REPS)]
+        for o in outs:
+            np.asarray(o)
+        return time.perf_counter() - t0
+
+    preprocess_pass()  # compile
+    pre_dt = min(preprocess_pass() for _ in range(3))
+    pre_mbps = REPS * raw.size / pre_dt / 1e6
+
     base_cps = _baseline_cpu_pps(D, KEEP_N)
     base_pps = base_cps / M
 
@@ -147,7 +174,8 @@ def main() -> None:
                     f"dictionary-indexing patterns/s/chip "
                     f"(NCC, {M}-entry 60x60 dict, keep_n={KEEP_N}, "
                     f"precision={precision}, approx_topk={approx}, "
-                    f"pipelined x{REPS})"
+                    f"pipelined x{REPS}; preprocess "
+                    f"{pre_mbps:.0f} MB/s/chip uint8 static+dynamic bg)"
                 ),
                 "value": round(pps, 2),
                 "unit": "patterns/s",

@@ -61,15 +61,15 @@ def get_rgb_image(
         a = np.asarray(alpha, dtype=np.float32)
         a = (a - np.nanmin(a)) / (np.nanmax(a) - np.nanmin(a))
         rgb *= a[..., None]
+    # The reference always min-max rescales the combined RGB stack to
+    # the dtype range at the end, from the percentile range if given
+    # (``imaging/vbse.py:518-522``).
     if percentiles is not None:
         lo, hi = np.percentile(rgb, q=percentiles)
-        rgb = np.clip(rgb, lo, hi)
-        rgb = (rgb - lo) / (hi - lo) * np.iinfo(dtype_out).max
     else:
-        # Already in dtype range from normalization; rescale otherwise.
-        if not normalize:
-            mn, mx = rgb.min(), rgb.max()
-            rgb = (rgb - mn) / (mx - mn) * np.iinfo(dtype_out).max
+        lo, hi = rgb.min(), rgb.max()
+    rgb = np.clip(rgb, lo, hi)
+    rgb = (rgb - lo) / (hi - lo) * np.iinfo(dtype_out).max
     return rgb.astype(dtype_out)
 
 

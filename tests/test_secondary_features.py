@@ -346,3 +346,143 @@ class TestMergeNavigationMasks:
             [m_a, m_b], mean_n_best=1, greater_is_better=False
         )
         assert merged2.phase_id[0] == 0
+
+
+class TestWindowReferenceGoldens:
+    """Transfer-function and window goldens from the reference test
+    suite (/root/reference/tests/test_filters/test_window.py:282-495)."""
+
+    def test_lowpass_fft_filter(self):
+        from kikuchipy_tpu.filters import Window, lowpass_fft_filter
+
+        w = lowpass_fft_filter(shape=(5, 5), cutoff=1, cutoff_width=1)
+        answer = np.array(
+            [
+                [0.0012, 0.0470, 0.1353, 0.0470, 0.0012],
+                [0.0470, 0.7095, 1.0, 0.7095, 0.0470],
+                [0.1353, 1.0, 1.0, 1.0, 0.1353],
+                [0.0470, 0.7095, 1.0, 0.7095, 0.0470],
+                [0.0012, 0.0470, 0.1353, 0.0470, 0.0012],
+            ]
+        )
+        assert np.allclose(w, answer, atol=1e-4)
+        w2 = lowpass_fft_filter(shape=(6, 5), cutoff=2, cutoff_width=1)
+        answer2 = np.array(
+            [
+                [0.0057, 0.0670, 0.1353, 0.0670, 0.0057],
+                [0.2534, 0.8945, 1.0, 0.8945, 0.2534],
+                [0.8945, 1.0, 1.0, 1.0, 0.8945],
+                [1.0, 1.0, 1.0, 1.0, 1.0],
+                [0.8945, 1.0, 1.0, 1.0, 0.8945],
+                [0.2534, 0.8945, 1.0, 0.8945, 0.2534],
+            ]
+        )
+        assert np.allclose(w2, answer2, atol=1e-4)
+        w3 = Window("lowpass", cutoff=30, cutoff_width=15, shape=(96, 96))
+        w4 = lowpass_fft_filter(shape=(96, 96), cutoff=30)
+        assert np.allclose(w3, w4)
+
+    def test_highpass_fft_filter(self):
+        from kikuchipy_tpu.filters import Window, highpass_fft_filter
+
+        w = highpass_fft_filter(shape=(5, 5), cutoff=2, cutoff_width=2)
+        answer = np.array(
+            [
+                [1, 1, 1, 1, 1],
+                [1, 0.8423, 0.6065, 0.8423, 1],
+                [1, 0.6065, 0.1353, 0.6065, 1],
+                [1, 0.8423, 0.6065, 0.8423, 1],
+                [1, 1, 1, 1, 1],
+            ]
+        )
+        assert np.allclose(w, answer, atol=1e-4)
+        w2 = Window("highpass", cutoff=30, cutoff_width=15, shape=(96, 96))
+        w3 = highpass_fft_filter(shape=(96, 96), cutoff=30)
+        assert np.allclose(w2, w3)
+
+    def test_modified_hann(self):
+        from kikuchipy_tpu.filters import Window, modified_hann
+
+        assert np.allclose(modified_hann(3), [0.5, 1, 0.5], atol=1e-4)
+        answer11 = [0.1423, 0.4154, 0.6548, 0.8412, 0.9594, 1.0, 0.9594,
+                    0.8412, 0.6548, 0.4154, 0.1423]
+        assert np.allclose(modified_hann(11), answer11, atol=1e-4)
+        assert np.isclose(np.sum(modified_hann(96)), 61.1182, atol=1e-4)
+        assert np.isclose(np.sum(modified_hann(801)), 509.9328, atol=1e-4)
+        assert np.allclose(
+            Window("modified_hann", shape=(30,)), modified_hann(30)
+        )
+
+    def test_distance_to_origin(self):
+        from kikuchipy_tpu.filters import distance_to_origin
+
+        r = distance_to_origin(shape=(3, 4), origin=(1, 3))
+        answer = np.array(
+            [
+                [3.1622, 2.2360, 1.4142, 1],
+                [3, 2, 1, 0],
+                [3.1622, 2.2360, 1.4142, 1],
+            ]
+        )
+        assert np.allclose(r, answer, atol=1e-4)
+
+    def test_gaussian_normalized(self):
+        from kikuchipy_tpu.filters import Window
+
+        std = 0.5
+        w = Window("gaussian", std=std, shape=(3, 3))
+        w = w / (2 * np.pi * std**2)
+        w = w / np.sum(w)
+        answer = np.array(
+            [
+                [0.01134374, 0.08381951, 0.01134374],
+                [0.08381951, 0.61934703, 0.08381951],
+                [0.01134374, 0.08381951, 0.01134374],
+            ]
+        )
+        assert np.allclose(w, answer)
+
+
+class TestVBSEReferenceGoldens:
+    """RGB virtual BSE goldens from the reference test suite
+    (/root/reference/tests/test_imaging/test_virtual_bse_imager.py:
+    184-268) on the real nickel scan. The combined RGB stack is always
+    min-max rescaled to the dtype range at the end (percentile range
+    when given), matching reference ``imaging/vbse.py:518-522``."""
+
+    @pytest.fixture()
+    def imager(self):
+        import kikuchipy_tpu as kp
+
+        path = (
+            "/root/reference/src/kikuchipy/data/kikuchipy_h5ebsd/patterns.h5"
+        )
+        s = kp.load(path)
+        return kp.imaging.VirtualBSEImager(s)
+
+    def test_rgb_contrast_stretching(self, imager):
+        img = imager.get_rgb_image(r=(0, 0), g=(0, 1), b=(0, 2))
+        assert np.isclose(np.asarray(img).mean(), 136.481481)
+        img = imager.get_rgb_image(
+            r=(0, 0), g=(0, 1), b=(0, 2), percentiles=(1, 99)
+        )
+        assert np.isclose(np.asarray(img).mean(), 134.740740)
+
+    def test_rgb_alpha(self, imager):
+        alpha = np.arange(9).reshape(3, 3)
+        img = imager.get_rgb_image(r=(0, 0), g=(0, 1), b=(0, 2), alpha=alpha)
+        assert np.isclose(np.asarray(img).mean(), 88.5, atol=0.1)
+        alpha2 = np.arange(9).reshape(3, 3)
+        alpha2[0] += 10
+        img = imager.get_rgb_image(r=(0, 0), g=(0, 1), b=(0, 2), alpha=alpha2)
+        assert np.isclose(np.asarray(img).mean(), 107.9, atol=0.1)
+
+    def test_rgb_multiple_rois_per_channel(self, imager):
+        img = imager.get_rgb_image(
+            r=[(0, 1), (0, 2)], g=[(1, 1), (1, 2)], b=[(2, 1), (2, 2)]
+        )
+        assert np.isclose(np.asarray(img).mean(), 125.1, atol=0.1)
+        img = imager.get_rgb_image(
+            r=[(2, 1), (2, 2)], g=[(3, 1), (3, 2)], b=[(4, 1), (4, 2)]
+        )
+        assert np.isclose(np.asarray(img).mean(), 109.0, atol=0.1)
