@@ -198,6 +198,7 @@ def remove_static_background(
 # ------------------------- Dynamic background ------------------------- #
 
 _PLAN_CACHE: dict[tuple, FFTFilterPlan] = {}
+_SEP_PLAN_CACHE: dict[tuple, "SeparableFilterPlan"] = {}
 
 
 def dynamic_background_plan(
@@ -211,6 +212,25 @@ def dynamic_background_plan(
         window = gaussian_window_2d(std, truncate)
         plan = FFTFilterPlan(sig_shape, window)
         _PLAN_CACHE[key] = plan
+    return plan
+
+
+def dynamic_background_separable_plan(
+    sig_shape: tuple[int, int], std: float, truncate: float = 4.0
+):
+    """Separable dense-matmul plan computing the same frequency-domain
+    Gaussian blur as :func:`dynamic_background_plan` (the Gaussian
+    window is rank-1), as two MXU matmuls per pattern instead of
+    batched small FFTs — identical to float round-off (~6e-7 relative),
+    much faster on TPU."""
+    from kikuchipy_tpu.ops.fft_barnes import SeparableFilterPlan
+
+    key = (tuple(sig_shape), float(std), float(truncate))
+    plan = _SEP_PLAN_CACHE.get(key)
+    if plan is None:
+        window = gaussian_window_2d(std, truncate)
+        plan = SeparableFilterPlan(sig_shape, window)
+        _SEP_PLAN_CACHE[key] = plan
     return plan
 
 
@@ -254,6 +274,16 @@ def _gaussian_blur_spatial(
     return x.reshape(lead + (sy, sx))
 
 
+def _frequency_blur(p32, std: float, truncate: float):
+    """The reference's frequency-domain Gaussian blur, computed as the
+    separable dense-matmul formulation (bit-equal to the Barnes rFFT
+    path to ~6e-7 relative; see :func:`dynamic_background_separable_plan`)."""
+    from kikuchipy_tpu.ops.fft_barnes import separable_filter
+
+    plan = dynamic_background_separable_plan(p32.shape[-2:], std, truncate)
+    return separable_filter(p32, plan.row_op, plan.col_op)
+
+
 def get_dynamic_background(
     patterns: jnp.ndarray,
     filter_domain: str = "frequency",
@@ -270,8 +300,7 @@ def get_dynamic_background(
         std = patterns.shape[-1] / 8
     p32 = patterns.astype(jnp.float32)
     if filter_domain == "frequency":
-        plan = dynamic_background_plan(p32.shape[-2:], std, truncate)
-        bg = barnes_fft_filter(p32, plan)
+        bg = _frequency_blur(p32, float(std), float(truncate))
     elif filter_domain == "spatial":
         bg = _gaussian_blur_spatial(p32, float(std), float(truncate))
     else:
@@ -309,8 +338,7 @@ def remove_dynamic_background(
 
     p32 = patterns.astype(jnp.float32)
     if filter_domain == "frequency":
-        plan = dynamic_background_plan(p32.shape[-2:], std, truncate)
-        bg = barnes_fft_filter(p32, plan)
+        bg = _frequency_blur(p32, float(std), float(truncate))
     elif filter_domain == "spatial":
         bg = _gaussian_blur_spatial(p32, float(std), float(truncate))
     else:
