@@ -72,6 +72,26 @@ class EBSD:
     def _replace_data(self, data) -> "EBSD":
         return dataclasses.replace(self, data=data)
 
+    # ------------------------ inav / isig ---------------------------- #
+
+    @property
+    def inav(self) -> "_NavIndexer":
+        """Navigation-axis indexer with HyperSpy's axis order — keys
+        are (x, y), i.e. ``s.inav[x, y]`` selects map column x, row y
+        (reference signals inherit this from HyperSpy). Per-point
+        detector PCs and the crystal-map rotations/properties are
+        sliced along."""
+        return _NavIndexer(self)
+
+    @property
+    def isig(self) -> "_SigIndexer":
+        """Signal-axis indexer with HyperSpy's axis order — keys are
+        (x, y) detector columns/rows: ``s.isig[:, :-5]`` removes the
+        bottom five detector rows. The static background is sliced
+        along; the detector keeps its geometry (as in the reference,
+        where ``isig`` only slices the data)."""
+        return _SigIndexer(self)
+
     # ---------------------- Preprocessing ops ------------------------ #
     # Each returns a NEW EBSD; op semantics in kikuchipy_tpu.ops.pattern.
 
@@ -709,3 +729,64 @@ class EBSD:
             f"EBSD(nav={self.navigation_shape}, sig={self.signal_shape}, "
             f"dtype={np.asarray(self.data).dtype})"
         )
+
+
+class _NavIndexer:
+    """``EBSD.inav`` implementation (HyperSpy x-first key order)."""
+
+    def __init__(self, signal: EBSD):
+        self._signal = signal
+
+    def __getitem__(self, key) -> EBSD:
+        s = self._signal
+        nav_shape = s.navigation_shape
+        nav_dim = len(nav_shape)
+        if not isinstance(key, tuple):
+            key = (key,)
+        if len(key) > nav_dim:
+            raise IndexError(
+                f"Too many navigation indices {key} for navigation shape "
+                f"{nav_shape}"
+            )
+        key = key + (slice(None),) * (nav_dim - len(key))
+        # HyperSpy order: first key is x (fastest axis) = last nav axis.
+        array_key = tuple(reversed(key))
+
+        data = np.asarray(s.data)[array_key]
+        new = dataclasses.replace(s, data=data)
+
+        det = s.detector
+        if det is not None and det.pc.ndim > 2 and det.pc.shape[:-1] == nav_shape:
+            new.detector = dataclasses.replace(
+                det, pc=np.atleast_2d(det.pc[array_key])
+            )
+        if s.xmap is not None and s.xmap.size == int(np.prod(nav_shape)):
+            mask = np.zeros(nav_shape, dtype=bool)
+            mask[array_key] = True
+            sub = s.xmap[mask.ravel()]
+            new_nav = data.shape[:-2]
+            if new_nav and int(np.prod(new_nav)) == sub.size:
+                sub = dataclasses.replace(sub, shape=tuple(new_nav))
+            new.xmap = sub
+        return new
+
+
+class _SigIndexer:
+    """``EBSD.isig`` implementation (HyperSpy x-first key order)."""
+
+    def __init__(self, signal: EBSD):
+        self._signal = signal
+
+    def __getitem__(self, key) -> EBSD:
+        s = self._signal
+        if not isinstance(key, tuple):
+            key = (key,)
+        if len(key) > 2:
+            raise IndexError(f"Too many signal indices {key}")
+        key = key + (slice(None),) * (2 - len(key))
+        kx, ky = key
+        data = np.asarray(s.data)[..., ky, kx]
+        new = dataclasses.replace(s, data=data)
+        if s.static_background is not None:
+            new.static_background = np.asarray(s.static_background)[ky, kx]
+        return new

@@ -284,3 +284,59 @@ class TestVirtualBSEImage:
 
         idx = grid_indices((4, 5), (55, 75))
         assert idx.shape == (2, 4, 5)
+
+
+class TestInavIsig:
+    """HyperSpy-style inav/isig slicing (x-first key order), as used
+    throughout the reference's tests and tutorials (e.g.
+    /root/reference/tests/test_signals/test_ebsd.py:985 ``inav[0, 0]``,
+    ``:489`` "s.isig[:, :-5]  # Remove bottom five rows")."""
+
+    def test_inav_point_and_row(self, dummy_patterns):
+        s = EBSD(data=dummy_patterns)
+        p = s.inav[1, 2]
+        np.testing.assert_array_equal(
+            np.asarray(p.data), np.asarray(s.data)[2, 1]
+        )
+        row = s.inav[:, 0]
+        np.testing.assert_array_equal(
+            np.asarray(row.data), np.asarray(s.data)[0]
+        )
+
+    def test_inav_slices_detector_and_xmap(self, dummy_patterns):
+        from kikuchipy_tpu.crystallography.crystal_map import CrystalMap
+        from kikuchipy_tpu.crystallography.sampling import super_fibonacci
+        from kikuchipy_tpu.geometry.detector import EBSDDetector
+
+        ny, nx = dummy_patterns.shape[:2]
+        pc = np.random.default_rng(0).uniform(0.4, 0.6, (ny, nx, 3))
+        det = EBSDDetector(shape=dummy_patterns.shape[-2:], pc=pc)
+        xmap = CrystalMap(
+            rotations=super_fibonacci(ny * nx),
+            shape=(ny, nx),
+            prop={"scores": np.arange(ny * nx, dtype=float)},
+        )
+        s = EBSD(data=dummy_patterns, detector=det, xmap=xmap)
+        sub = s.inav[0:2, 0:2]
+        assert sub.navigation_shape == (2, 2)
+        np.testing.assert_array_equal(sub.detector.pc, pc[0:2, 0:2])
+        assert sub.xmap.size == 4
+        np.testing.assert_array_equal(
+            sub.xmap.prop["scores"], [0, 1, nx, nx + 1]
+        )
+
+    def test_isig_crop_rows(self, dummy_patterns):
+        s = EBSD(
+            data=dummy_patterns,
+            static_background=np.asarray(dummy_patterns)[0, 0],
+        )
+        cropped = s.isig[:, :-1]
+        sy, sx = dummy_patterns.shape[-2:]
+        assert cropped.signal_shape == (sy - 1, sx)
+        np.testing.assert_array_equal(
+            np.asarray(cropped.static_background),
+            np.asarray(s.static_background)[:-1, :],
+        )
+        # x key slices detector columns
+        c2 = s.isig[1:, :]
+        assert c2.signal_shape == (sy, sx - 1)
