@@ -419,6 +419,30 @@ class EBSD:
         ax.axis("off")
         return ax
 
+    def _reduce(self, fn, axis) -> "EBSD":
+        if axis is None:
+            axis = tuple(range(len(self.navigation_shape)))
+        return self._replace_data(fn(np.asarray(self.data), axis=axis))
+
+    def mean(self, axis=None) -> "EBSD":
+        """Mean over ``axis`` (default: the navigation axes, giving the
+        mean pattern — HyperSpy's ``BaseSignal.mean`` default the
+        reference inherits; e.g. building a static background with
+        ``s.mean(axis=(0, 1))``)."""
+        return self._reduce(np.mean, axis)
+
+    def max(self, axis=None) -> "EBSD":
+        return self._reduce(np.max, axis)
+
+    def min(self, axis=None) -> "EBSD":
+        return self._reduce(np.min, axis)
+
+    def sum(self, axis=None) -> "EBSD":
+        return self._reduce(np.sum, axis)
+
+    def std(self, axis=None) -> "EBSD":
+        return self._reduce(np.std, axis)
+
     def deepcopy(self) -> "EBSD":
         import copy
 

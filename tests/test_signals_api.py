@@ -340,3 +340,26 @@ class TestInavIsig:
         # x key slices detector columns
         c2 = s.isig[1:, :]
         assert c2.signal_shape == (sy, sx - 1)
+
+
+class TestReducers:
+    def test_mean_static_background_recipe(self, dummy_patterns):
+        # The reference's test_non_square_patterns recipe
+        # (/root/reference/tests/test_signals/test_ebsd.py:489-493):
+        # build a static background from the scan mean.
+        s = EBSD(data=dummy_patterns)
+        bg = s.mean(axis=(0, 1)).change_dtype(np.uint8)
+        assert np.asarray(bg.data).shape == s.signal_shape
+        out = s.remove_static_background(static_bg=np.asarray(bg.data))
+        assert np.asarray(out.data).shape == np.asarray(s.data).shape
+
+    def test_default_axis_is_navigation(self, dummy_patterns):
+        s = EBSD(data=dummy_patterns)
+        np.testing.assert_allclose(
+            np.asarray(s.mean().data),
+            np.asarray(dummy_patterns).mean(axis=(0, 1)),
+        )
+        np.testing.assert_allclose(
+            np.asarray(s.max().data),
+            np.asarray(dummy_patterns).max(axis=(0, 1)),
+        )
