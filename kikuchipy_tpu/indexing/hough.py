@@ -577,8 +577,14 @@ def hough_indexing(
         )
 
     if reflectors is None:
-        abc = [float(v) for v in phase.lattice[:3]]
-        angles = [float(v) for v in phase.lattice[3:6]]
+        lattice = phase.lattice
+        if hasattr(lattice, "a"):  # a Lattice object, not a 6-tuple
+            lattice = (
+                lattice.a, lattice.b, lattice.c,
+                lattice.alpha, lattice.beta, lattice.gamma,
+            )
+        abc = [float(v) for v in lattice[:3]]
+        angles = [float(v) for v in lattice[3:6]]
         # EMsoft stores lattice parameters in nm; detect and convert to
         # angstrom (no real crystal has a < 2 A).
         if max(abc) < 2.0:

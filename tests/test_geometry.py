@@ -509,3 +509,87 @@ class TestCoordinateConversionReferenceGoldens:
                 [m_x, c_x, m_y, c_y],
                 [exp["gn_to_pix"][k][i] for k in ("m_x", "c_x", "m_y", "c_y")],
             )
+
+
+class TestGnomonicRangeReferenceGoldens:
+    """Gnomonic range/scale goldens from the reference test suite
+    (/root/reference/tests/test_detectors/test_ebsd_detector.py:228-257,
+    with its pc1 fixture used in the internal Bruker convention)."""
+
+    PC1 = (0.4210, 0.7794, 0.5049)
+
+    @pytest.mark.parametrize(
+        "shape, x_range, y_range",
+        [
+            ((60, 60), [-0.833828, 1.146762], [-0.436918, 1.543672]),
+            ((510, 510), [-0.833828, 1.146762], [-0.436918, 1.543672]),
+            ((1, 1), [-0.833828, 1.146762], [-0.436918, 1.543672]),
+            ((480, 640), [-1.111771, 1.529016], [-0.436918, 1.543672]),
+        ],
+    )
+    def test_gnomonic_range(self, shape, x_range, y_range):
+        det = EBSDDetector(shape=shape, pc=self.PC1)
+        assert np.allclose(det.x_range, x_range, atol=1e-6)
+        assert np.allclose(det.y_range, y_range, atol=1e-6)
+
+    @pytest.mark.parametrize(
+        "shape, x_scale, y_scale",
+        [
+            ((60, 60), 0.033569, 0.033569),
+            ((510, 510), 0.003891, 0.003891),
+            ((1, 1), 1.980590, 1.980590),
+            ((480, 640), 0.004133, 0.004135),
+        ],
+    )
+    def test_gnomonic_scale(self, shape, x_scale, y_scale):
+        det = EBSDDetector(shape=shape, pc=self.PC1)
+        assert np.allclose(det.x_scale, x_scale, atol=1e-6)
+        assert np.allclose(det.y_scale, y_scale, atol=1e-6)
+
+
+class TestSampleToDetectorReferenceGoldens:
+    """sample_to_detector goldens from the reference test suite
+    (/root/reference/tests/test_detectors/test_ebsd_detector.py:258-274;
+    the reference returns an orix quaternion, ours the equivalent
+    rotation matrix)."""
+
+    @staticmethod
+    def _quat_to_matrix(q):
+        w, x, y, z = q
+        return np.array(
+            [
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+                [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+                [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+            ]
+        )
+
+    @pytest.mark.parametrize(
+        "tilt, azimuthal, twist, sample_tilt, expected_quat",
+        [
+            (0, 0, 0, 90.0, [0.7071, 0.0, 0.0, -0.7071]),
+            (0, 0, 0, 70.0, [0.6964, -0.1228, -0.1228, -0.6964]),
+            (8.3, 4.7, -1.02, 70.0, [0.6861, -0.2021, -0.1428, -0.6841]),
+        ],
+    )
+    def test_golden(self, tilt, azimuthal, twist, sample_tilt, expected_quat):
+        det = EBSDDetector(
+            tilt=tilt, azimuthal=azimuthal, twist=twist, sample_tilt=sample_tilt
+        )
+        np.testing.assert_allclose(
+            det.sample_to_detector,
+            self._quat_to_matrix(expected_quat),
+            atol=5e-4,
+        )
+
+    @pytest.mark.parametrize("sample_tilt", [0.0, 70.0])
+    def test_azimuthal_rotates_about_detector_y(self, sample_tilt):
+        # Reference :291-301: changing azimuthal must not move the
+        # detector Y axis.
+        import dataclasses
+
+        det = EBSDDetector(sample_tilt=sample_tilt, tilt=40.0)
+        y0 = det.sample_to_detector[1]
+        for azimuthal in (20.0, -40.0):
+            det2 = dataclasses.replace(det, azimuthal=azimuthal, pc=det.pc.copy())
+            np.testing.assert_allclose(det2.sample_to_detector[1], y0, atol=1e-8)
