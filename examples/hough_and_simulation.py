@@ -46,7 +46,7 @@ rlv = rlv.allowed()
 rlv.calculate_theta(20.0)
 sim = KikuchiPatternSimulator(rlv)
 geo = sim.on_detector(s.detector, xmap.best_rotations[:1])
-print(f"simulated {geo.lines_detector.shape} band lines on the detector")
+print(f"simulated {geo.lines_coordinates().shape[0]} visible band lines on the detector")
 
 # 4. Optional plot (writes PNG when matplotlib is available).
 try:

@@ -217,8 +217,8 @@ def _adam_minimize_batched(
             start += size
         return jnp.concatenate(parts, axis=-1)
 
-    def step(i, state):
-        x, m, v, x_best, f_best = state
+    def step(state):
+        i, x, m, v, x_best, f_best, stall = state
         g = grad_fn(x).astype(x.dtype)
         m = b1 * m + (1 - b1) * g
         v = b2 * v + (1 - b2) * jnp.square(g)
@@ -228,12 +228,24 @@ def _adam_minimize_batched(
         f = objective(x).astype(f_best.dtype)
         better = f < f_best
         x_best = jnp.where(better[:, None], x, x_best)
-        f_best = jnp.minimum(f, f_best)
-        return x, m, v, x_best, f_best
+        new_f_best = jnp.minimum(f, f_best)
+        # Early stop: no point improved its best by more than ftol for
+        # `patience` consecutive iterations (each iteration costs a
+        # full batched forward+backward projection).
+        improved = jnp.max(f_best - new_f_best) > 1e-5
+        stall = jnp.where(improved, 0, stall + 1)
+        return i + 1, x, m, v, x_best, new_f_best, stall
+
+    def cond(state):
+        i, *_, stall = state
+        return (i < iters) & (stall < 5)
 
     f0 = objective(x0)
-    init = (x0, jnp.zeros_like(x0), jnp.zeros_like(x0), x0, f0)
-    _, _, _, x_best, f_best = jax.lax.fori_loop(0, iters, step, init)
+    init = (
+        jnp.int32(0), x0, jnp.zeros_like(x0), jnp.zeros_like(x0), x0, f0,
+        jnp.int32(0),
+    )
+    _, _, _, _, x_best, f_best, _ = jax.lax.while_loop(cond, step, init)
     return x_best, f_best
 
 

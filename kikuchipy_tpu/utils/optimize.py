@@ -152,14 +152,26 @@ def nelder_mead_batched(
         verts_upd = verts.at[:, -1, :].set(new_worst)
         vals_upd = vals.at[:, -1].set(new_worst_v)
 
-        # Shrink simplex (evaluated for all, applied by mask).
-        shrunk = verts[:, :1, :] + sigma * (verts - verts[:, :1, :])
-        shrunk = clip(shrunk)
-        shrunk_vals = jnp.stack(
-            [f(shrunk[:, i, :]) for i in range(1, d + 1)], axis=1
+        # Shrink simplex. Shrink steps are rare, but their d extra
+        # objective evaluations were 3 of the 5 per iteration; gate
+        # them behind a cond so iterations where NO live element
+        # shrinks (the common case) skip them entirely.
+        def shrink_branch(_):
+            shrunk = clip(verts[:, :1, :] + sigma * (verts - verts[:, :1, :]))
+            shrunk_vals = jnp.stack(
+                [f(shrunk[:, i, :]) for i in range(1, d + 1)], axis=1
+            )
+            return (
+                jnp.concatenate([verts[:, :1, :], shrunk[:, 1:, :]], axis=1),
+                jnp.concatenate([vals[:, :1], shrunk_vals], axis=1),
+            )
+
+        def no_shrink_branch(_):
+            return verts, vals
+
+        verts_shr, vals_shr = jax.lax.cond(
+            jnp.any(shrink & ~done), shrink_branch, no_shrink_branch, None
         )
-        verts_shr = jnp.concatenate([verts[:, :1, :], shrunk[:, 1:, :]], axis=1)
-        vals_shr = jnp.concatenate([vals[:, :1], shrunk_vals], axis=1)
 
         verts_new = jnp.where(shrink[:, None, None], verts_shr, verts_upd)
         vals_new = jnp.where(shrink[:, None], vals_shr, vals_upd)
