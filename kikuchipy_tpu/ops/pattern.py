@@ -250,12 +250,20 @@ def _reflect_indices(n: int, radius: int) -> np.ndarray:
     return np.where(q >= n, 2 * n - 1 - q, q)
 
 
-@partial(jax.jit, static_argnames=("sigma", "truncate"))
+@partial(jax.jit, static_argnames=("sigma", "truncate", "quantize_dtype"))
 def _gaussian_blur_spatial(
-    patterns: jnp.ndarray, sigma: float, truncate: float
+    patterns: jnp.ndarray,
+    sigma: float,
+    truncate: float,
+    quantize_dtype=None,
 ) -> jnp.ndarray:
     """Separable Gaussian blur with ``reflect`` (symmetric, repeated)
-    boundary, equivalent to ``scipy.ndimage.gaussian_filter``."""
+    boundary, equivalent to ``scipy.ndimage.gaussian_filter``.
+
+    ``quantize_dtype``: for integer inputs the reference calls scipy on
+    the raw integer array, which truncates the intermediate image to
+    the integer dtype between the two 1D passes (C cast toward zero);
+    passing the storage dtype reproduces that bit-exactly."""
     kernel = jnp.asarray(_gaussian_kernel_1d(sigma, truncate))
     radius = kernel.shape[0] // 2
     x = patterns.astype(jnp.float32)
@@ -270,7 +278,11 @@ def _gaussian_blur_spatial(
     kx = kernel.reshape(1, 1, 1, -1)
     dn = jax.lax.conv_dimension_numbers(x.shape, ky.shape, ("NCHW", "OIHW", "NCHW"))
     x = jax.lax.conv_general_dilated(x, ky, (1, 1), "VALID", dimension_numbers=dn)
+    if quantize_dtype is not None:
+        x = x.astype(quantize_dtype).astype(jnp.float32)
     x = jax.lax.conv_general_dilated(x, kx, (1, 1), "VALID", dimension_numbers=dn)
+    if quantize_dtype is not None:
+        x = x.astype(quantize_dtype).astype(jnp.float32)
     return x.reshape(lead + (sy, sx))
 
 
@@ -302,7 +314,17 @@ def get_dynamic_background(
     if filter_domain == "frequency":
         bg = _frequency_blur(p32, float(std), float(truncate))
     elif filter_domain == "spatial":
-        bg = _gaussian_blur_spatial(p32, float(std), float(truncate))
+        # The reference hands the raw array to scipy's gaussian_filter
+        # (``_pattern.py:689``), so integer input is filtered in integer
+        # arithmetic with truncation between the two 1D passes.
+        qdt = (
+            patterns.dtype
+            if jnp.issubdtype(patterns.dtype, jnp.integer)
+            else None
+        )
+        bg = _gaussian_blur_spatial(
+            p32, float(std), float(truncate), quantize_dtype=qdt
+        )
     else:
         raise ValueError(
             f"filter_domain must be 'frequency' or 'spatial', got {filter_domain!r}"

@@ -249,3 +249,47 @@ class TestPercentileConformance:
                 clipped = np.clip(p, lo, hi)
                 expected = (clipped - lo) / (hi - lo) * 2 - 1
                 np.testing.assert_allclose(out[i, j], expected, atol=1e-5)
+
+
+class TestGetDynamicBackgroundReferenceGoldens:
+    """Hard-coded expected backgrounds of the dummy pattern (0, 0) from
+    the reference test suite
+    (/root/reference/tests/test_pattern/test_pattern.py:282-328)."""
+
+    @pytest.mark.parametrize(
+        "std, truncate, answer",
+        [
+            (1, 4, [[4, 4, 4], [5, 4, 3], [4, 2, 1]]),
+            (2, 2, [[4, 4, 3], [4, 4, 4], [4, 4, 4]]),
+            (None, 4, [[4, 4, 4], [5, 4, 4], [5, 1, 0]]),
+        ],
+    )
+    def test_spatial(self, dummy_patterns, std, truncate, answer):
+        p = dummy_patterns[0, 0]
+        bg = np.asarray(
+            pat.get_dynamic_background(
+                p, filter_domain="spatial", std=std, truncate=truncate
+            )
+        )
+        assert np.allclose(bg, answer)
+
+    @pytest.mark.parametrize(
+        "std, dtype, answer",
+        [
+            (1, np.uint8, [[5, 5, 5], [5, 5, 4], [5, 4, 3]]),
+            (2, np.uint8, [[5, 5, 4], [5, 4, 4], [5, 4, 3]]),
+            (
+                1,
+                np.float32,
+                [
+                    [5.3672, 5.4999, 5.4016],
+                    [5.7932, 5.4621, 4.8999],
+                    [5.8638, 4.7310, 3.3672],
+                ],
+            ),
+        ],
+    )
+    def test_frequency(self, dummy_patterns, std, dtype, answer):
+        p = dummy_patterns[0, 0].astype(dtype)
+        bg = np.asarray(pat.get_dynamic_background(p, std=std))
+        assert np.allclose(bg, answer, atol=1e-4)
