@@ -145,6 +145,11 @@ class _EbspReader:
         all_present = bool(self.present.all())
 
         metadata = {"version": self.version}
+        if has_positions:
+            # Expose stored beam positions like the reference's
+            # original_metadata (``oxford_binary/_api.py``).
+            metadata["beam_x"] = np.asarray(mm["beam_x"], dtype=np.float64)
+            metadata["beam_y"] = np.asarray(mm["beam_y"], dtype=np.float64)
         if not all_present or not has_positions:
             nav_shape = (data.shape[0],)
         else:

@@ -423,3 +423,111 @@ class TestOxfordBinaryV5:
         assert s.navigation_shape == (3, 3)
         assert s.metadata["step_x"] == 2.0
         np.testing.assert_array_equal(np.asarray(s.data), expected)
+
+
+def _write_dummy_ebsp(
+    path, nav_shape=(2, 3), sig_shape=(60, 60), dtype=np.uint8, version=2,
+    all_present=True,
+):
+    """Port of the reference's dummy .ebsp writer
+    (/root/reference/conftest.py:501-578): version int64 (negated,
+    absent for v0), byte-position table (rolled by one; zero marks a
+    missing pattern), then records stored rolled by -1 in map order."""
+    nr, nc = nav_shape
+    sr, sc = sig_shape
+    n_patterns = nr * nc
+    n_pixels = sr * sc
+    n_bytes = n_pixels * np.dtype(dtype).itemsize
+    pattern_footer_size = 0 if version == 0 else (16 if version == 1 else 18)
+
+    with open(path, "wb") as f:
+        if version > 0:
+            np.array(-version, dtype=np.int64).tofile(f)
+        starts = np.arange(n_patterns, dtype=np.int64)
+        starts *= 16 + n_bytes + pattern_footer_size
+        starts += n_patterns * 8
+        if version in (1, 2, 3):
+            starts += 8
+        elif version > 3:
+            np.array(0, dtype=np.uint8).tofile(f)
+            starts += 9
+        starts = np.roll(starts, shift=1)
+        if not all_present:
+            starts[0] = 0
+        starts.tofile(f)
+        new_order = np.roll(np.arange(n_patterns), shift=-1)
+        if not all_present:
+            new_order = new_order[1:]
+        header = np.array([0, sr, sc, n_bytes], dtype=np.int32)
+        data = np.arange(n_patterns * n_pixels, dtype=dtype).reshape(
+            (nr, nc, sr, sc)
+        )
+        for i in new_order:
+            r, c = np.unravel_index(i, (nr, nc))
+            header.tofile(f)
+            data[r, c].tofile(f)
+            if version > 1:
+                np.array(1, dtype=bool).tofile(f)
+            if version > 0:
+                np.array(c, dtype=np.float64).tofile(f)
+            if version > 1:
+                np.array(1, dtype=bool).tofile(f)
+            if version > 0:
+                np.array(r, dtype=np.float64).tofile(f)
+    return data
+
+
+class TestOxfordBinaryVersionMatrix:
+    """Version/dtype matrix mirroring the reference's own synthetic
+    tests (/root/reference/tests/test_io/test_oxford_binary.py:60-130)."""
+
+    @pytest.mark.parametrize(
+        "version, dtype, nav_shape",
+        [
+            (2, np.uint8, (2, 3)),
+            (1, np.uint16, (2, 3)),
+            (4, np.uint8, (2, 3)),
+        ],
+    )
+    def test_versions_grid(self, tmp_path, version, dtype, nav_shape):
+        p = tmp_path / "dummy.ebsp"
+        data = _write_dummy_ebsp(p, version=version, dtype=dtype)
+        s = kp.load(p)
+        assert s.metadata["version"] == version
+        assert s.navigation_shape == nav_shape
+        assert np.asarray(s.data).dtype == np.dtype(dtype)
+        np.testing.assert_array_equal(np.asarray(s.data), data)
+
+    def test_version_0_flat(self, tmp_path):
+        p = tmp_path / "dummy.ebsp"
+        _write_dummy_ebsp(p, version=0)
+        s = kp.load(p)
+        assert s.metadata["version"] == 0
+        assert s.navigation_shape == (6,)
+
+    def test_not_all_patterns_present(self, tmp_path):
+        p = tmp_path / "dummy.ebsp"
+        _write_dummy_ebsp(p, version=2, all_present=False)
+        s = kp.load(p)
+        assert s.navigation_shape == (5,)
+        # Stored order is map order rolled by -1 with (0, 0) missing
+        # (reference test :77-84 asserts the same beam positions).
+        np.testing.assert_allclose(s.metadata["beam_y"], [0, 1, 1, 1, 0])
+        np.testing.assert_allclose(s.metadata["beam_x"], [2, 0, 1, 2, 0])
+
+    @pytest.mark.parametrize(
+        "nav_shape, sig_shape, n_patterns",
+        [((2, 3), (60, 60), 6), ((3, 4), (62, 73), 12)],
+    )
+    def test_guess_number_of_patterns(
+        self, tmp_path, nav_shape, sig_shape, n_patterns
+    ):
+        from kikuchipy_tpu.io.plugins.oxford_binary import _EbspReader
+
+        p = tmp_path / "dummy.ebsp"
+        _write_dummy_ebsp(p, nav_shape=nav_shape, sig_shape=sig_shape)
+        reader = _EbspReader(p)
+        try:
+            assert reader.n_patterns == n_patterns
+        finally:
+            reader.close()
