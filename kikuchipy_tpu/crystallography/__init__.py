@@ -3,6 +3,7 @@ reciprocal-lattice tools (replacing the reference's orix/diffsims
 dependencies)."""
 
 from kikuchipy_tpu.crystallography.crystal_map import CrystalMap, Phase, PhaseList
+from kikuchipy_tpu.crystallography.ipf import IPFColorKeyTSL, ipf_color
 from kikuchipy_tpu.crystallography.reciprocal import (
     Lattice,
     ReciprocalLatticeVectors,
@@ -30,6 +31,8 @@ from kikuchipy_tpu.crystallography.symmetry import (
 
 __all__ = [
     "CrystalMap",
+    "IPFColorKeyTSL",
+    "ipf_color",
     "Lattice",
     "centering_letter",
     "centering_translations",

@@ -139,3 +139,62 @@ class TestCrystalMap:
         assert len(pl) == 2
         pl.add(2, Phase("c"))
         assert pl.names == ["a", "b", "c"]
+
+
+class TestIPFColor:
+    def test_cubic_anchor_colors(self):
+        from kikuchipy_tpu.crystallography.ipf import ipf_color
+
+        identity = np.array([[1.0, 0, 0, 0]])
+        # Crystal 001 along sample Z -> red corner.
+        np.testing.assert_allclose(
+            ipf_color(identity, "m-3m"), [[1, 0, 0]], atol=1e-8
+        )
+        # Rotate crystal so 111 lies along Z -> blue corner; 45 deg
+        # about Y brings 101 to Z -> green corner.
+        from kikuchipy_tpu.geometry import quaternion as Q
+        import jax.numpy as jnp
+
+        a = np.deg2rad(45)
+        q_101 = np.array([[np.cos(a / 2), 0, np.sin(a / 2), 0]])
+        c = ipf_color(q_101, "m-3m")
+        # crystal direction of sample Z is q * z
+        np.testing.assert_allclose(c, [[0, 1, 0]], atol=1e-6)
+
+    def test_symmetry_invariance(self):
+        from kikuchipy_tpu.crystallography.ipf import ipf_color
+        from kikuchipy_tpu.crystallography.symmetry import get_point_group
+        from kikuchipy_tpu.crystallography.sampling import super_fibonacci
+        from kikuchipy_tpu.geometry import quaternion as Q
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        q = super_fibonacci(16)
+        pg = get_point_group("m-3m")
+        s = pg.rotations[rng.integers(0, pg.order, 16)]
+        sq = np.asarray(Q.multiply(jnp.asarray(s), jnp.asarray(q)))
+        np.testing.assert_allclose(
+            ipf_color(q, pg), ipf_color(sq, pg), atol=1e-8
+        )
+
+    def test_hexagonal_and_low_symmetry(self):
+        from kikuchipy_tpu.crystallography.ipf import ipf_color
+
+        identity = np.array([[1.0, 0, 0, 0]])
+        np.testing.assert_allclose(
+            ipf_color(identity, "6/mmm"), [[1, 0, 0]], atol=1e-8
+        )
+        c = ipf_color(identity, "-1")
+        assert c.shape == (1, 3) and (c >= 0).all() and (c <= 1).all()
+
+    def test_color_key_object(self):
+        from kikuchipy_tpu.crystallography.ipf import IPFColorKeyTSL
+        from kikuchipy_tpu.crystallography.crystal_map import CrystalMap
+        from kikuchipy_tpu.crystallography.sampling import super_fibonacci
+
+        key = IPFColorKeyTSL("m-3m")
+        xmap = CrystalMap(rotations=super_fibonacci(9), shape=(3, 3))
+        rgb = key.orientation2color(xmap)
+        assert rgb.shape == (9, 3)
+        assert (rgb >= 0).all() and (rgb <= 1).all()
+        assert "m-3m" in repr(key)
