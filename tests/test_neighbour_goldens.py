@@ -110,3 +110,74 @@ class TestAverageNeighbourGoldens:
         )
         np.testing.assert_array_equal(out_name, out_win)
         np.testing.assert_array_equal(out_name, CIRCULAR_33)
+
+
+class TestADPReferenceGoldens:
+    """Average-neighbour-dot-product map goldens on the real nickel
+    scan from the reference test suite
+    (/root/reference/tests/test_signals/test_ebsd.py:2197-2290)."""
+
+    @pytest.fixture(scope="class")
+    def nickel(self):
+        import kikuchipy_tpu as kp
+
+        return kp.load(
+            "/root/reference/src/kikuchipy/data/kikuchipy_h5ebsd/patterns.h5"
+        )
+
+    DEFAULT = [
+        [0.995679, 0.996117, 0.997220],
+        [0.996363, 0.996561, 0.997252],
+        [0.995731, 0.996134, 0.997048],
+    ]
+
+    def test_default_circular(self, nickel):
+        adp = np.asarray(nickel.get_average_neighbour_dot_product_map())
+        assert np.allclose(adp, self.DEFAULT, atol=1e-5)
+        assert adp.dtype == np.float32
+
+    def test_rectangular_window(self, nickel):
+        from kikuchipy_tpu.filters import Window
+
+        adp = np.asarray(
+            nickel.get_average_neighbour_dot_product_map(
+                window=Window("rectangular")
+            )
+        )
+        assert np.allclose(
+            adp,
+            [
+                [0.995135, 0.995891, 0.997144],
+                [0.995425, 0.996032, 0.997245],
+                [0.995160, 0.995959, 0.997019],
+            ],
+            atol=1e-5,
+        )
+
+    def test_zero_mean_false(self, nickel):
+        adp = np.asarray(
+            nickel.get_average_neighbour_dot_product_map(zero_mean=False)
+        )
+        assert np.allclose(
+            adp,
+            [
+                [0.999663, 0.999699, 0.999785],
+                [0.999717, 0.999733, 0.999786],
+                [0.999666, 0.999698, 0.999769],
+            ],
+            atol=1e-5,
+        )
+
+    def test_normalize_false(self, nickel):
+        adp = np.asarray(
+            nickel.get_average_neighbour_dot_product_map(normalize=False)
+        )
+        assert np.allclose(
+            adp,
+            [
+                [6402544, 6398041.5, 6434939.5],
+                [6411949.5, 6409170, 6464348],
+                [6451061, 6456555.5, 6489456],
+            ],
+            atol=1e-5,
+        )
