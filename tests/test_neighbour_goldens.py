@@ -181,3 +181,66 @@ class TestADPReferenceGoldens:
             ],
             atol=1e-5,
         )
+
+
+class TestDPMatricesReferenceGoldens:
+    """Neighbour dot-product matrix goldens on the real nickel scan
+    (/root/reference/tests/test_signals/test_ebsd.py:2408-2530)."""
+
+    @pytest.fixture(scope="class")
+    def nickel(self):
+        import kikuchipy_tpu as kp
+
+        return kp.load(
+            "/root/reference/src/kikuchipy/data/kikuchipy_h5ebsd/patterns.h5"
+        )
+
+    def test_windows(self, nickel):
+        from kikuchipy_tpu.filters import Window
+
+        cases = [
+            (
+                Window("circular", shape=(3, 3)),
+                [
+                    [np.nan, 0.997347, np.nan],
+                    [0.994177, 1, 0.997358],
+                    [np.nan, 0.997360, np.nan],
+                ],
+            ),
+            (
+                Window("rectangular", shape=(3, 3)),
+                [
+                    [0.994048, 0.997347, 0.996990],
+                    [0.994177, 1, 0.997358],
+                    [0.994017, 0.997360, 0.996960],
+                ],
+            ),
+            (
+                Window("rectangular", shape=(3, 2)),
+                [[0.994048, 0.997347], [0.994177, 1], [0.994017, 0.997360]],
+            ),
+            (
+                Window("rectangular", shape=(2, 3)),
+                [[0.994048, 0.997347, 0.996990], [0.994177, 1, 0.997358]],
+            ),
+        ]
+        for window, want in cases:
+            dp = np.asarray(
+                nickel.get_neighbour_dot_product_matrices(window=window)
+            )
+            assert np.allclose(dp[1, 1], want, atol=1e-5, equal_nan=True)
+
+    def test_zero_mean_false(self, nickel):
+        dp = np.asarray(
+            nickel.get_neighbour_dot_product_matrices(zero_mean=False)
+        )
+        assert np.allclose(
+            dp[1, 1],
+            [
+                [np.nan, 0.999796, np.nan],
+                [0.999547, 1, 0.999794],
+                [np.nan, 0.999796, np.nan],
+            ],
+            atol=1e-5,
+            equal_nan=True,
+        )
