@@ -291,3 +291,52 @@ class TestMultihost:
             scores, np.asarray(ref.scores), rtol=0, atol=2e-6
         )
         assert idx[2, 0] == 3
+
+
+class TestMultiPhaseShardedDI:
+    """BASELINE config 5 shape: two phases indexed with the dictionary
+    axis sharded over the mesh, then merged into a multi-phase map with
+    merge_crystal_maps — verified identical to the single-device path
+    on the virtual 8-device mesh."""
+
+    def test_two_phase_sharded_merge(self, devices):
+        from kikuchipy_tpu.crystallography.crystal_map import (
+            CrystalMap,
+            Phase,
+            PhaseList,
+        )
+        from kikuchipy_tpu.crystallography.sampling import super_fibonacci
+        from kikuchipy_tpu.indexing.merge import merge_crystal_maps
+
+        rng = np.random.default_rng(11)
+        n, d, m = 24, 16 * 16, 96
+        exp = rng.normal(size=(n, 16, 16)).astype(np.float32)
+        dict_a = rng.normal(size=(m, 16, 16)).astype(np.float32)
+        dict_b = rng.normal(size=(m, 16, 16)).astype(np.float32)
+        # Make phase A clearly win the first half of the scan and B the
+        # second half by embedding the experimental patterns.
+        dict_a[:12] = exp[:12] + 0.05 * dict_a[:12]
+        dict_b[:12] = exp[12:] + 0.05 * dict_b[:12]
+        rot_a = super_fibonacci(m)
+        rot_b = super_fibonacci(m)
+
+        mesh = make_mesh(2, 4)
+
+        def index_phase(dic, rot, name, sg):
+            scores, idx = sharded_dictionary_index(exp, dic, keep_n=4, mesh=mesh)
+            ref = dictionary_index(exp, dictionary=dic, keep_n=4)
+            np.testing.assert_array_equal(idx, ref.simulation_indices)
+            np.testing.assert_allclose(scores, ref.scores, atol=1e-5)
+            return CrystalMap(
+                rotations=rot[idx],
+                shape=(n,),
+                prop={"scores": scores, "simulation_indices": idx},
+                phases=PhaseList(Phase(name, space_group=sg)),
+            )
+
+        xmap_a = index_phase(dict_a, rot_a, "a", 225)
+        xmap_b = index_phase(dict_b, rot_b, "b", 194)
+        merged = merge_crystal_maps([xmap_a, xmap_b])
+        assert (merged.phase_id[:12] == 0).all()
+        assert (merged.phase_id[12:] == 1).all()
+        assert merged.phases.names == ["a", "b"]
