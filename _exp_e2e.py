@@ -42,7 +42,7 @@ print(f"DI {N}x{M}: {t_di:.1f}s ({N/t_di:.0f} pps)", flush=True)
 
 t0 = time.perf_counter()
 res = pre.refine_orientation(xmap=xmap, detector=det, master_pattern=mp, energy=20,
-                             signal_mask=mask, method="nm", nav_chunk=8192)
+                             signal_mask=mask, method="nm")
 t_ref = time.perf_counter() - t0
 print(f"refinement: {t_ref:.1f}s ({N/t_ref:.0f} pps)", flush=True)
 total = t_pre + t_dict + t_di + t_ref

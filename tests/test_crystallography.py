@@ -198,3 +198,37 @@ class TestIPFColor:
         assert rgb.shape == (9, 3)
         assert (rgb >= 0).all() and (rgb <= 1).all()
         assert "m-3m" in repr(key)
+
+
+class TestCrystalMapPlot:
+    def test_plot_modes(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from kikuchipy_tpu.crystallography.crystal_map import (
+            CrystalMap,
+            Phase,
+            PhaseList,
+        )
+        from kikuchipy_tpu.crystallography.sampling import super_fibonacci
+
+        xmap = CrystalMap(
+            rotations=super_fibonacci(9),
+            shape=(3, 3),
+            prop={"scores": np.linspace(0, 1, 9)},
+            phases=PhaseList(Phase("ni", space_group=225)),
+        )
+        fig = xmap.plot(return_figure=True)  # IPF map
+        img = fig.axes[0].images[0].get_array()
+        assert img.shape == (3, 3, 3)
+        plt.close(fig)
+        fig = xmap.plot("scores", colorbar=True, return_figure=True)
+        plt.close(fig)
+        fig = xmap.plot(overlay="scores", return_figure=True)
+        plt.close(fig)
+        # Non-indexed points render gray, not an error.
+        xmap.phase_id[0] = -1
+        fig = xmap.plot(return_figure=True)
+        plt.close(fig)
