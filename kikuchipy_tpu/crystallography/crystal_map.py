@@ -171,12 +171,30 @@ class CrystalMap:
         v = self.prop[key]
         return np.asarray(v).reshape(self.shape + v.shape[1:])
 
+    def get_map_data(self, key: str) -> np.ndarray:
+        """orix-compatible alias of :meth:`get_map` (used throughout
+        the reference's tutorials as ``xmap.get_map_data("scores")``)."""
+        return self.get_map(key)
+
+    @property
+    def is_indexed(self) -> np.ndarray:
+        """Boolean mask of indexed points (``phase_id >= 0``)."""
+        return np.asarray(self.phase_id) >= 0
+
     def __getitem__(self, key):
         """``xmap["scores"]`` returns a property array; a boolean mask
         of length ``size`` returns a new sub-map (flattened shape), like
         orix's ``CrystalMap.__getitem__`` used by the reference's
         ``extract_grid`` (``ebsd.py:330-336``)."""
         if isinstance(key, str):
+            # orix idioms: phase-name / indexed-state sub-map selection.
+            if key == "indexed":
+                return self[self.is_indexed]
+            if key == "not_indexed":
+                return self[~self.is_indexed]
+            if key in self.phases.names and key not in self.prop:
+                pid = self.phases.ids[self.phases.names.index(key)]
+                return self[np.asarray(self.phase_id) == pid]
             return self.prop[key]
         mask = np.asarray(key)
         if mask.dtype != bool or mask.shape != (self.size,):

@@ -232,3 +232,42 @@ class TestCrystalMapPlot:
         xmap.phase_id[0] = -1
         fig = xmap.plot(return_figure=True)
         plt.close(fig)
+
+
+class TestCrystalMapOrixIdioms:
+    def _xmap(self):
+        from kikuchipy_tpu.crystallography.crystal_map import (
+            CrystalMap, Phase, PhaseList,
+        )
+        from kikuchipy_tpu.crystallography.sampling import super_fibonacci
+
+        phases = PhaseList(Phase("ni", space_group=225))
+        phases.add(1, Phase("ti", space_group=194))
+        xmap = CrystalMap(
+            rotations=super_fibonacci(9),
+            phase_id=np.array([0, 0, 1, 1, 1, -1, 0, 1, 0]),
+            shape=(3, 3),
+            prop={"scores": np.arange(9, dtype=float)},
+            phases=phases,
+        )
+        return xmap
+
+    def test_get_map_data_alias(self):
+        xmap = self._xmap()
+        np.testing.assert_array_equal(
+            xmap.get_map_data("scores"), xmap.get_map("scores")
+        )
+
+    def test_indexed_selection(self):
+        xmap = self._xmap()
+        assert xmap["indexed"].size == 8
+        assert xmap["not_indexed"].size == 1
+        np.testing.assert_array_equal(xmap["not_indexed"].prop["scores"], [5])
+
+    def test_phase_name_selection(self):
+        xmap = self._xmap()
+        ni = xmap["ni"]
+        assert ni.size == 4
+        np.testing.assert_array_equal(ni.prop["scores"], [0, 1, 6, 8])
+        # Property names still win when they collide.
+        np.testing.assert_array_equal(xmap["scores"], np.arange(9.0))
