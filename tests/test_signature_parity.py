@@ -99,6 +99,12 @@ CLASS_CHECKS = [
 ]
 
 FUNCTION_CHECKS = [
+    (REF / "draw/_navigators.py", "get_rgb_navigator", kp.draw),
+    (
+        REF / "draw/_plot_pattern_positions_in_map.py",
+        "plot_pattern_positions_in_map",
+        kp.draw,
+    ),
     (REF / "indexing/_merge_crystal_maps.py", "merge_crystal_maps", kp.indexing),
     (
         REF / "indexing/_orientation_similarity_map.py",
