@@ -531,3 +531,71 @@ class TestOxfordBinaryVersionMatrix:
             assert reader.n_patterns == n_patterns
         finally:
             reader.close()
+
+
+class TestHDF5FootprintSniffing:
+    """Plugin disambiguation on generic .h5 paths (reference
+    io/_io.py:198-276 footprint logic)."""
+
+    def test_manufacturer_strings(self, tmp_path, dummy_patterns):
+        import h5py
+        from kikuchipy_tpu.io._io import _sniff_hdf5_plugin
+
+        cases = [
+            (b"kikuchipy", "kikuchipy_h5ebsd"),
+            (b"EDAX", "edax_h5ebsd"),
+            (b"Bruker Nano", "bruker_h5ebsd"),
+        ]
+        for man, plugin in cases:
+            p = tmp_path / f"{plugin}.h5"
+            with h5py.File(p, "w") as f:
+                f.create_dataset("Manufacturer", data=man)
+            assert _sniff_hdf5_plugin(p) == plugin
+        # EDAX-style stray whitespace in the key.
+        p = tmp_path / "edax_ws.h5"
+        with h5py.File(p, "w") as f:
+            f.create_dataset(" Manufacturer", data=np.array([b"EDAX"]))
+        assert _sniff_hdf5_plugin(p) == "edax_h5ebsd"
+
+    def test_emsoft_and_oxford_footprints(self, tmp_path):
+        import h5py
+        from kikuchipy_tpu.io._io import _sniff_hdf5_plugin
+
+        for group, plugin in [
+            ("EMData/EBSDmaster", "emsoft_ebsd_master_pattern"),
+            ("EMData/ECPmaster", "emsoft_ecp_master_pattern"),
+            ("EMData/TKDmaster", "emsoft_tkd_master_pattern"),
+            ("EMData/EBSD", "emsoft_ebsd"),
+        ]:
+            p = tmp_path / f"{plugin}.h5"
+            with h5py.File(p, "w") as f:
+                f.create_group(group)
+            assert _sniff_hdf5_plugin(p) == plugin
+        p = tmp_path / "oina.h5"
+        with h5py.File(p, "w") as f:
+            f.create_dataset("Format Version", data=b"7.0")
+        assert _sniff_hdf5_plugin(p) == "oxford_h5ebsd"
+
+    def test_unknown_flavor_raises(self, tmp_path):
+        import h5py
+        from kikuchipy_tpu.io._io import _sniff_hdf5_plugin
+
+        p = tmp_path / "mystery.h5"
+        with h5py.File(p, "w") as f:
+            f.create_group("nothing_recognizable")
+        with pytest.raises(IOError, match="flavor"):
+            _sniff_hdf5_plugin(p)
+
+    def test_load_routes_real_files_via_sniffing(self):
+        import kikuchipy_tpu as kp
+
+        # Real files with .h5 extensions route through the sniffer.
+        s = kp.load(
+            "/root/reference/src/kikuchipy/data/kikuchipy_h5ebsd/patterns.h5"
+        )
+        assert s.navigation_shape == (3, 3)
+        mp = kp.load(
+            "/root/reference/src/kikuchipy/data/emsoft_ebsd_master_pattern/"
+            "ni_mc_mp_20kv_uint8_gzip_opts9.h5"
+        )
+        assert mp.data.shape[-2:] == (401, 401)
