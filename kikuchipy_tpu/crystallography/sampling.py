@@ -24,6 +24,10 @@ import jax.numpy as jnp
 from kikuchipy_tpu.crystallography.symmetry import PointGroup, get_point_group
 
 __all__ = [
+    "cu2ho",
+    "cubochoric_sampling",
+    "get_sample_fundamental",
+    "ho2qu",
     "super_fibonacci",
     "in_fundamental_zone",
     "sample_fundamental_zone",
@@ -168,6 +172,148 @@ def sample_fundamental_zone(
     quats = super_fibonacci(n_total)
     keep = np.zeros(n_total, dtype=bool)
     for start in range(0, n_total, batch):
+        block = quats[start : start + batch]
+        keep[start : start + block.shape[0]] = in_fundamental_zone(
+            block, point_group
+        )
+    return quats[keep]
+
+
+# ----------------------- Cubochoric sampling ----------------------- #
+# The reference's dictionaries come from orix's cubochoric grid
+# (``orix.sampling.get_sample_fundamental``, used in
+# /root/reference/benchmarks/indexing/test_dictionary_indexing.py:38);
+# this is the same Rosca-De Graef equal-volume cube-to-ball mapping
+# (Rosca, Morawiec & De Graef, MSMSE 22 (2014) 075013), with the
+# homochoric inversion solved exactly by bisection instead of orix/
+# EMsoft's 16-coefficient polynomial fit.
+
+_AP = np.pi ** (2.0 / 3.0)  # cubochoric cube edge length
+_A_LAM = np.pi ** (5.0 / 6.0) / 6.0 ** (1.0 / 6.0)
+_BETA = _A_LAM / 2.0
+_SC = _A_LAM / _AP
+_R1 = (3.0 * np.pi / 4.0) ** (1.0 / 3.0)  # homochoric ball radius
+_PREK = _R1 * 2.0 ** 0.25 / _BETA
+_PRED = np.sqrt(6.0 / np.pi)
+
+
+def cu2ho(cu: np.ndarray) -> np.ndarray:
+    """Cubochoric -> homochoric coordinates (vectorized forward map;
+    face center (0, 0, ap/2) maps to (0, 0, R1), the 180-degree
+    rotation about z)."""
+    cu = np.atleast_2d(np.asarray(cu, dtype=np.float64))
+    x, y, z = cu[:, 0], cu[:, 1], cu[:, 2]
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    pyr_z = (ax <= az) & (ay <= az)
+    pyr_x = ~pyr_z & (az <= ax) & (ay <= ax)
+    pyr_y = ~pyr_z & ~pyr_x
+
+    # Permute so the largest-|.| component is the local z.
+    X = np.where(pyr_z, x, np.where(pyr_x, y, z))
+    Y = np.where(pyr_z, y, np.where(pyr_x, z, x))
+    Z = np.where(pyr_z, z, np.where(pyr_x, x, y))
+
+    X, Y, Z = X * _SC, Y * _SC, Z * _SC
+
+    swap = np.abs(Y) > np.abs(X)
+    U = np.where(swap, Y, X)
+    V = np.where(swap, X, Y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.pi / 12.0 * np.where(U != 0, V / U, 0.0)
+    c, s = np.cos(q), np.sin(q)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        qq = _PREK * U / np.sqrt(np.sqrt(2.0) - c)
+    T1p = (np.sqrt(2.0) * c - 1.0) * qq
+    T2p = np.sqrt(2.0) * s * qq
+    T1 = np.where(swap, T2p, T1p)
+    T2 = np.where(swap, T1p, T2p)
+
+    c2 = T1 * T1 + T2 * T2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s2 = np.pi * c2 / (24.0 * Z * Z)
+        c3 = np.sqrt(np.pi) * c2 / np.sqrt(24.0) / Z
+    qz = np.sqrt(np.maximum(1.0 - s2, 0.0))
+    hx = T1 * qz
+    hy = T2 * qz
+    hz = _PRED * Z - c3
+    zero = (ax == 0) & (ay == 0) & (az == 0)
+    hx, hy, hz = (np.where(zero, 0.0, v) for v in (hx, hy, hz))
+
+    # Invert the pyramid permutation.
+    ox = np.where(pyr_z, hx, np.where(pyr_x, hz, hy))
+    oy = np.where(pyr_z, hy, np.where(pyr_x, hx, hz))
+    oz = np.where(pyr_z, hz, np.where(pyr_x, hy, hx))
+    return np.stack([ox, oy, oz], axis=-1)
+
+
+def ho2qu(ho: np.ndarray, n_bisect: int = 60) -> np.ndarray:
+    """Homochoric -> unit quaternions; the rotation angle solves
+    ``|h| = (3/4 (w - sin w))^(1/3)`` exactly (bisection)."""
+    ho = np.atleast_2d(np.asarray(ho, dtype=np.float64))
+    hm = np.linalg.norm(ho, axis=-1)
+    target = np.clip(hm, 0.0, _R1) ** 3
+    lo = np.zeros_like(target)
+    hi = np.full_like(target, np.pi)
+    for _ in range(n_bisect):
+        mid = 0.5 * (lo + hi)
+        f = 0.75 * (mid - np.sin(mid))
+        lo = np.where(f < target, mid, lo)
+        hi = np.where(f < target, hi, mid)
+    omega = 0.5 * (lo + hi)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        axis = np.where(hm[:, None] > 0, ho / hm[:, None], 0.0)
+    q = np.concatenate(
+        [np.cos(omega / 2.0)[:, None], axis * np.sin(omega / 2.0)[:, None]],
+        axis=-1,
+    )
+    q[hm == 0] = [1.0, 0.0, 0.0, 0.0]
+    return q
+
+
+def cubochoric_sampling(
+    semi_edge_steps: int | None = None, resolution: float | None = None
+) -> np.ndarray:
+    """All ``(2N+1)^3`` cubochoric grid quaternions (EMsoft/orix grid:
+    ``N = ceil(131.97049 / (resolution_deg - 0.03732))``)."""
+    if semi_edge_steps is None:
+        if resolution is None:
+            raise ValueError("Pass semi_edge_steps or resolution")
+        # orix's EMsoft-derived relation (number of 100+ degree... the
+        # constant maps resolution in degrees to semi-edge steps):
+        # ceil(131.97049 / res - 0.03732) -> 22 steps at 6 deg, giving
+        # the reference benchmark's "about 3600" m-3m orientations.
+        semi_edge_steps = int(np.ceil(131.97049 / resolution - 0.03732))
+    n = semi_edge_steps
+    step = (_AP / 2.0) / n
+    grid = np.arange(-n, n + 1, dtype=np.float64) * step
+    cu = np.stack(
+        np.meshgrid(grid, grid, grid, indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+    return ho2qu(cu2ho(cu))
+
+
+def get_sample_fundamental(
+    resolution: float = 2.0,
+    point_group: PointGroup | str = "m-3m",
+    method: str = "cubochoric",
+) -> np.ndarray:
+    """Orientations sampling the fundamental zone, orix-compatible
+    entry point (``orix.sampling.get_sample_fundamental``): cubochoric
+    grid at ``resolution`` degrees reduced to the point group's
+    fundamental zone. ``method="super_fibonacci"`` selects this
+    framework's spiral sampling instead."""
+    if isinstance(point_group, str):
+        point_group = get_point_group(point_group)
+    if method == "super_fibonacci":
+        return sample_fundamental_zone(resolution, point_group)
+    if method != "cubochoric":
+        raise ValueError(
+            f"method must be 'cubochoric' or 'super_fibonacci', got {method!r}"
+        )
+    quats = cubochoric_sampling(resolution=resolution)
+    keep = np.zeros(quats.shape[0], dtype=bool)
+    batch = 1 << 19
+    for start in range(0, quats.shape[0], batch):
         block = quats[start : start + batch]
         keep[start : start + block.shape[0]] = in_fundamental_zone(
             block, point_group

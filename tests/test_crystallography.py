@@ -271,3 +271,56 @@ class TestCrystalMapOrixIdioms:
         np.testing.assert_array_equal(ni.prop["scores"], [0, 1, 6, 8])
         # Property names still win when they collide.
         np.testing.assert_array_equal(xmap["scores"], np.arange(9.0))
+
+
+class TestCubochoricSampling:
+    def test_anchors(self):
+        from kikuchipy_tpu.crystallography import sampling as S
+
+        np.testing.assert_allclose(
+            S.cu2ho([[0, 0, S._AP / 2]]), [[0, 0, S._R1]], atol=1e-12
+        )
+        q = S.ho2qu([[0, 0, S._R1]])
+        np.testing.assert_allclose(q, [[0, 0, 0, 1]], atol=1e-10)
+        np.testing.assert_allclose(
+            S.ho2qu([[0, 0, 0]]), [[1, 0, 0, 0]], atol=1e-15
+        )
+
+    def test_equal_volume(self):
+        # Uniform cube points must give the SO(3) angle density
+        # (1 - cos w) / pi.
+        from kikuchipy_tpu.crystallography import sampling as S
+
+        rng = np.random.default_rng(0)
+        cu = rng.uniform(-S._AP / 2, S._AP / 2, (200000, 3))
+        q = S.ho2qu(S.cu2ho(cu))
+        ang = 2 * np.arccos(np.clip(np.abs(q[:, 0]), 0, 1))
+        hist, edges = np.histogram(
+            ang, bins=20, range=(0, np.pi), density=True
+        )
+        centers = 0.5 * (edges[1:] + edges[:-1])
+        expected = (1 - np.cos(centers)) / np.pi
+        assert np.abs(hist - expected).max() / expected.max() < 0.03
+
+    def test_grid_count_and_fz(self):
+        from kikuchipy_tpu.crystallography.sampling import (
+            cubochoric_sampling,
+            get_sample_fundamental,
+            in_fundamental_zone,
+        )
+
+        q = cubochoric_sampling(semi_edge_steps=5)
+        assert q.shape == (11 ** 3, 4)
+        np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=1e-12)
+        r = get_sample_fundamental(6.0, "m-3m")
+        assert in_fundamental_zone(r, "m-3m").all()
+        # The reference benchmark's "about 3600" orientations at 6 deg.
+        assert 3400 <= r.shape[0] <= 3800
+
+    def test_super_fibonacci_method(self):
+        from kikuchipy_tpu.crystallography.sampling import (
+            get_sample_fundamental,
+        )
+
+        r = get_sample_fundamental(8.0, "m-3m", method="super_fibonacci")
+        assert r.shape[1] == 4

@@ -256,3 +256,30 @@ class TestProjectionReferenceGoldens:
             [-1.33, 5.93],
             atol=1e-2,
         )
+
+
+class TestReferenceBenchmarkParity:
+    """The reference's own DI benchmark criterion reproduced end to end
+    (/root/reference/benchmarks/indexing/test_dictionary_indexing.py):
+    cubochoric 6-degree m-3m sampling (orix's grid; 3557 orientations,
+    the docstring's "about 3600"), projection through a (0.42, 0.22,
+    0.50) detector, circular mask, keep_n=1 — mean top NCC must hit the
+    reference's asserted 0.1887 +- 1e-4."""
+
+    def test_mean_top_ncc_matches_reference_benchmark(self, nickel, master):
+        from kikuchipy_tpu.crystallography.sampling import (
+            get_sample_fundamental,
+        )
+
+        rot = get_sample_fundamental(6.0, "m-3m")
+        assert 3400 <= rot.shape[0] <= 3800  # "about 3600"
+        s = nickel.remove_static_background().remove_dynamic_background()
+        det = kp.detectors.EBSDDetector(
+            shape=(60, 60), pc=(0.42, 0.22, 0.50), sample_tilt=70
+        )
+        dic = master.get_patterns(rot, det, energy=20)
+        mask = ~np.asarray(Window("circular", (60, 60)), dtype=bool)
+        xmap = s.dictionary_indexing(dic, keep_n=1, signal_mask=mask)
+        assert np.isclose(
+            np.mean(xmap.prop["scores"]), 0.1887, atol=1e-4
+        )
