@@ -249,6 +249,64 @@ def _adam_minimize_batched(
     return x_best, f_best
 
 
+def _refine_with_navigation_mask(
+    refine_fn, signal, xmap, detector, navigation_mask, kwargs
+) -> RefinementResult:
+    """Refine only the unmasked points (reference convention:
+    ``navigation_mask`` True = exclude) and scatter the results back
+    onto the full grid; excluded points keep their input orientation/
+    PC with NaN score and zero evaluations."""
+    import dataclasses as _dc
+
+    n = signal.navigation_size
+    nav_shape = signal.navigation_shape
+    nav_mask = np.asarray(navigation_mask).ravel()
+    if nav_mask.size != n:
+        raise ValueError(
+            f"navigation_mask has {nav_mask.size} elements, expected {n}"
+        )
+    keep = ~nav_mask
+    data = np.asarray(signal.data).reshape((n,) + signal.signal_shape)[keep]
+    det_sub = detector
+    if detector is not None and detector.navigation_size == n:
+        det_sub = _dc.replace(detector, pc=detector.pc_flattened[keep])
+    sub_signal = _dc.replace(signal, data=data, detector=det_sub, xmap=None)
+    sub_xmap = xmap[keep]
+    res = refine_fn(
+        sub_signal, xmap=sub_xmap, detector=det_sub, **kwargs
+    )
+
+    rot_full = np.asarray(xmap.best_rotations).copy()
+    rot_full[keep] = np.asarray(res.xmap.best_rotations)
+    scores = np.full(n, np.nan)
+    scores[keep] = np.asarray(res.xmap.prop["scores"])
+    nev = np.zeros(n, dtype=np.int64)
+    nev[keep] = np.asarray(res.xmap.prop["num_evals"])
+    new_xmap = _finalize_xmap(xmap, rot_full, scores, nev, nav_shape)
+
+    det_new = res.detector
+    if (
+        det_new is not None
+        and detector is not None
+        and not np.array_equal(
+            np.asarray(det_new.pc), np.asarray(det_sub.pc)
+        )
+    ):
+        pc_full = np.broadcast_to(
+            detector.pc.reshape(-1, 3), (n, 3)
+        ).astype(np.float64).copy()
+        pc_full[keep] = np.asarray(det_new.pc).reshape(-1, 3)
+        det_new = _dc.replace(
+            detector,
+            pc=pc_full.reshape(
+                nav_shape + (3,) if len(nav_shape) == 2 else (-1, 3)
+            ),
+        )
+    else:
+        det_new = detector
+    return RefinementResult(xmap=new_xmap, detector=det_new)
+
+
 def refine_orientation(
     signal,
     xmap: CrystalMap | None = None,
@@ -256,6 +314,7 @@ def refine_orientation(
     master_pattern=None,
     energy: float | None = None,
     signal_mask: np.ndarray | None = None,
+    navigation_mask: np.ndarray | None = None,
     pseudo_symmetry_ops: np.ndarray | None = None,
     trust_region=None,
     max_iters: int = 150,
@@ -277,6 +336,21 @@ def refine_orientation(
     _refinement.py`` pseudo-symmetry support).
     """
     method = _normalize_method(method)
+    if navigation_mask is not None:
+        return _refine_with_navigation_mask(
+            refine_orientation,
+            signal,
+            xmap if xmap is not None else signal.xmap,
+            detector if detector is not None else signal.detector,
+            navigation_mask,
+            dict(
+                master_pattern=master_pattern, energy=energy,
+                signal_mask=signal_mask,
+                pseudo_symmetry_ops=pseudo_symmetry_ops,
+                trust_region=trust_region, max_iters=max_iters, rtol=rtol,
+                method=method, nav_chunk=nav_chunk,
+            ),
+        )
     if pseudo_symmetry_ops is not None:
         return _refine_orientation_pseudo_symmetry(
             signal, xmap, detector, master_pattern, energy, signal_mask,
@@ -431,6 +505,7 @@ def refine_projection_center(
     master_pattern=None,
     energy: float | None = None,
     signal_mask: np.ndarray | None = None,
+    navigation_mask: np.ndarray | None = None,
     trust_region=None,
     max_iters: int = 150,
     rtol: float = 1e-4,
@@ -448,6 +523,19 @@ def refine_projection_center(
     method = _normalize_method(method)
     xmap = xmap if xmap is not None else signal.xmap
     detector = detector if detector is not None else signal.detector
+    if navigation_mask is not None:
+        return _refine_with_navigation_mask(
+            refine_projection_center,
+            signal,
+            xmap,
+            detector,
+            navigation_mask,
+            dict(
+                master_pattern=master_pattern, energy=energy,
+                signal_mask=signal_mask, trust_region=trust_region,
+                max_iters=max_iters, rtol=rtol, method=method,
+            ),
+        )
     nav_shape = signal.navigation_shape
     n = signal.navigation_size
 
@@ -547,6 +635,7 @@ def refine_orientation_projection_center(
     master_pattern=None,
     energy: float | None = None,
     signal_mask: np.ndarray | None = None,
+    navigation_mask: np.ndarray | None = None,
     trust_region=None,
     max_iters: int = 200,
     rtol: float = 1e-4,
@@ -566,6 +655,19 @@ def refine_orientation_projection_center(
     method = _normalize_method(method)
     xmap = xmap if xmap is not None else signal.xmap
     detector = detector if detector is not None else signal.detector
+    if navigation_mask is not None:
+        return _refine_with_navigation_mask(
+            refine_orientation_projection_center,
+            signal,
+            xmap,
+            detector,
+            navigation_mask,
+            dict(
+                master_pattern=master_pattern, energy=energy,
+                signal_mask=signal_mask, trust_region=trust_region,
+                max_iters=max_iters, rtol=rtol, method=method,
+            ),
+        )
     nav_shape = signal.navigation_shape
     n = signal.navigation_size
 

@@ -317,3 +317,97 @@ class TestMethodNameCompat:
             s.refine_orientation(
                 master_pattern=mp, method="differential_evolution"
             )
+
+
+class TestReferenceRefinementBenchmarkParity:
+    """The reference's refinement benchmark criteria reproduced
+    (/root/reference/benchmarks/indexing/test_refinement.py:25-115):
+    its exact start orientations and (0.42, 0.22, 0.50) detector on the
+    real nickel scan, with the circular mask."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        import kikuchipy_tpu as kp
+        from kikuchipy_tpu.crystallography.crystal_map import (
+            CrystalMap, Phase, PhaseList,
+        )
+        from kikuchipy_tpu.filters.window import Window
+        from kikuchipy_tpu.geometry import quaternion as Q
+
+        s = kp.load(
+            "/root/reference/src/kikuchipy/data/kikuchipy_h5ebsd/patterns.h5"
+        )
+        s = s.remove_static_background().remove_dynamic_background()
+        mp = kp.load(
+            "/root/reference/src/kikuchipy/data/emsoft_ebsd_master_pattern/"
+            "ni_mc_mp_20kv_uint8_gzip_opts9.h5",
+            projection="lambert",
+            hemisphere="both",
+        )
+        rot1 = np.deg2rad([258, 58, 1])
+        rot2 = np.deg2rad([292, 62, 182])
+        eulers = np.array(
+            [rot1, rot2, rot2, rot1, rot2, rot2, rot1, rot2, rot2]
+        )
+        rot = np.asarray(Q.from_euler(eulers))
+        xmap = CrystalMap(
+            rotations=rot,
+            shape=(3, 3),
+            phases=PhaseList(Phase("ni", space_group=225)),
+        )
+        det = kp.detectors.EBSDDetector(
+            shape=(60, 60), pc=(0.42, 0.22, 0.50), sample_tilt=70
+        )
+        mask = ~np.asarray(Window("circular", (60, 60)), dtype=bool)
+        return s, mp, rot, xmap, det, mask
+
+    def test_refine_orientation_within_benchmark_tolerance(self, setup):
+        s, mp, rot, xmap, det, mask = setup
+        res = s.refine_orientation(
+            xmap=xmap, detector=det, master_pattern=mp, energy=20,
+            signal_mask=mask,
+        )
+        qr = np.asarray(res.xmap.rotations)
+        # The reference asserts plain rotation angle < 0.8 deg
+        # (orix angle_with).
+        dot = np.abs(np.sum(qr * rot, axis=1))
+        ang = np.rad2deg(2 * np.arccos(np.clip(dot, 0, 1)))
+        assert np.all(ang < 0.8), ang
+
+    def test_refine_pc_matches_benchmark_average(self, setup):
+        s, mp, rot, xmap, det, mask = setup
+        res = s.refine_projection_center(
+            xmap=xmap, detector=det, master_pattern=mp, energy=20,
+            signal_mask=mask,
+        )
+        assert np.allclose(
+            res.detector.pc_average, [0.417, 0.219, 0.503], atol=1e-3
+        ), res.detector.pc_average
+
+    def test_navigation_mask_refines_subset_only(self, setup):
+        s, mp, rot, xmap, det, mask = setup
+        nav_mask = np.ones((3, 3), dtype=bool)
+        nav_mask[0, 0] = False  # the reference's priming call shape
+        res = s.refine_orientation(
+            xmap=xmap, detector=det, master_pattern=mp, energy=20,
+            navigation_mask=nav_mask,
+        )
+        scores = np.asarray(res.xmap.prop["scores"])
+        assert np.isfinite(scores[0])
+        assert np.isnan(scores[1:]).all()
+        qr = np.asarray(res.xmap.rotations)
+        np.testing.assert_array_equal(qr[1:], rot[1:])
+        assert not np.allclose(qr[0], rot[0])
+
+    def test_navigation_mask_pc(self, setup):
+        s, mp, rot, xmap, det, mask = setup
+        nav_mask = np.ones((3, 3), dtype=bool)
+        nav_mask[0, 0] = False
+        res = s.refine_projection_center(
+            xmap=xmap, detector=det, master_pattern=mp, energy=20,
+            navigation_mask=nav_mask,
+        )
+        pc = np.asarray(res.detector.pc).reshape(-1, 3)
+        assert pc.shape[0] == 9
+        np.testing.assert_allclose(pc[1:], [[0.42, 0.22, 0.50]] * 8)
+        assert not np.allclose(pc[0], [0.42, 0.22, 0.50])
