@@ -174,6 +174,54 @@ def _finalize_xmap(xmap, rotations, scores, n_iter, nav_shape):
     )
 
 
+def _objective_orientation(euler_b, exp, sq_norm, dc, master, npx, npy, scale):
+    """NM orientation objective (module-level so jit caches one
+    compilation across navigation chunks; chunk data rides in args)."""
+    q = quat.from_euler(euler_b).astype(jnp.float32)
+    sim = _project_at(q, dc, master, npx, npy, scale)
+    return 1.0 - _ncc_centered(exp, sq_norm, sim)
+
+
+def _objective_orientation_delta(delta, q0, exp, sq_norm, dc, master, npx, npy, scale):
+    q = quat.multiply(q0, _exp_map(delta)).astype(jnp.float32)
+    sim = _project_at(q, dc, master, npx, npy, scale)
+    return 1.0 - _ncc_centered(exp, sq_norm, sim)
+
+
+def _masked_dc_for_pc(pc_b, om, mask_take, nrows, ncols):
+    dc = _dc_for_pc(pc_b.astype(jnp.float32), nrows, ncols, om, None)
+    if mask_take is not None:
+        dc = jnp.take(dc, mask_take, axis=1)
+    return dc
+
+
+def _objective_pc(pc_b, exp, sq_norm, q0, master, om, mask_take, npx, npy, scale, nrows, ncols):
+    dc = _masked_dc_for_pc(pc_b, om, mask_take, nrows, ncols)
+    sim = _project_at(q0, dc, master, npx, npy, scale)
+    return 1.0 - _ncc_centered(exp, sq_norm, sim)
+
+
+def _objective_pc_delta(dpc, pc0, exp, sq_norm, q0, master, om, mask_take, npx, npy, scale, nrows, ncols):
+    return _objective_pc(
+        pc0 + dpc, exp, sq_norm, q0, master, om, mask_take,
+        npx, npy, scale, nrows, ncols,
+    )
+
+
+def _objective_joint_gibbs(x_b, q0, pc0, exp, sq_norm, master, om, mask_take, npx, npy, scale, nrows, ncols):
+    q = quat.multiply(q0, _exp_map(x_b[:, :3])).astype(jnp.float32)
+    dc = _masked_dc_for_pc(pc0 + x_b[:, 3:], om, mask_take, nrows, ncols)
+    sim = _project_at(q, dc, master, npx, npy, scale)
+    return 1.0 - _ncc_centered(exp, sq_norm, sim)
+
+
+def _objective_joint(x_b, exp, sq_norm, master, om, mask_take, npx, npy, scale, nrows, ncols):
+    q = quat.from_euler(x_b[:, :3]).astype(jnp.float32)
+    dc = _masked_dc_for_pc(x_b[:, 3:], om, mask_take, nrows, ncols)
+    sim = _project_at(q, dc, master, npx, npy, scale)
+    return 1.0 - _ncc_centered(exp, sq_norm, sim)
+
+
 def _exp_map(delta: jnp.ndarray) -> jnp.ndarray:
     """Gibbs/Cayley rotation-vector map ``(n, 3) -> (n, 4)`` unit
     quaternions: ``q = (1, delta/2) / sqrt(1 + |delta|^2/4)``. Agrees
@@ -186,13 +234,15 @@ def _exp_map(delta: jnp.ndarray) -> jnp.ndarray:
     return q / jnp.sqrt(1.0 + jnp.sum(jnp.square(half), axis=-1, keepdims=True))
 
 
-@partial(jax.jit, static_argnames=("objective", "iters", "blocks"))
+@partial(jax.jit, static_argnames=("objective", "iters", "blocks", "static_args"))
 def _adam_minimize_batched(
     objective,
     x0: jnp.ndarray,
     lr: float,
     iters: int,
     blocks: tuple[tuple[int, float], ...],
+    args: tuple = (),
+    static_args: tuple = (),
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched Adam descent on an elementwise objective with per-block
     norm trust regions; returns (x_best, f_best). Every map point
@@ -204,6 +254,11 @@ def _adam_minimize_batched(
     rotation vector in radians vs. PC shift in detector fractions for
     the joint mode).
     """
+    if args or static_args:
+        # Same single-compilation contract as nelder_mead_batched: the
+        # static `objective` identity stays stable across chunks.
+        base = objective
+        objective = lambda x: base(x, *args, *static_args)
     grad_fn = jax.grad(lambda x: jnp.sum(objective(x)))
     b1, b2, eps = 0.9, 0.999, 1e-8
 
@@ -401,18 +456,15 @@ def refine_orientation(
             else np.deg2rad(3.0)
         )
 
-        def objective_delta(delta):
-            q = quat.multiply(q0, _exp_map(delta)).astype(jnp.float32)
-            sim = _project_at(q, dc, master, npx, npy, scale)
-            return 1.0 - _ncc_centered(exp, sq_norm, sim)
-
         delta0 = jnp.zeros((n, 3), dtype=jnp.float32)
         d_best, f_best = _adam_minimize_batched(
-            objective_delta,
+            _objective_orientation_delta,
             delta0,
             lr=np.deg2rad(0.25),
             iters=max_iters,
             blocks=((3, max_norm),),
+            args=(q0, exp, sq_norm, dc, master),
+            static_args=(npx, npy, scale),
         )
         refined_rot = np.asarray(quat.multiply(q0, _exp_map(d_best)))
         scores = 1.0 - np.asarray(f_best)
@@ -423,11 +475,6 @@ def refine_orientation(
     if method != "nm":
         raise ValueError(f"method must be 'nm' or 'gradient', got {method!r}")
 
-    def objective(euler_b):
-        q = quat.from_euler(euler_b).astype(jnp.float32)
-        sim = _project_at(q, dc, master, npx, npy, scale)
-        return 1.0 - _ncc_centered(exp, sq_norm, sim)
-
     lb = ub = None
     if trust_region is not None:
         tr = np.deg2rad(np.asarray(trust_region, dtype=np.float64))
@@ -435,7 +482,7 @@ def refine_orientation(
         ub = jnp.asarray(euler0 + tr, dtype=jnp.float32)
 
     res = nelder_mead_batched(
-        objective,
+        _objective_orientation,
         jnp.asarray(euler0, dtype=jnp.float32),
         initial_step=np.deg2rad(1.0),
         max_iters=max_iters,
@@ -443,6 +490,8 @@ def refine_orientation(
         xatol=1e-4,
         lower_bounds=lb,
         upper_bounds=ub,
+        args=(exp, sq_norm, dc, master),
+        static_args=(npx, npy, scale),
     )
     f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     refined_rot = np.asarray(quat.from_euler(res.x.astype(f64)))
@@ -555,18 +604,9 @@ def refine_projection_center(
         detector.pc.reshape(-1, 3), (n, 3)
     ).astype(np.float32)
 
-    mask_static = None
-    if mask_np is not None:
-        mask_bool = np.zeros(sig_size, dtype=bool)
-        mask_bool[mask_np] = True
-        mask_static = mask_bool
-
-    def objective(pc_b):
-        dc = _dc_for_pc(
-            pc_b.astype(jnp.float32), nrows, ncols, om, mask_static
-        )
-        sim = _project_at(q0, dc, master, npx, npy, scale)
-        return 1.0 - _ncc_centered(exp, sq_norm, sim)
+    mask_take = None if mask_np is None else jnp.asarray(mask_np)
+    pc_args = (exp, sq_norm, q0, master, om, mask_take)
+    pc_static = (npx, npy, scale, nrows, ncols)
 
     if method == "gradient":
         max_norm = (
@@ -574,15 +614,14 @@ def refine_projection_center(
         )
         pc0_j = jnp.asarray(pc0)
 
-        def objective_delta(dpc):
-            return objective(pc0_j + dpc)
-
         d_best, f_best = _adam_minimize_batched(
-            objective_delta,
+            _objective_pc_delta,
             jnp.zeros((n, 3), dtype=jnp.float32),
             lr=2e-3,
             iters=max_iters,
             blocks=((3, max_norm),),
+            args=(pc0_j,) + pc_args,
+            static_args=pc_static,
         )
         new_pc = np.asarray(pc0 + np.asarray(d_best), dtype=np.float64)
         new_detector = dataclasses.replace(
@@ -607,7 +646,7 @@ def refine_projection_center(
         ub = jnp.asarray(pc0 + tr)
 
     res = nelder_mead_batched(
-        objective,
+        _objective_pc,
         jnp.asarray(pc0),
         initial_step=0.01,
         max_iters=max_iters,
@@ -615,6 +654,8 @@ def refine_projection_center(
         xatol=1e-5,
         lower_bounds=lb,
         upper_bounds=ub,
+        args=pc_args,
+        static_args=pc_static,
     )
     new_pc = np.asarray(res.x, dtype=np.float64)
     new_detector = dataclasses.replace(
@@ -681,21 +722,13 @@ def refine_orientation_projection_center(
     nrows, ncols = detector.shape
     om = jnp.asarray(detector.sample_to_detector.T, dtype=jnp.float32)
 
-    mask_static = None
-    if mask_idx is not None:
-        mask_bool = np.zeros(sig_size, dtype=bool)
-        mask_bool[mask_idx] = True
-        mask_static = mask_bool
+    mask_take = None if mask_idx is None else jnp.asarray(mask_idx)
+    joint_args = (exp, sq_norm, master, om, mask_take)
+    joint_static = (npx, npy, scale, nrows, ncols)
 
     euler0 = np.asarray(quat.to_euler(jnp.asarray(xmap.best_rotations)))
     pc0 = np.broadcast_to(detector.pc.reshape(-1, 3), (n, 3))
     x0 = np.concatenate([euler0, pc0], axis=1).astype(np.float32)
-
-    def objective(x_b):
-        q = quat.from_euler(x_b[:, :3]).astype(jnp.float32)
-        dc = _dc_for_pc(x_b[:, 3:].astype(jnp.float32), nrows, ncols, om, mask_static)
-        sim = _project_at(q, dc, master, npx, npy, scale)
-        return 1.0 - _ncc_centered(exp, sq_norm, sim)
 
     if method == "gradient":
         if trust_region is not None:
@@ -707,21 +740,14 @@ def refine_orientation_projection_center(
         q0 = jnp.asarray(xmap.best_rotations, dtype=jnp.float32)
         pc0_j = jnp.asarray(pc0, dtype=jnp.float32)
 
-        def objective_delta(x_b):
-            q = quat.multiply(q0, _exp_map(x_b[:, :3])).astype(jnp.float32)
-            dc = _dc_for_pc(
-                (pc0_j + x_b[:, 3:]).astype(jnp.float32),
-                nrows, ncols, om, mask_static,
-            )
-            sim = _project_at(q, dc, master, npx, npy, scale)
-            return 1.0 - _ncc_centered(exp, sq_norm, sim)
-
         d_best, f_best = _adam_minimize_batched(
-            objective_delta,
+            _objective_joint_gibbs,
             jnp.zeros((n, 6), dtype=jnp.float32),
             lr=2e-3,
             iters=max_iters,
             blocks=((3, rot_norm), (3, pc_norm)),
+            args=(q0, pc0_j) + joint_args,
+            static_args=joint_static,
         )
         d_best = np.asarray(d_best)
         refined_rot = np.asarray(
@@ -750,7 +776,7 @@ def refine_orientation_projection_center(
         ub = jnp.asarray(x0 + tr, dtype=jnp.float32)
 
     res = nelder_mead_batched(
-        objective,
+        _objective_joint,
         jnp.asarray(x0),
         initial_step=jnp.asarray(
             [np.deg2rad(1.0)] * 3 + [0.01] * 3, dtype=jnp.float32
@@ -760,6 +786,8 @@ def refine_orientation_projection_center(
         xatol=1e-5,
         lower_bounds=lb,
         upper_bounds=ub,
+        args=joint_args,
+        static_args=joint_static,
     )
     x = np.asarray(res.x, dtype=np.float64)
     refined_rot = np.asarray(quat.from_euler(jnp.asarray(x[:, :3])))

@@ -43,7 +43,7 @@ def _initial_simplex(x0: jnp.ndarray, step) -> jnp.ndarray:
     return jnp.concatenate([x0[:, None, :], verts], axis=1)  # (n, d+1, d)
 
 
-@partial(jax.jit, static_argnames=("f", "max_iters"))
+@partial(jax.jit, static_argnames=("f", "max_iters", "static_args"))
 def nelder_mead_batched(
     f: Callable[[jnp.ndarray], jnp.ndarray],
     x0: jnp.ndarray,
@@ -53,6 +53,8 @@ def nelder_mead_batched(
     xatol: float = 1e-4,
     lower_bounds: jnp.ndarray | None = None,
     upper_bounds: jnp.ndarray | None = None,
+    args: tuple = (),
+    static_args: tuple = (),
 ) -> NelderMeadResult:
     """Minimize ``f`` independently for each batch element.
 
@@ -83,6 +85,15 @@ def nelder_mead_batched(
     """
     x0 = jnp.asarray(x0)
     n, d = x0.shape
+
+    if args or static_args:
+        # Jit caches on f's identity (a static argname): pass chunk-
+        # varying operands through `args` (traced) and ints the
+        # objective needs concretely through `static_args` (hashable),
+        # so repeated same-shape calls with a module-level f reuse ONE
+        # compilation instead of recompiling per closure.
+        base_f = f
+        f = lambda x: base_f(x, *args, *static_args)
 
     def clip(x):
         # Bounds are (d,) or (n, d); expand per-element bounds over the

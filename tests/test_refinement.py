@@ -411,3 +411,38 @@ class TestReferenceRefinementBenchmarkParity:
         assert pc.shape[0] == 9
         np.testing.assert_allclose(pc[1:], [[0.42, 0.22, 0.50]] * 8)
         assert not np.allclose(pc[0], [0.42, 0.22, 0.50])
+
+
+class TestChunkedRefinementCompilesOnce:
+    def test_single_compilation_across_chunks(self):
+        """Each navigation chunk used to pass a fresh objective closure
+        into the jitted optimizer (a static argument), recompiling the
+        whole NM program per chunk — minutes per chunk through this
+        environment's remote compile service. Module-level objectives
+        with operand args must compile exactly once."""
+        import kikuchipy_tpu as kp
+        from kikuchipy_tpu.utils.optimize import nelder_mead_batched
+        from kikuchipy_tpu.crystallography.crystal_map import CrystalMap
+        from kikuchipy_tpu.crystallography.sampling import super_fibonacci
+
+        s9 = kp.load(
+            "/root/reference/src/kikuchipy/data/kikuchipy_h5ebsd/patterns.h5"
+        )
+        data = np.tile(np.asarray(s9.data).reshape(9, 60, 60), (6, 1, 1))[:48]
+        det = kp.detectors.EBSDDetector(
+            shape=(60, 60), pc=s9.detector.pc_average, sample_tilt=70
+        )
+        sig = kp.signals.EBSD(data=data, detector=det)
+        mp = kp.load(
+            "/root/reference/src/kikuchipy/data/emsoft_ebsd_master_pattern/"
+            "ni_mc_mp_20kv_uint8_gzip_opts9.h5",
+            projection="lambert",
+            hemisphere="both",
+        )
+        xmap = CrystalMap(rotations=super_fibonacci(48), shape=(48,))
+        n0 = nelder_mead_batched._cache_size()
+        sig.refine_orientation(
+            xmap=xmap, detector=det, master_pattern=mp, energy=20,
+            max_iters=10, nav_chunk=16,
+        )
+        assert nelder_mead_batched._cache_size() - n0 == 1
