@@ -48,9 +48,18 @@ def main() -> None:
     res = s.refine_orientation(xmap=xmap, detector=det, master_pattern=mp)
     print("refined scores:", np.round(res.xmap.prop["scores"], 3))
 
-    # 5. Export
+    # 5. Export + IPF-Z orientation map
     write_ang("/tmp/nickel_indexed.ang", res.xmap)
     print("wrote /tmp/nickel_indexed.ang")
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        fig = res.xmap.plot(overlay="scores", return_figure=True)
+        fig.savefig("/tmp/nickel_ipf_map.png", dpi=150)
+        print("wrote /tmp/nickel_ipf_map.png (IPF-Z x scores)")
+    except ImportError:
+        pass
 
 
 if __name__ == "__main__":
