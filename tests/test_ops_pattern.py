@@ -293,3 +293,27 @@ class TestGetDynamicBackgroundReferenceGoldens:
         p = dummy_patterns[0, 0].astype(dtype)
         bg = np.asarray(pat.get_dynamic_background(p, std=std))
         assert np.allclose(bg, answer, atol=1e-4)
+
+
+class TestImageQualityReferenceGoldens:
+    """Per-pattern IQ goldens from the reference test suite
+    (/root/reference/tests/test_pattern/test_pattern.py:336-357)."""
+
+    @pytest.mark.parametrize(
+        "idx, normalize, answer",
+        [
+            ((0, 0), True, -0.0241),
+            ((0, 0), False, 0.2694),
+            ((2, 2), True, -0.2385),
+        ],
+    )
+    def test_per_pattern(self, dummy_patterns, idx, normalize, answer):
+        p = dummy_patterns[idx].astype(np.float32)
+        iq = float(np.asarray(pat.get_image_quality(p, normalize=normalize)))
+        assert np.isclose(iq, answer, atol=1e-4)
+
+    def test_white_noise_near_zero(self):
+        rng = np.random.default_rng(0)
+        p = rng.random((501, 501)).astype(np.float32)
+        iq = float(np.asarray(pat.get_image_quality(p)))
+        assert np.isclose(iq, 0.0, atol=1e-2)
