@@ -317,3 +317,46 @@ class TestImageQualityReferenceGoldens:
         p = rng.random((501, 501)).astype(np.float32)
         iq = float(np.asarray(pat.get_image_quality(p)))
         assert np.isclose(iq, 0.0, atol=1e-2)
+
+
+class TestFFTReferenceGoldens:
+    """FFT spectrum-sum and apodization goldens from the reference
+    test suite (/root/reference/tests/test_pattern/test_pattern.py:
+    410-445). Our kernels accumulate in float32, so sums match the
+    reference's float64 values at f32 resolution (ULP 2e-3 at 1.5e4)."""
+
+    @pytest.mark.parametrize(
+        "shift, real_fft_only, expected_sum",
+        [
+            (True, True, 15352),
+            (True, False, 20402),
+            (False, False, 20402),
+            (False, True, 15352),
+        ],
+    )
+    def test_spectrum_sum(self, shift, real_fft_only, expected_sum):
+        p = np.ones((101, 101))
+        p[50, 50] = 2
+        f = pat.fft(p, shift=shift, real_fft_only=real_fft_only)
+        s = float(np.sum(np.asarray(pat.fft_spectrum(f))))
+        assert np.isclose(s, expected_sum, atol=0.01)
+
+    def test_apodization_window_equals_premultiplied(self, dummy_patterns):
+        from kikuchipy_tpu.filters import Window
+
+        p = dummy_patterns[0, 0]
+        w = Window("hamming", shape=p.shape)
+        p2 = np.asarray(pat.fft(p, apodization_window=np.asarray(w), shift=True))
+        p3 = np.asarray(pat.fft(p * np.asarray(w), shift=True))
+        p4 = np.asarray(pat.fft(p, shift=True))
+        np.testing.assert_allclose(p2, p3, atol=1e-5)
+        assert not np.allclose(p2, p4, atol=1e-1)
+
+    @pytest.mark.parametrize("shift", [True, False])
+    def test_ifft_roundtrip_even_axis(self, shift):
+        rng = np.random.default_rng(0)
+        p = rng.random((101, 100))
+        f = pat.fft(p, shift=shift)
+        np.testing.assert_allclose(
+            np.asarray(pat.ifft(f, shift=shift)), p, atol=1e-5
+        )
