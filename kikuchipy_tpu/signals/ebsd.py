@@ -473,6 +473,44 @@ class EBSD:
                 self.detector, px_size=float(delta)
             )
 
+    def decomposition(
+        self,
+        algorithm: str = "SVD",
+        output_dimension: int | None = None,
+        **kwargs,
+    ) -> None:
+        """PCA decomposition of the patterns, storing the results on
+        :attr:`learning_results` (the reference inherits HyperSpy's
+        ``decomposition``; here it is a thin wrapper over
+        :func:`kikuchipy_tpu.ops.decomposition.pca`).
+
+        Parameters
+        ----------
+        algorithm
+            Only "SVD"/"PCA" (economy SVD of the centered pattern
+            matrix) is supported.
+        output_dimension
+            Number of components kept (default: full rank, bounded by
+            64 to keep the stored results small — pass explicitly for
+            more).
+        """
+        del kwargs  # HyperSpy compatibility (centre, normalize, ...)
+        if algorithm.upper() not in ("SVD", "PCA"):
+            raise ValueError(
+                f"Only SVD/PCA decomposition is supported, got {algorithm!r}"
+            )
+        from types import SimpleNamespace
+
+        from kikuchipy_tpu.ops.decomposition import pca
+
+        if output_dimension is None:
+            output_dimension = min(self.navigation_size, 64)
+        factors, loadings, mean = pca(self.data, int(output_dimension))
+        self.learning_results = SimpleNamespace(
+            factors=factors, loadings=loadings, mean=mean,
+            output_dimension=int(output_dimension),
+        )
+
     def get_decomposition_model(
         self, components: int | list[int] | None = 10, dtype_out=None
     ) -> "EBSD":

@@ -430,3 +430,24 @@ class TestOptimizePCMethodArg:
         s = EBSD(data=dummy_patterns)
         with pytest.raises(NotImplementedError, match="batch"):
             s.hough_indexing_optimize_pc(batch=True)
+
+
+class TestDecompositionMethod:
+    def test_decomposition_stores_learning_results(self, dummy_patterns):
+        from kikuchipy_tpu.signals.ebsd import EBSD
+
+        s = EBSD(data=dummy_patterns)
+        s.decomposition(output_dimension=3)
+        lr = s.learning_results
+        assert lr.factors.shape == (3, 9)
+        assert lr.loadings.shape == (9, 3)
+        # Reconstruction from the stored results matches the model op.
+        recon = lr.loadings @ lr.factors + lr.mean
+        model = s.get_decomposition_model(components=3, dtype_out="float32")
+        np.testing.assert_allclose(
+            recon.reshape(np.asarray(model.data).shape),
+            np.asarray(model.data),
+            atol=1e-4,
+        )
+        with pytest.raises(ValueError, match="SVD"):
+            s.decomposition(algorithm="NMF")

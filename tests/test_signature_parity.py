@@ -35,7 +35,6 @@ ALLOWED_MISSING = {
 
 # Methods that are HyperSpy-runtime plumbing with no analogue here.
 ALLOWED_MISSING_METHODS = {
-    "EBSD.decomposition",  # use ops.decomposition.pca / get_decomposition_model
     "EBSD.compute",  # no lazy signals
     "EBSD.rechunk",
     "EBSD.as_lazy",
