@@ -486,3 +486,80 @@ class TestVBSEReferenceGoldens:
             r=[(2, 1), (2, 2)], g=[(3, 1), (3, 2)], b=[(4, 1), (4, 2)]
         )
         assert np.isclose(np.asarray(img).mean(), 109.0, atol=0.1)
+
+
+class TestMergeNavigationMasksReferenceScenarios:
+    """The reference test suite's navigation-mask merge scenarios
+    (/root/reference/tests/test_indexing/test_merge_crystal_maps.py:
+    459-595), with its exact expected phase ids / scores / indices."""
+
+    def _maps(self):
+        def make(name, sg, offset, boost00):
+            scores = np.arange(12, dtype=float)
+            if boost00:
+                scores = scores.copy()
+                scores[0] = 1.0
+            return CrystalMap(
+                rotations=super_fibonacci(12),
+                shape=(3, 4),
+                prop={
+                    "scores": scores,
+                    "simulation_indices": np.arange(12) + offset,
+                },
+                phases=PhaseList(Phase(name, space_group=sg)),
+            )
+
+        return make("a", 225, 0, False), make("b", 194, 12, True)
+
+    def test_no_masks(self):
+        xmap1, xmap2 = self._maps()
+        merged = merge_crystal_maps([xmap1, xmap2])
+        np.testing.assert_allclose(
+            merged.phase_id, [1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+        )
+        np.testing.assert_allclose(
+            np.ravel(merged.prop["scores"]),
+            [1, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11],
+        )
+        np.testing.assert_allclose(
+            np.ravel(merged.prop["simulation_indices"]),
+            [12, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11],
+        )
+
+    def test_disjoint_masks(self):
+        xmap1, xmap2 = self._maps()
+        nav_mask1 = np.ones((3, 4), dtype=bool)
+        nav_mask1[1:, 1:] = False
+        nav_mask2 = ~nav_mask1
+        merged = merge_crystal_maps(
+            [xmap1[~nav_mask1.ravel()], xmap2[~nav_mask2.ravel()]],
+            navigation_masks=[nav_mask1, nav_mask2],
+        )
+        np.testing.assert_allclose(
+            merged.phase_id, [1, 1, 1, 1, 1, 0, 0, 0, 1, 0, 0, 0]
+        )
+        np.testing.assert_allclose(
+            np.ravel(merged.prop["simulation_indices"]),
+            [12, 13, 14, 15, 16, 5, 6, 7, 20, 9, 10, 11],
+        )
+
+    def test_partial_mask_one_map_full(self):
+        xmap1, xmap2 = self._maps()
+        nav_mask1 = np.ones((3, 4), dtype=bool)
+        nav_mask1[1:, 1:] = False
+        # xmap1 only in the first row and column.
+        merged = merge_crystal_maps(
+            [xmap1[nav_mask1.ravel()], xmap2],
+            navigation_masks=[~nav_mask1, None],
+        )
+        np.testing.assert_allclose(
+            merged.phase_id, [1, 0, 0, 0, 0, 1, 1, 1, 0, 1, 1, 1]
+        )
+        # xmap1 only in the lower-right block.
+        merged = merge_crystal_maps(
+            [xmap1[~nav_mask1.ravel()], xmap2],
+            navigation_masks=[nav_mask1, None],
+        )
+        np.testing.assert_allclose(
+            merged.phase_id, [1, 1, 1, 1, 1, 0, 0, 0, 1, 0, 0, 0]
+        )
