@@ -111,14 +111,19 @@ def merge_crystal_maps(
         out[keep] = values
         return out
 
-    # (M, N, K) combined scores; uncovered points are NaN.
+    # (M, N, K) combined scores; uncovered points are NaN, and so are a
+    # map's own not-indexed points (phase_id -1) — they never compete
+    # (reference ``_merge_crystal_maps.py`` not-indexed handling).
+    def _map_scores(x, keep):
+        sc = np.asarray(x.prop[scores_prop], dtype=float).reshape(x.size, -1)
+        not_indexed = np.asarray(x.phase_id) < 0
+        if not_indexed.any():
+            sc = sc.copy()
+            sc[not_indexed] = np.nan
+        return _expand(sc, keep, np.nan)
+
     combined = np.stack(
-        [
-            _expand(
-                np.asarray(x.prop[scores_prop]).reshape(x.size, -1), keep, np.nan
-            )
-            for x, keep in zip(crystal_maps, keeps)
-        ],
+        [_map_scores(x, keep) for x, keep in zip(crystal_maps, keeps)],
         axis=-1,
     )
 

@@ -563,3 +563,56 @@ class TestMergeNavigationMasksReferenceScenarios:
         np.testing.assert_allclose(
             merged.phase_id, [1, 1, 1, 1, 1, 0, 0, 0, 1, 0, 0, 0]
         )
+
+
+class TestMergeNotIndexedReferenceScenario:
+    """The reference's not-indexed merge scenario
+    (/root/reference/tests/test_indexing/test_merge_crystal_maps.py:
+    650-686): per-point not-indexed entries never compete; points
+    not indexed in every map stay -1."""
+
+    def test_not_indexed(self):
+        from kikuchipy_tpu.geometry import quaternion as Q
+        import jax.numpy as jnp
+
+        def make(name, sg, indexed, scores, angle_deg):
+            n = 12
+            half = np.deg2rad(angle_deg) / 2
+            rot = np.tile(
+                [np.cos(half), 0.0, 0.0, np.sin(half)], (n, 1)
+            )
+            phase_id = np.where(indexed.ravel(), 0, -1)
+            return CrystalMap(
+                rotations=rot,
+                phase_id=phase_id,
+                shape=(4, 3),
+                prop={"scores": np.asarray(scores, float).ravel()},
+                phases=PhaseList(Phase(name, space_group=sg)),
+            )
+
+        idx_a = np.array([[1, 1, 0], [1, 0, 1], [0, 1, 1], [0, 1, 1]], bool)
+        sc_a = [[2, 2, 0], [3, 0, 4], [0, 4, 3], [0, 2, 1]]
+        idx_b = np.array([[1, 1, 0], [1, 1, 1], [0, 1, 1], [0, 1, 0]], bool)
+        sc_b = [[3, 1, 0], [2, 1, 5], [0, 2, 4], [0, 1, 0]]
+        xmap_a = make("a", 225, idx_a, sc_a, 30)
+        xmap_b = make("b", 194, idx_b, sc_b, 60)
+
+        merged = merge_crystal_maps(
+            [xmap_a, xmap_b], simulation_indices_prop=None
+        )
+        np.testing.assert_allclose(
+            merged.phase_id, [1, 0, -1, 0, 1, 1, -1, 0, 1, -1, 0, 0]
+        )
+        indexed = merged.phase_id >= 0
+        angles = 2 * np.arccos(
+            np.clip(np.abs(np.asarray(merged.rotations)[indexed, 0]), 0, 1)
+        )
+        np.testing.assert_allclose(
+            np.rad2deg(angles),
+            [60, 30, 30, 60, 60, 30, 60, 30, 30],
+            atol=1e-10,
+        )
+        np.testing.assert_allclose(
+            np.ravel(merged.prop["scores"])[indexed],
+            [3, 2, 3, 1, 5, 4, 4, 2, 1],
+        )
