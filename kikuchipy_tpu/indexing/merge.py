@@ -150,8 +150,34 @@ def merge_crystal_maps(
         phase = xmap.phases[xmap.phases.ids[0]] if len(xmap.phases) else None
         if phase is not None:
             if phase.name in phases.names:
-                # Same-named phases collapse to one id.
-                phase_id[mask] = phases.names.index(phase.name)
+                existing_id = phases.ids[phases.names.index(phase.name)]
+                existing = phases[existing_id]
+                if existing.space_group == phase.space_group:
+                    # Identical phases are considered as one phase
+                    # (reference merge_crystal_maps docstring).
+                    phase_id[mask] = existing_id
+                else:
+                    # Same name, different phase: rename with a numeric
+                    # suffix and warn (reference
+                    # ``_merge_crystal_maps.py`` duplicate handling).
+                    import dataclasses as _dc
+                    import warnings
+
+                    n_dupes = sum(
+                        1
+                        for nm in phases.names
+                        if nm == phase.name or (
+                            nm.startswith(phase.name)
+                            and nm[len(phase.name):].isdigit()
+                        )
+                    )
+                    new_name = f"{phase.name}{n_dupes}"
+                    warnings.warn(
+                        f"There are duplicates of phase '{phase.name}', "
+                        f"renaming this one to '{new_name}'",
+                        UserWarning,
+                    )
+                    phases.add(i, _dc.replace(phase, name=new_name))
             else:
                 phases.add(i, phase)
         if not mask.any():

@@ -616,3 +616,56 @@ class TestMergeNotIndexedReferenceScenario:
             np.ravel(merged.prop["scores"])[indexed],
             [3, 2, 3, 1, 5, 4, 4, 2, 1],
         )
+
+
+class TestMergeDuplicatePhaseNames:
+    def _xmap(self, name, sg, boost_idx):
+        scores = np.ones((6, 2))
+        scores[boost_idx] += 1 + boost_idx
+        return CrystalMap(
+            rotations=super_fibonacci(12).reshape(6, 2, 4),
+            shape=(6,),
+            prop={
+                "scores": scores,
+                "simulation_indices": np.arange(12).reshape(6, 2),
+            },
+            phases=PhaseList(Phase(name, space_group=sg)),
+        )
+
+    def test_same_name_different_phase_renamed_with_warning(self):
+        maps = [self._xmap("a", sg, i) for i, sg in enumerate([1, 2, 3])]
+        with pytest.warns(UserWarning, match="duplicates of phase 'a'"):
+            merged = merge_crystal_maps(maps)
+        for name in ("a", "a1", "a2"):
+            assert name in merged.phases.names
+
+    def test_identical_phase_collapses_without_warning(self):
+        import warnings
+
+        maps = [self._xmap("a", 225, i) for i in range(2)]
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            merged = merge_crystal_maps(maps)
+        assert merged.phases.names == ["a"]
+
+    def test_mean_n_best_varying_scores(self):
+        # Reference test_mean_n_best_varying_scores (:372-391).
+        def make(name, sg):
+            return CrystalMap(
+                rotations=super_fibonacci(18).reshape(6, 3, 4),
+                shape=(6,),
+                prop={
+                    "scores": np.ones((6, 3)),
+                    "simulation_indices": np.arange(18).reshape(6, 3),
+                },
+                phases=PhaseList(Phase(name, space_group=sg)),
+            )
+
+        xmap1, xmap2 = make("a", 225), make("b", 194)
+        xmap1.prop["scores"][0] = [1, 2, 2.1]
+        xmap2.prop["scores"][0] = [1, 1.9, 3]
+        xmap2.prop["scores"][1] = 2.0
+        m1 = merge_crystal_maps([xmap1, xmap2], mean_n_best=2)
+        m2 = merge_crystal_maps([xmap1, xmap2], mean_n_best=3)
+        np.testing.assert_allclose(m1.phase_id, [0, 1, 0, 0, 0, 0])
+        np.testing.assert_allclose(m2.phase_id, [1, 1, 0, 0, 0, 0])
