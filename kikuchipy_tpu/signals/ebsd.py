@@ -662,13 +662,28 @@ class EBSD:
         n_per_iteration: int | None = None,
         signal_mask: np.ndarray | None = None,
         navigation_mask: np.ndarray | None = None,
+        rechunk: bool = False,
+        dtype=None,
         **kwargs,
     ) -> CrystalMap:
         """Match patterns against a dictionary signal and return a
         crystal map (reference ``ebsd.py:1827``). Extra keyword
         arguments (``precision``, ``approx_topk``, ``progress``, ...)
         pass through to
-        :func:`kikuchipy_tpu.indexing.di.dictionary_index`."""
+        :func:`kikuchipy_tpu.indexing.di.dictionary_index`.
+
+        ``dtype`` sets the metric computation dtype like the
+        reference's (float64 needs ``jax_enable_x64``); ``rechunk`` is
+        accepted for compatibility and ignored (chunking is the
+        ``n_per_iteration`` dictionary tiling here, not a Dask graph).
+        """
+        del rechunk
+        if isinstance(metric, str) and dtype is not None:
+            from kikuchipy_tpu.indexing.metrics import get_metric
+
+            metric = dataclasses.replace(
+                get_metric(metric), dtype=np.dtype(dtype)
+            )
         result = dictionary_index(
             jnp.asarray(self.data),
             dictionary=jnp.asarray(dictionary.data),

@@ -303,3 +303,31 @@ class TestInt8Precision:
         d[3] = 1.0  # constant row -> zero after centering
         res = dictionary_index(e, d, keep_n=3, precision="int8")
         assert np.isfinite(res.scores).all()
+
+
+class TestReferenceKwargs:
+    def test_rechunk_and_dtype_accepted(self, dummy_patterns):
+        # The reference's dictionary_indexing(dtype=..., rechunk=...)
+        # call pattern (its tests/test_indexing/test_dictionary_indexing
+        # .py:36,54-58) must work; self-matching still scores 1.
+        import kikuchipy_tpu as kp
+        from kikuchipy_tpu.crystallography.crystal_map import CrystalMap
+        from kikuchipy_tpu.crystallography.sampling import super_fibonacci
+
+        s = kp.signals.EBSD(dummy_patterns)
+        d = kp.signals.EBSD(
+            np.asarray(dummy_patterns).reshape(-1, 3, 3),
+            xmap=CrystalMap(rotations=super_fibonacci(9), shape=(9,)),
+        )
+        xmap = s.dictionary_indexing(
+            d, metric="ndp", rechunk=True, keep_n=3
+        )
+        np.testing.assert_allclose(
+            np.asarray(xmap.prop["scores"])[:, 0], 1.0, atol=1e-6
+        )
+        xmap64 = s.dictionary_indexing(
+            d, dtype=np.float64, n_per_iteration=2, keep_n=3
+        )
+        np.testing.assert_allclose(
+            np.asarray(xmap64.prop["scores"])[:, 0], 1.0, atol=1e-9
+        )
