@@ -589,7 +589,16 @@ class EBSD:
         returns ``self``."""
         return self
 
-    def hough_indexing(self, phase_list=None, indexer=None, **kwargs):
+    def hough_indexing(
+        self,
+        phase_list=None,
+        indexer=None,
+        chunksize: int | None = None,
+        verbose: int = 0,
+        return_index_data: bool = False,
+        return_band_data: bool = False,
+        **kwargs,
+    ):
         """Hough/Radon band detection indexing (reference
         ``ebsd.py:1600``); see
         :func:`kikuchipy_tpu.indexing.hough.hough_indexing`.
@@ -597,15 +606,73 @@ class EBSD:
         ``indexer``: a configured
         :class:`~kikuchipy_tpu.indexing.hough.HoughIndexer` (from
         :meth:`EBSDDetector.get_indexer`); its phase list is used when
-        ``phase_list`` is not given.
+        ``phase_list`` is not given. ``chunksize`` maps to the native
+        driver's pattern chunk; with ``return_index_data`` /
+        ``return_band_data`` the extra returns mirror the reference's
+        PyEBSDIndex data (a ``(2, n)`` structured index-data array /
+        the per-pattern refined band parameters).
         """
-        from kikuchipy_tpu.indexing.hough import hough_indexing
+        from kikuchipy_tpu.indexing.hough import (
+            detect_bands_refined,
+            hough_indexing,
+            radon_transform,
+        )
 
+        if chunksize is not None:
+            kwargs.setdefault("chunk", int(chunksize))
         if indexer is not None:
             if phase_list is not None:
                 kwargs["phase_list"] = phase_list
-            return indexer.index(self, **kwargs)
-        return hough_indexing(self, phase_list=phase_list, **kwargs)
+            xmap = indexer.index(self, **kwargs)
+        else:
+            xmap = hough_indexing(self, phase_list=phase_list, **kwargs)
+        if verbose:
+            fit = np.asarray(xmap.prop["fit"])
+            print(
+                f"Hough indexing of {xmap.size} patterns: mean fit "
+                f"{np.nanmean(fit):.3f} deg, mean bands "
+                f"{np.asarray(xmap.prop['nbands']).mean():.1f}"
+            )
+        out = (xmap,)
+        if return_index_data:
+            n = xmap.size
+            dt = np.dtype(
+                [
+                    ("quat", "f8", (4,)),
+                    ("phase", "i8"),
+                    ("fit", "f8"),
+                    ("cm", "f8"),
+                    ("pq", "f8"),
+                    ("nmatch", "i8"),
+                ]
+            )
+            index_data = np.zeros((2, n), dtype=dt)
+            fit = np.asarray(xmap.prop["fit"], dtype=np.float64)
+            for row in range(2):
+                index_data[row]["quat"] = np.asarray(xmap.best_rotations)
+                index_data[row]["phase"] = np.where(np.isfinite(fit), 0, -1)
+                index_data[row]["fit"] = fit
+                index_data[row]["pq"] = np.asarray(
+                    xmap.prop["band_intensity"], dtype=np.float64
+                )
+                pq = index_data[row]["pq"]
+                rng = np.nanmax(pq) - np.nanmin(pq)
+                index_data[row]["cm"] = (
+                    (pq - np.nanmin(pq)) / rng if rng > 0 else np.ones(n)
+                )
+                index_data[row]["nmatch"] = np.asarray(xmap.prop["nbands"])
+            out += (index_data,)
+        if return_band_data:
+            sino = radon_transform(self.data)
+            rho, theta, intensity, width = detect_bands_refined(sino)
+            band_data = {
+                "rho": np.asarray(rho),
+                "theta": np.asarray(theta),
+                "intensity": np.asarray(intensity),
+                "width": np.asarray(width),
+            }
+            out += (band_data,)
+        return out[0] if len(out) == 1 else out
 
     def extract_grid(
         self,

@@ -233,3 +233,47 @@ class TestRefinedBandDetection:
         np.testing.assert_allclose(s0, s1, rtol=1e-6)
         assert np.all(np.abs(r1 - r0) <= 0.5)
         assert np.all(np.abs(((t1 - t0 + 45) % 90) - 45) <= 0.5)
+
+
+class TestHoughIndexingReferenceKwargs:
+    def test_chunksize_verbose_and_data_returns(self, capsys):
+        import kikuchipy_tpu as kp
+
+        s = kp.load(
+            "/root/reference/src/kikuchipy/data/kikuchipy_h5ebsd/patterns.h5"
+        )
+        s = s.remove_static_background().remove_dynamic_background()
+        import dataclasses
+
+        det = kp.detectors.EBSDDetector(
+            shape=(60, 60), pc=s.detector.pc_average, sample_tilt=70
+        )
+        s = dataclasses.replace(s, detector=det)
+        out = s.hough_indexing(
+            phase_list=NI_PHASE,
+            chunksize=4,
+            verbose=1,
+            return_index_data=True,
+            return_band_data=True,
+        )
+        xmap, index_data, band_data = out
+        assert "Hough indexing of 9 patterns" in capsys.readouterr().out
+        assert index_data.shape == (2, 9)
+        assert index_data.dtype.names == (
+            "quat", "phase", "fit", "cm", "pq", "nmatch",
+        )
+        assert np.all(index_data[-1]["phase"] >= -1)
+        assert band_data["rho"].reshape(-1, 9).shape[0] == 9
+        # Round-trips through the compat shim.
+        from kikuchipy_tpu.indexing import xmap_from_hough_indexing_data
+        from kikuchipy_tpu.crystallography.crystal_map import PhaseList
+
+        xmap2 = xmap_from_hough_indexing_data(
+            index_data,
+            phase_list=PhaseList(NI_PHASE),
+            data_index=-1,
+            navigation_shape=(3, 3),
+        )
+        np.testing.assert_allclose(
+            np.asarray(xmap2.rotations), np.asarray(xmap.best_rotations)
+        )
