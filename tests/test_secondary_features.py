@@ -669,3 +669,18 @@ class TestMergeDuplicatePhaseNames:
         m2 = merge_crystal_maps([xmap1, xmap2], mean_n_best=3)
         np.testing.assert_allclose(m1.phase_id, [0, 1, 0, 0, 0, 0])
         np.testing.assert_allclose(m2.phase_id, [1, 1, 0, 0, 0, 0])
+
+
+class TestVBSEGridImageReferenceGolden:
+    def test_single_tile_mean(self, dummy_patterns):
+        # Reference test_get_single_image_from_grid
+        # (/root/reference/tests/test_imaging/test_virtual_bse_imager
+        # .py:116-120): one-tile grid over the dummy scan sums each
+        # whole pattern; mean 40.666668.
+        import kikuchipy_tpu as kp
+
+        vi = kp.imaging.VirtualBSEImager(kp.signals.EBSD(dummy_patterns))
+        vi.grid_shape = (1, 1)
+        imgs = vi.get_images_from_grid()
+        arr = np.asarray(getattr(imgs, "data", imgs))
+        assert np.isclose(arr.mean(), 40.666668)
