@@ -161,3 +161,43 @@ class TestXtiltZtilt:
         got_x, got_z = estimate_xtilt_ztilt(det)
         np.testing.assert_allclose(got_x, 8.0, atol=1e-8)
         np.testing.assert_allclose(got_z, 3.0, atol=1e-8)
+
+
+class TestMovingScreenReferenceGoldens:
+    """PC goldens from the reference test suite
+    (/root/reference/tests/test_detectors/test_calibration.py:27-109):
+    the silicon moving-screen experiment's annotated band intersections
+    (the PC depends only on the points and detector shape, so blank
+    480x480 patterns stand in for the download-gated images)."""
+
+    POINTS_IN = [(109, 131), (390, 139), (246, 232), (129, 228), (364, 237)]
+    POINTS_OUT = [(77, 146), (424, 156), (246, 269), (104, 265), (392, 276)]
+    PX_SIZE = 46 / 508
+
+    def _cal(self, n=5, **kwargs):
+        blank = np.zeros((480, 480), np.uint8)
+        return PCCalibrationMovingScreen(
+            blank, blank, self.POINTS_IN[:n], self.POINTS_OUT[:n],
+            delta_z=5, px_size=kwargs.pop("px_size", self.PX_SIZE), **kwargs,
+        )
+
+    @pytest.mark.parametrize(
+        "n_points, desired_pc",
+        [
+            (3, [0.5123, 0.8606, 0.4981]),
+            (4, [0.5062, 0.8640, 0.5064]),
+            (5, [0.5054, 0.8624, 0.5036]),
+        ],
+    )
+    def test_pc(self, n_points, desired_pc):
+        assert np.allclose(self._cal(n_points).pc, desired_pc, atol=1e-4)
+
+    def test_pc_convention(self):
+        assert np.isclose(self._cal().pc[1], 0.8624, atol=1e-4)
+        assert np.isclose(
+            self._cal(convention="bruker").pc[1], 0.1376, atol=1e-4
+        )
+
+    def test_pc_no_px_size(self):
+        # PCz in the same unit as delta_z when px_size is unknown.
+        assert np.isclose(self._cal(px_size=None).pc[2], 21.8872, atol=1e-4)
