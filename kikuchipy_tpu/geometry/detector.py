@@ -549,9 +549,17 @@ class EBSDDetector:
 
         Behavior matches reference ``detectors/_ebsd_detector.py:986``.
         """
+        if not all(isinstance(v, (int, np.integer)) for v in extent):
+            # The reference raises on non-integer extents (even 1.0).
+            raise ValueError(f"Crop extent {extent} must contain integers")
         row0, row1, col0, col1 = (int(v) for v in extent)
         nrows, ncols = self.nrows, self.ncols
-        if not (0 <= row0 < row1 <= nrows and 0 <= col0 < col1 <= ncols):
+        # Out-of-range extents clamp to the detector (reference
+        # ``EBSDDetector.crop``: (-10, 50, 20, 70) on a 60x60 detector
+        # becomes (0, 50, 20, 60)).
+        row0, row1 = max(row0, 0), min(row1, nrows)
+        col0, col1 = max(col0, 0), min(col1, ncols)
+        if not (row0 < row1 and col0 < col1):
             raise ValueError(f"Invalid crop extent {extent} for shape {self.shape}")
         new_nrows = row1 - row0
         new_ncols = col1 - col0

@@ -593,3 +593,29 @@ class TestSampleToDetectorReferenceGoldens:
         for azimuthal in (20.0, -40.0):
             det2 = dataclasses.replace(det, azimuthal=azimuthal, pc=det.pc.copy())
             np.testing.assert_allclose(det2.sample_to_detector[1], y0, atol=1e-8)
+
+
+class TestCropReferenceGoldens:
+    """Detector crop goldens and semantics from the reference test
+    suite (/root/reference/tests/test_detectors/test_ebsd_detector.py:
+    490-523)."""
+
+    def test_crop_pc_golden(self):
+        det = EBSDDetector((6, 6), pc=(3 / 6, 2 / 6, 0.5))
+        det2 = det.crop((1, 5, 2, 6))
+        assert det2.shape == (4, 4)
+        np.testing.assert_allclose(det2.pc, [[0.25, 0.25, 0.75]])
+
+    def test_crop_clamps_out_of_range(self):
+        det = EBSDDetector((60, 60), pc=(0.42, 0.22, 0.50))
+        det2 = det.crop((-10, 50, 20, 70))  # clamps to (0, 50, 20, 60)
+        assert det2.shape == (50, 40)
+
+    def test_crop_raises(self):
+        det = EBSDDetector((6, 6), pc=(3 / 6, 2 / 6, 0.5))
+        with pytest.raises(ValueError):
+            det.crop((1.0, 5, 2, 6))
+        with pytest.raises(ValueError):
+            det.crop((5, 1, 2, 6))
+        with pytest.raises(ValueError):
+            det.crop((1, 5, 6, 2))

@@ -283,3 +283,34 @@ class TestReferenceBenchmarkParity:
         assert np.isclose(
             np.mean(xmap.prop["scores"]), 0.1887, atol=1e-4
         )
+
+
+class TestCropProjectionConsistency:
+    def test_cropped_detector_projects_slice(self, master):
+        # Reference test_crop_simulated (:511-523): projecting through
+        # a cropped detector must equal slicing the full projection.
+        import h5py
+
+        with h5py.File(
+            "/root/reference/src/kikuchipy/data/kikuchipy_h5ebsd/patterns.h5"
+        ) as f:
+            g = f["Scan 1/EBSD/CrystalMap/crystal_map/data"]
+            eul = np.stack([g["phi1"][:], g["Phi"][:], g["phi2"][:]], -1)
+        from kikuchipy_tpu.geometry import quaternion as Q
+
+        rot = np.asarray(Q.from_euler(eul))
+        det = kp.detectors.EBSDDetector(
+            shape=(60, 60), pc=(0.42, 0.22, 0.50), sample_tilt=70
+        )
+        det2 = det.crop((0, 50, 20, 60))
+        # dtype_out == master dtype skips the per-pattern rescale, so
+        # the cropped projection must equal the sliced full projection
+        # exactly (rescaled outputs differ slightly: min/max are taken
+        # over different pixel sets).
+        kwds = {"energy": 20, "dtype_out": np.uint8}
+        sim1 = master.get_patterns(rot, det, **kwds)
+        sim2 = master.get_patterns(rot, det2, **kwds)
+        np.testing.assert_array_equal(
+            np.asarray(sim2.data), np.asarray(sim1.data)[:, :50, 20:60]
+        )
+        assert np.asarray(sim2.data).shape == (9, 50, 40)
