@@ -619,3 +619,36 @@ class TestCropReferenceGoldens:
             det.crop((5, 1, 2, 6))
         with pytest.raises(ValueError):
             det.crop((1, 5, 6, 2))
+
+
+class TestDetectorDimensionsReferenceGoldens:
+    """Derived-dimension goldens from the reference test suite
+    (/root/reference/tests/test_detectors/test_ebsd_detector.py:87-146)."""
+
+    @pytest.mark.parametrize(
+        "shape, px_size, binning, pc, ssd, width, height, size, "
+        "shape_unbinned, px_size_binned",
+        [
+            ((60, 60), 70, 8, [1, 1, 0.5], 16800, 33600, 33600, 3600,
+             (480, 480), 560),
+            ((60, 60), 70, 8, [1, 1, 0.7], 23520, 33600, 33600, 3600,
+             (480, 480), 560),
+            ((480, 460), 70, 0.5, [1, 1, 0.7], 11760, 16100, 16800,
+             220800, (240, 230), 35),
+            ((340, 680), 40, 2, [1, 1, 0.7], 19040, 54400, 27200,
+             231200, (680, 1360), 80),
+        ],
+    )
+    def test_dimensions(
+        self, shape, px_size, binning, pc, ssd, width, height, size,
+        shape_unbinned, px_size_binned,
+    ):
+        det = EBSDDetector(
+            shape=shape, px_size=px_size, binning=binning, pc=pc
+        )
+        assert np.isclose(det.specimen_scintillator_distance, ssd)
+        assert np.isclose(det.width, width)
+        assert np.isclose(det.height, height)
+        assert det.size == size
+        assert det.unbinned_shape == shape_unbinned
+        assert np.isclose(det.px_size_binned, px_size_binned)
