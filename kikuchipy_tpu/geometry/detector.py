@@ -335,10 +335,24 @@ class EBSDDetector:
             new[..., 2] = pc[..., 2] / self.aspect_ratio
         return new
 
-    pc_tsl = property(lambda self: self.pc_in_convention("tsl"))
-    pc_oxford = property(lambda self: self.pc_in_convention("oxford"))
-    pc_emsoft = property(lambda self: self.pc_in_convention("emsoft5"))
-    pc_bruker = property(lambda self: self.pc)
+    def pc_tsl(self) -> np.ndarray:
+        """PCs in the EDAX TSL convention (reference
+        ``EBSDDetector.pc_tsl()``)."""
+        return self.pc_in_convention("tsl")
+
+    def pc_oxford(self) -> np.ndarray:
+        """PCs in the Oxford convention (reference ``pc_oxford()``)."""
+        return self.pc_in_convention("oxford")
+
+    def pc_emsoft(self, version: int = 5) -> np.ndarray:
+        """PCs in the EMsoft convention (reference ``pc_emsoft()``;
+        ``version=4`` flips the xpc sign)."""
+        return self.pc_in_convention(f"emsoft{version}")
+
+    def pc_bruker(self) -> np.ndarray:
+        """PCs in the (internal) Bruker convention (reference
+        ``pc_bruker()``)."""
+        return self.pc
 
     # --------------- Pixel <-> gnomonic coordinates ------------------ #
 

@@ -652,3 +652,49 @@ class TestDetectorDimensionsReferenceGoldens:
         assert det.size == size
         assert det.unbinned_shape == shape_unbinned
         assert np.isclose(det.px_size_binned, px_size_binned)
+
+
+class TestEMsoftPCConversionReferenceGoldens:
+    """EMsoft -> Bruker -> EMsoft/TSL/Oxford conversion goldens from
+    the reference test suite
+    (/root/reference/tests/test_detectors/test_ebsd_detector.py:
+    552-631); the pc_* converters are methods as in the reference."""
+
+    @pytest.mark.parametrize(
+        "shape, pc, px_size, binning, version, desired_pc",
+        [
+            ((60, 60), [-3.4848, 114.2016, 15767.7], 59.2, 8, 5,
+             [0.50726, 0.26208, 0.55489]),
+            ((61, 61), [-10.6320, 145.5187, 19918.9], 59.2, 8, 5,
+             [0.52178688525, 0.20180594262, 0.68948341272]),
+            ((61, 61), [10.632, 145.5187, 19918.9], 59.2, 8, 5,
+             [0.47821, 0.20181, 0.68948]),
+            ((80, 60), [-0.55, -13.00, 16075.2], 50, 6, 5,
+             [0.50153, 0.52708, 0.66980]),
+            ((80, 60), [0.55, -13.00, 16075.2], 50, 6, 4,
+             [0.50153, 0.52708, 0.66980]),
+            ((480, 640), [0, 0, 15000], 50, 1, 5, [0.5, 0.5, 0.625]),
+        ],
+    )
+    def test_emsoft_roundtrip(
+        self, shape, pc, px_size, binning, version, desired_pc
+    ):
+        det = EBSDDetector(
+            shape=shape, pc=pc, px_size=px_size, binning=binning,
+            convention=f"emsoft{version}",
+        )
+        assert np.allclose(np.ravel(det.pc), desired_pc, atol=1e-5)
+        assert np.allclose(
+            np.ravel(det.pc_emsoft(version=version)), pc, atol=1e-3
+        )
+        assert np.allclose(np.ravel(det.pc_bruker()), desired_pc, atol=1e-5)
+
+        pc_tsl = np.ravel(det.pc).copy()
+        pc_tsl[1] = 1 - pc_tsl[1]
+        pc_tsl[2] /= min(shape) / shape[0]
+        assert np.allclose(np.ravel(det.pc_tsl()), pc_tsl, atol=1e-5)
+
+        pc_oxford = np.ravel(det.pc).copy()
+        pc_oxford[1] = 1 - pc_oxford[1]
+        pc_oxford[1:] /= det.aspect_ratio
+        assert np.allclose(np.ravel(det.pc_oxford()), pc_oxford, atol=1e-5)
