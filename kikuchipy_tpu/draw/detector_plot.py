@@ -20,8 +20,11 @@ def plot_detector(
     coordinates: str = "detector",
     show_pc: bool = True,
     pc_kwargs: dict | None = None,
+    pattern_kwargs: dict | None = None,
     draw_gnomonic_circles: bool = False,
     gnomonic_angles: np.ndarray | None = None,
+    gnomonic_circles_kwargs: dict | None = None,
+    zoom: float = 1.0,
     return_figure: bool = False,
     ax=None,
 ):
@@ -66,10 +69,21 @@ def plot_detector(
         ax.set_ylabel("y detector (px)")
 
     if pattern is not None:
-        ax.imshow(pattern, cmap="gray", extent=extent)
+        im_kw = {"cmap": "gray"}
+        im_kw.update(pattern_kwargs or {})
+        ax.imshow(pattern, extent=extent, **im_kw)
     else:
         ax.set_xlim(extent[0], extent[1])
         ax.set_ylim(extent[2], extent[3])
+    if zoom != 1.0:
+        # Reference semantics: zoom > 1 widens the view beyond the
+        # detector bounds by that factor about the view center.
+        x0, x1 = ax.get_xlim()
+        y0, y1 = ax.get_ylim()
+        cx_, cy_ = (x0 + x1) / 2, (y0 + y1) / 2
+        hx, hy = (x1 - x0) / 2 * zoom, (y1 - y0) / 2 * zoom
+        ax.set_xlim(cx_ - hx, cx_ + hx)
+        ax.set_ylim(cy_ - hy, cy_ + hy)
 
     if show_pc:
         kw = dict(marker="*", s=250, c="gold", edgecolors="k", zorder=3)
@@ -80,6 +94,8 @@ def plot_detector(
         if gnomonic_angles is None:
             gnomonic_angles = np.arange(1, 9) * 10
         theta = np.linspace(0, 2 * np.pi, 181)
+        circ_kw = {"color": "tab:blue", "lw": 0.7, "alpha": 0.6}
+        circ_kw.update(gnomonic_circles_kwargs or {})
         for ang in gnomonic_angles:
             r = np.tan(np.deg2rad(ang))
             cx = np.cos(theta) * r
@@ -88,7 +104,7 @@ def plot_detector(
                 pcz = pc[2]
                 cx = cx * pcz * nrows + pc[0] * ncols
                 cy = -cy * pcz * nrows + pc[1] * nrows
-            ax.plot(cx, cy, color="tab:blue", lw=0.7, alpha=0.6)
+            ax.plot(cx, cy, **circ_kw)
 
     if return_figure:
         return fig

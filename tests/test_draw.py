@@ -231,3 +231,24 @@ class TestParityPlotUpgrades:
             return_figure=True,
         )
         plt.close(fig)
+
+
+class TestPlotDetectorReferenceKwargs:
+    def test_all_reference_kwargs(self):
+        det = EBSDDetector(shape=(60, 60), pc=(0.42, 0.22, 0.5))
+        fig = plot_detector(
+            det,
+            pattern=np.zeros((60, 60)),
+            pattern_kwargs={"cmap": "magma"},
+            show_pc=True,
+            pc_kwargs={"c": "r"},
+            draw_gnomonic_circles=True,
+            gnomonic_angles=[10, 30],
+            gnomonic_circles_kwargs={"color": "w"},
+            zoom=1.5,
+            return_figure=True,
+        )
+        ax = fig.axes[0]
+        x0, x1 = ax.get_xlim()
+        assert x1 - x0 > 60  # zoomed out beyond the detector
+        plt.close(fig)
