@@ -1006,10 +1006,18 @@ class EBSDDetector:
         return new_detector
 
     def __repr__(self) -> str:
-        pc = tuple(np.round(self.pc_average, 3))
+        # The reference's exact multi-line format
+        # (pinned by its tests/test_detectors/test_ebsd_detector.py:148).
+        pcx, pcy, pcz = np.round(self.pc_average, 3)
+        deg = "\N{DEGREE SIGN}"
         return (
-            f"EBSDDetector(shape={self.shape}, pc={pc}, "
-            f"sample_tilt={self.sample_tilt}, tilt={self.tilt}, "
-            f"azimuthal={self.azimuthal}, twist={self.twist}, "
-            f"binning={self.binning}, px_size={self.px_size} um)"
+            "EBSDDetector\n"
+            f"  shape (Ny, Nx):     {tuple(self.shape)}\n"
+            f"  pc (PCx, PCy, PCz): ({pcx}, {pcy}, {pcz})\n"
+            f"  sample_tilt:        {float(self.sample_tilt)}{deg}\n"
+            f"  tilt:               {float(self.tilt)}{deg}\n"
+            f"  azimuthal:          {float(self.azimuthal)}{deg}\n"
+            f"  twist:              {float(self.twist)}{deg}\n"
+            f"  binning:            {self.binning}\n"
+            f"  px_size:            {float(self.px_size)} um"
         )

@@ -698,3 +698,23 @@ class TestEMsoftPCConversionReferenceGoldens:
         pc_oxford[1] = 1 - pc_oxford[1]
         pc_oxford[1:] /= det.aspect_ratio
         assert np.allclose(np.ravel(det.pc_oxford()), pc_oxford, atol=1e-5)
+
+
+class TestDetectorReprReferenceGolden:
+    def test_exact_repr(self):
+        # Reference tests/test_detectors/test_ebsd_detector.py:148-163.
+        det = EBSDDetector(
+            shape=(1, 2), px_size=3, binning=4, tilt=5, azimuthal=2,
+            twist=1.02, pc=(0.421, 0.779, 0.505),
+        )
+        assert repr(det) == (
+            "EBSDDetector\n"
+            "  shape (Ny, Nx):     (1, 2)\n"
+            "  pc (PCx, PCy, PCz): (0.421, 0.779, 0.505)\n"
+            "  sample_tilt:        70.0\N{DEGREE SIGN}\n"
+            "  tilt:               5.0\N{DEGREE SIGN}\n"
+            "  azimuthal:          2.0\N{DEGREE SIGN}\n"
+            "  twist:              1.02\N{DEGREE SIGN}\n"
+            "  binning:            4\n"
+            "  px_size:            3.0 um"
+        )
