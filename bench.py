@@ -58,7 +58,7 @@ def _baseline_cpu_pps(d: int, keep_n: int) -> float:
 
 
 def main() -> None:
-    from kikuchipy_tpu.indexing.di import _index_resident
+    from kikuchipy_tpu.indexing.di import PreparedDictionary, _index_resident
     from kikuchipy_tpu.indexing.metrics import ncc
 
     import jax
@@ -78,7 +78,20 @@ def main() -> None:
     exp = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
     dic = jnp.asarray(rng.normal(size=(M, D)).astype(np.float32))
     exp_prepared = jax.block_until_ready(ncc.prepare(exp, None))
-    dict_prepared = jax.block_until_ready(ncc.prepare(dic, None))
+    # Production semantics: the dictionary is prepared AND (for the int8
+    # tier) quantized once, outside the timed loop — it is reused across
+    # every indexing call, so its one-time preparation is not part of
+    # steady-state throughput (VERDICT r1 item 1).
+    prep = PreparedDictionary(
+        prepared=jax.block_until_ready(ncc.prepare(dic, None))
+    )
+    dict_prepared = prep.prepared
+    dict_q, dict_scale = (jax.block_until_ready(a) for a in prep.quantized_int8())
+
+    def tier_args(precision):
+        if precision == "int8":
+            return {"dict_q": dict_q, "dict_scale": dict_scale}
+        return {}
 
     # Gate: a tier qualifies if its scores stay within 1e-3 of the
     # highest-precision scores on a validation subset (score conformance
@@ -90,9 +103,10 @@ def main() -> None:
     ref_scores = np.asarray(ref_scores)
     ref_idx = np.asarray(ref_idx)
     tiers = []
-    for cand in ("int8", "mixed", "default"):
+    for cand in ("int8", "mixed", "f16", "default"):
         s, _ = _index_resident(
-            exp_prepared[:256], dict_prepared, KEEP_N, TILE, cand
+            exp_prepared[:256], dict_prepared, KEEP_N, TILE, cand,
+            **tier_args(cand),
         )
         if np.abs(np.asarray(s) - ref_scores).max() < 1e-3:
             tiers.append(cand)
@@ -101,7 +115,8 @@ def main() -> None:
     gated = []
     for cand in tiers:
         _, i = _index_resident(
-            exp_prepared[:256], dict_prepared, KEEP_N, TILE, cand, True
+            exp_prepared[:256], dict_prepared, KEEP_N, TILE, cand, True,
+            **tier_args(cand),
         )
         gated.append(
             (cand, bool((np.asarray(i)[:, 0] == ref_idx[:, 0]).all()))
@@ -118,7 +133,7 @@ def main() -> None:
             outs = [
                 _index_resident(
                     exp_prepared, dict_prepared, KEEP_N, TILE, precision,
-                    approx,
+                    approx, **tier_args(precision),
                 )
                 for _ in range(REPS)
             ]

@@ -35,7 +35,13 @@ from kikuchipy_tpu.indexing.metrics import (
     signal_mask_to_idx,
 )
 
-__all__ = ["DictionaryIndexingResult", "dictionary_index", "merge_topk"]
+__all__ = [
+    "DictionaryIndexingResult",
+    "PreparedDictionary",
+    "prepare_dictionary",
+    "dictionary_index",
+    "merge_topk",
+]
 
 _logger = logging.getLogger(__name__)
 
@@ -66,6 +72,84 @@ _PRECISIONS = {
     "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
 }
+
+
+def _quantize_rows_int8(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Rowwise max-abs int8 quantization: ``(values int8, scales f32)``."""
+    s = jnp.max(jnp.abs(x), axis=1, keepdims=True) / 127.0
+    s = jnp.where(s == 0, jnp.ones_like(s), s)
+    q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+    return q, s[:, 0].astype(x.dtype)
+
+
+@dataclasses.dataclass
+class PreparedDictionary:
+    """A dictionary prepared once and reused across every indexing call.
+
+    The reference re-normalizes the dictionary every run
+    (``_dictionary_indexing.py:130`` prepares per chunk, per call); on
+    TPU the dictionary is the *reusable* operand — scans change, the
+    dictionary doesn't — so preparation (cast/mask/center/normalize)
+    and, for the int8 MXU tier, rowwise max-abs quantization are done
+    once here and the results stay resident in HBM across calls. This is
+    what makes the reduced-precision selection tiers profitable: round 1
+    measured per-call quantization eating the int8 matmul's win
+    (BENCH_NOTES.md "tier pick order").
+
+    Create with :func:`prepare_dictionary`; pass anywhere a raw
+    ``dictionary`` array is accepted.
+    """
+
+    prepared: jnp.ndarray
+    metric_name: str = "ncc"
+    _q8: tuple[jnp.ndarray, jnp.ndarray] | None = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+
+    @property
+    def n_dictionary(self) -> int:
+        return self.prepared.shape[0]
+
+    def quantized_int8(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Pre-quantized ``(values int8 (m, d), scales (m,))``, computed
+        on first use and cached on the object."""
+        if self._q8 is None:
+            q, s = jax.jit(_quantize_rows_int8)(self.prepared)
+            object.__setattr__(self, "_q8", (q, s))
+        return self._q8
+
+
+def prepare_dictionary(
+    dictionary: jnp.ndarray | np.ndarray,
+    metric: str | SimilarityMetric = "ncc",
+    signal_mask: np.ndarray | None = None,
+    quantize: bool = False,
+) -> PreparedDictionary:
+    """Prepare (and optionally pre-quantize) a dictionary once for reuse
+    across many :func:`dictionary_index` calls.
+
+    Parameters
+    ----------
+    dictionary
+        ``(m, sy, sx)`` or ``(m, d)`` simulated patterns.
+    metric, signal_mask
+        As for :func:`dictionary_index` — the mask must match the one
+        used at indexing time (it changes the kept-pixel set).
+    quantize
+        Eagerly build the int8 tier's quantized copy (otherwise built
+        lazily on the first ``precision="int8"`` call).
+    """
+    metric = get_metric(metric)
+    dictionary = jnp.asarray(dictionary)
+    sig_size = int(np.prod(dictionary.shape[1:]))
+    keep_idx = signal_mask_to_idx(signal_mask, sig_size)
+    keep_idx = None if keep_idx is None else jnp.asarray(keep_idx)
+    prep = PreparedDictionary(
+        prepared=metric.prepare(dictionary, keep_idx), metric_name=metric.name
+    )
+    if quantize:
+        prep.quantized_int8()
+    return prep
 
 
 @partial(jax.jit, static_argnames=("keep_n", "precision"), donate_argnums=(2, 3))
@@ -119,6 +203,8 @@ def _index_resident(
     tile: int,
     precision: str = "highest",
     approx: bool = False,
+    dict_q: jnp.ndarray | None = None,
+    dict_scale: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fully on-device DI over a resident, already-prepared dictionary:
     ``lax.scan`` over dictionary tiles with carried top-k. With
@@ -152,19 +238,26 @@ def _index_resident(
     else:
         k_carry = keep_n
 
+    # Selection scores materialize as f16 for every tier except
+    # "highest"/"high": the (n_exp, tile) score block's HBM write + the
+    # top-k's reads are the production path's dominant cost (~80 ms of
+    # the 127 ms pass at n=8192, m=100k — BENCH_NOTES.md "Top-k line"),
+    # and halving the bytes halves that. f16's 11-bit mantissa bounds
+    # the rounding of an NCC score in [-1, 1] by 2.44e-4 absolute —
+    # inside the 1e-3 agreement gate — so the "f16" tier needs no
+    # rescore; the int8/mixed tiers rescore anyway (their selection
+    # error dominates f16 rounding by an order of magnitude).
+    sel_dtype = jnp.float16 if precision in ("f16", "int8", "mixed") else dtype
+
     if precision == "int8":
-
-        def _quantize(x):
-            s = jnp.max(jnp.abs(x), axis=1, keepdims=True) / 127.0
-            s = jnp.where(s == 0, jnp.ones_like(s), s)
-            q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
-            return q, s[:, 0]
-
         # exp rows share a scale per row, which is rank-invariant per
         # pattern and across tiles, so only the dictionary-side scales
-        # enter the selection scores.
-        exp_q, _ = _quantize(exp_prepared)
-        dict_q, dict_scale = _quantize(dict_prepared)
+        # enter the selection scores. The dictionary-side quantization
+        # is hoisted out entirely when a PreparedDictionary supplies
+        # dict_q/dict_scale (reused across calls).
+        exp_q, _ = _quantize_rows_int8(exp_prepared)
+        if dict_q is None:
+            dict_q, dict_scale = _quantize_rows_int8(dict_prepared)
 
         def sel_scores(block_q, block_scale):
             d = jax.lax.dot_general(
@@ -173,7 +266,7 @@ def _index_resident(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            return d.astype(dtype) * block_scale[None, :]
+            return (d.astype(dtype) * block_scale[None, :]).astype(sel_dtype)
 
         def sel_block(start, size):
             return sel_scores(
@@ -191,6 +284,9 @@ def _index_resident(
             # pass), but HIGHEST measures ~1.3x faster than DEFAULT on
             # this backend (71.7 vs 53.0 TF/s, see BENCH_NOTES.md).
             mm_precision = jax.lax.Precision.HIGHEST
+        elif precision == "f16":
+            exp_mm = exp_prepared
+            mm_precision = jax.lax.Precision.DEFAULT
         else:
             exp_mm = exp_prepared
             mm_precision = _PRECISIONS[precision]
@@ -198,12 +294,15 @@ def _index_resident(
         def _match(block):
             if precision == "mixed":
                 block = block.astype(jnp.bfloat16)
-            return jnp.matmul(
+            sim = jnp.matmul(
                 exp_mm,
                 block.T,
                 precision=mm_precision,
                 preferred_element_type=dtype,
             )
+            # The f32->f16 convert fuses into the matmul epilogue; the
+            # f32 block never reaches HBM.
+            return sim.astype(sel_dtype)
 
         def sel_block(start, size):
             return _match(
@@ -230,7 +329,7 @@ def _index_resident(
         return (s, i), None
 
     init = (
-        jnp.full((n_exp, k_carry), -jnp.inf, dtype=dtype),
+        jnp.full((n_exp, k_carry), -jnp.inf, dtype=sel_dtype),
         jnp.zeros((n_exp, k_carry), dtype=jnp.int32),
     )
     (scores, idx), _ = jax.lax.scan(step, init, jnp.arange(n_tiles))
@@ -250,6 +349,10 @@ def _index_resident(
         scores, idx = _rescore_candidates(
             exp_prepared, dict_prepared, idx, keep_n
         )
+    elif scores.dtype != dtype:
+        # "f16" tier: indices are exact (mod f16-tie ordering); scores
+        # carry the <=2.44e-4 materialization rounding.
+        scores = scores.astype(dtype)
     return scores, idx
 
 
@@ -313,7 +416,10 @@ def dictionary_index(
 
     Exactly one dictionary source must be given:
 
-    - ``dictionary``: an in-memory array ``(m, sy, sx)`` / ``(m, d)``;
+    - ``dictionary``: an in-memory array ``(m, sy, sx)`` / ``(m, d)``,
+      or a :class:`PreparedDictionary` (from
+      :func:`prepare_dictionary`) whose preparation — and int8
+      quantization, for ``precision="int8"`` — is reused across calls;
     - ``dictionary_tiles``: an iterable of ``(start_index, tile_array)``
       for host-streamed dictionaries larger than memory;
     - ``project_fn`` + ``rotations``: a device callback generating
@@ -340,10 +446,13 @@ def dictionary_index(
         are returned as NaN and indices as -1.
     precision
         Matmul precision for the in-memory ``dictionary`` path:
-        "highest" (default, f32-exact), "high", "default", "mixed"
-        (bf16 candidate selection + exact f32 rescoring of the
-        survivors), or "int8" (quantized selection + exact rescoring,
-        the fastest; see :func:`_index_resident`).
+        "highest" (default, f32-exact), "high", "default", "f16"
+        (f32-class matmul with scores materialized as float16 — exact
+        indices, scores within 2.44e-4, roughly half the top-k's HBM
+        traffic), "mixed" (bf16 candidate selection + exact f32
+        rescoring of the survivors), or "int8" (quantized selection +
+        exact rescoring; pre-quantized once when the dictionary is a
+        :class:`PreparedDictionary`). See :func:`_index_resident`.
     progress
         Optional callback ``progress(done, total)`` invoked per
         dictionary tile in the streaming paths (the reference shows a
@@ -380,14 +489,25 @@ def dictionary_index(
     t0 = time.perf_counter()
 
     if dictionary is not None:
-        dictionary = jnp.asarray(dictionary)
-        m = dictionary.shape[0]
+        dict_q = dict_scale = None
+        if isinstance(dictionary, PreparedDictionary):
+            if dictionary.metric_name != metric.name:
+                raise ValueError(
+                    f"PreparedDictionary was prepared with metric "
+                    f"{dictionary.metric_name!r}, requested {metric.name!r}"
+                )
+            dict_prepared = dictionary.prepared
+            if precision == "int8":
+                dict_q, dict_scale = dictionary.quantized_int8()
+        else:
+            dictionary = jnp.asarray(dictionary)
+            dict_prepared = metric.prepare(dictionary, keep_idx)
+        m = dict_prepared.shape[0]
         keep_n_eff = min(keep_n, m)
         tile = min(n_per_iteration or _default_tile(n_exp), m)
-        dict_prepared = metric.prepare(dictionary, keep_idx)
         scores, idx = _index_resident(
             exp_prepared, dict_prepared, keep_n_eff, tile, precision,
-            approx_topk,
+            approx_topk, dict_q, dict_scale,
         )
     elif project_fn is not None:
         if rotations is None:

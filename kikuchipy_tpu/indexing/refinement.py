@@ -34,7 +34,11 @@ from kikuchipy_tpu.projection.master_pattern import (
     direction_cosines_from_detector,
     lambert_interpolation_weights,
 )
-from kikuchipy_tpu.utils.optimize import nelder_mead_batched
+from kikuchipy_tpu.utils.optimize import (
+    differential_evolution_batched,
+    levenberg_marquardt_batched,
+    nelder_mead_batched,
+)
 
 __all__ = [
     "RefinementResult",
@@ -63,23 +67,38 @@ class RefinementResult:
 
 def _normalize_method(method: str) -> str:
     """Map the reference's solver names (scipy ``minimize``/global
-    optimizers, NLopt ``LN_NELDERMEAD``; ``_refinement/_solvers.py``) to
-    this framework's batched solvers. Local derivative-free solvers map
-    to the batched Nelder-Mead; the global optimizers have no batched
-    equivalent and raise with guidance.
+    optimizers, NLopt ``LN_NELDERMEAD``; ``_refinement/_solvers.py`` and
+    ``_refinement/__init__.py:32-66``) to this framework's batched
+    solvers. Local derivative-free solvers map to the batched
+    Nelder-Mead; ``differential_evolution`` maps to the batched DE; the
+    other scipy global optimizers (``dual_annealing``, ``basinhopping``,
+    ``shgo`` — sequential algorithms with no data-parallel equivalent)
+    map to the batched DE too, which serves the same role (escape local
+    minima within the trust-region bounds), with a warning.
     """
     m = method.lower()
     if m in ("nm", "minimize", "ln_neldermead", "nelder-mead"):
         return "nm"
     if m == "gradient":
         return "gradient"
-    if m in ("differential_evolution", "dual_annealing", "basinhopping", "shgo"):
-        raise NotImplementedError(
-            f"Global optimizer {method!r} has no batched TPU equivalent; "
-            "use method='nm' with pseudo_symmetry_ops (multi-start) or "
-            "method='gradient', which cover the reference's use cases"
+    if m in ("lm", "gn", "gauss-newton", "levenberg-marquardt"):
+        return "lm"
+    if m in ("de", "differential_evolution"):
+        return "de"
+    if m in ("dual_annealing", "basinhopping", "shgo"):
+        import warnings
+
+        warnings.warn(
+            f"Global optimizer {method!r} is inherently sequential; using "
+            "the batched differential evolution (same role: global search "
+            "within the trust region) instead",
+            stacklevel=3,
         )
-    raise ValueError(f"method must be 'nm' or 'gradient', got {method!r}")
+        return "de"
+    raise ValueError(
+        f"method must be one of 'nm', 'lm', 'gradient', "
+        f"'differential_evolution', got {method!r}"
+    )
 
 
 def _prepare_experimental(patterns, signal_mask_idx) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -186,6 +205,41 @@ def _objective_orientation_delta(delta, q0, exp, sq_norm, dc, master, npx, npy, 
     q = quat.multiply(q0, _exp_map(delta)).astype(jnp.float32)
     sim = _project_at(q, dc, master, npx, npy, scale)
     return 1.0 - _ncc_centered(exp, sq_norm, sim)
+
+
+def _unit_rows(p: jnp.ndarray) -> jnp.ndarray:
+    return p / jnp.linalg.norm(p, axis=-1, keepdims=True)
+
+
+def _sim_unit(sim: jnp.ndarray) -> jnp.ndarray:
+    sim = sim - jnp.mean(sim, axis=-1, keepdims=True)
+    return _unit_rows(sim)
+
+
+# Least-squares residuals for the Levenberg-Marquardt solver: with both
+# patterns centered and unit-normalized, 0.5 * ||sim_hat - exp_hat||^2
+# = 1 - NCC exactly, so LM minimizes the same objective as the NM/
+# gradient paths but exploits its sum-of-squares structure (Gauss-
+# Newton curvature from d JVPs of the differentiable projector).
+
+
+def _residual_orientation_delta(delta, q0, exp_unit, dc, master, npx, npy, scale):
+    q = quat.multiply(q0, _exp_map(delta)).astype(jnp.float32)
+    sim = _project_at(q, dc, master, npx, npy, scale)
+    return _sim_unit(sim) - exp_unit
+
+
+def _residual_pc_delta(dpc, pc0, exp_unit, q0, master, om, mask_take, npx, npy, scale, nrows, ncols):
+    dc = _masked_dc_for_pc(pc0 + dpc, om, mask_take, nrows, ncols)
+    sim = _project_at(q0, dc, master, npx, npy, scale)
+    return _sim_unit(sim) - exp_unit
+
+
+def _residual_joint_gibbs(x_b, q0, pc0, exp_unit, master, om, mask_take, npx, npy, scale, nrows, ncols):
+    q = quat.multiply(q0, _exp_map(x_b[:, :3])).astype(jnp.float32)
+    dc = _masked_dc_for_pc(pc0 + x_b[:, 3:], om, mask_take, nrows, ncols)
+    sim = _project_at(q, dc, master, npx, npy, scale)
+    return _sim_unit(sim) - exp_unit
 
 
 def _masked_dc_for_pc(pc_b, om, mask_take, nrows, ncols):
@@ -410,6 +464,7 @@ def refine_orientation(
         return _refine_orientation_pseudo_symmetry(
             signal, xmap, detector, master_pattern, energy, signal_mask,
             np.asarray(pseudo_symmetry_ops), trust_region, max_iters, rtol,
+            method,
         )
     xmap = xmap if xmap is not None else signal.xmap
     detector = detector if detector is not None else signal.detector
@@ -472,8 +527,33 @@ def refine_orientation(
             xmap, refined_rot, scores, np.full(n, max_iters), nav_shape
         )
         return RefinementResult(xmap=new_xmap, detector=detector)
-    if method != "nm":
-        raise ValueError(f"method must be 'nm' or 'gradient', got {method!r}")
+
+    if method == "lm":
+        # Gauss-Newton/LM on the unit-residual form of 1 - NCC: the
+        # production-fast path (typically < 10 iterations of 4 batched
+        # projections each vs ~100+ NM iterations; see
+        # utils/optimize.py:levenberg_marquardt_batched).
+        q0 = jnp.asarray(xmap.best_rotations, dtype=jnp.float32)
+        max_norm = (
+            np.deg2rad(float(np.max(trust_region)))
+            if trust_region is not None
+            else np.deg2rad(3.0)
+        )
+        res = levenberg_marquardt_batched(
+            _residual_orientation_delta,
+            jnp.zeros((n, 3), dtype=jnp.float32),
+            max_iters=min(max_iters, 30),
+            ftol=rtol * 1e-2,
+            blocks=((3, max_norm),),
+            args=(q0, _unit_rows(exp), dc, master),
+            static_args=(npx, npy, scale),
+        )
+        refined_rot = np.asarray(quat.multiply(q0, _exp_map(res.x)))
+        scores = 1.0 - np.asarray(res.fun)
+        new_xmap = _finalize_xmap(
+            xmap, refined_rot, scores, np.asarray(res.n_iter), nav_shape
+        )
+        return RefinementResult(xmap=new_xmap, detector=detector)
 
     lb = ub = None
     if trust_region is not None:
@@ -481,10 +561,37 @@ def refine_orientation(
         lb = jnp.asarray(euler0 - tr, dtype=jnp.float32)
         ub = jnp.asarray(euler0 + tr, dtype=jnp.float32)
 
+    n_ev_de = 0
+    x_start = jnp.asarray(euler0, dtype=jnp.float32)
+    initial_step = np.deg2rad(1.0)
+    if method == "de":
+        if trust_region is None:
+            raise ValueError(
+                "method='differential_evolution' requires trust_region "
+                "(the search bounds), as in the reference "
+                "(_refinement.py:get_bound_constraints)"
+            )
+        de = differential_evolution_batched(
+            _objective_orientation,
+            lb,
+            ub,
+            x0=x_start,
+            popsize=24,
+            max_iters=max_iters,
+            args=(exp, sq_norm, dc, master),
+            static_args=(npx, npy, scale),
+        )
+        # scipy differential_evolution(polish=True) analogue: a local
+        # polish of the population winner within the same bounds.
+        x_start = de.x
+        n_ev_de = np.asarray(de.n_iter)
+        initial_step = np.deg2rad(0.25)
+        max_iters = 50
+
     res = nelder_mead_batched(
         _objective_orientation,
-        jnp.asarray(euler0, dtype=jnp.float32),
-        initial_step=np.deg2rad(1.0),
+        x_start,
+        initial_step=initial_step,
         max_iters=max_iters,
         fatol=rtol,
         xatol=1e-4,
@@ -497,14 +604,14 @@ def refine_orientation(
     refined_rot = np.asarray(quat.from_euler(res.x.astype(f64)))
     scores = 1.0 - np.asarray(res.fun)
     new_xmap = _finalize_xmap(
-        xmap, refined_rot, scores, np.asarray(res.n_iter), nav_shape
+        xmap, refined_rot, scores, np.asarray(res.n_iter) + n_ev_de, nav_shape
     )
     return RefinementResult(xmap=new_xmap, detector=detector)
 
 
 def _refine_orientation_pseudo_symmetry(
     signal, xmap, detector, master_pattern, energy, signal_mask,
-    ops, trust_region, max_iters, rtol,
+    ops, trust_region, max_iters, rtol, method="nm",
 ):
     """Refine from the original and each pseudo-symmetric start; keep
     the best result per map point."""
@@ -533,6 +640,7 @@ def _refine_orientation_pseudo_symmetry(
                 trust_region=trust_region,
                 max_iters=max_iters,
                 rtol=rtol,
+                method=method,
             )
         )
     scores = np.stack([r.xmap.prop["scores"] for r in results])  # (v, n)
@@ -566,8 +674,11 @@ def refine_projection_center(
     ``trust_region``: optional ``(3,)`` half-widths (PC fractions).
 
     ``method``: ``"nm"`` (batched Nelder-Mead, matching the reference's
-    derivative-free solvers) or ``"gradient"`` (batched Adam on the
-    projector's exact PC gradients; no reference equivalent).
+    derivative-free solvers), ``"lm"`` (batched Levenberg-Marquardt on
+    the projector's exact Jacobian — the fast production default
+    candidate), ``"gradient"`` (batched Adam), or
+    ``"differential_evolution"`` (batched global search within
+    ``trust_region``, matching the reference's scipy global solvers).
     """
     method = _normalize_method(method)
     xmap = xmap if xmap is not None else signal.xmap
@@ -636,8 +747,33 @@ def refine_projection_center(
             np.full(n, max_iters), nav_shape,
         )
         return RefinementResult(xmap=new_xmap, detector=new_detector)
-    if method != "nm":
-        raise ValueError(f"method must be 'nm' or 'gradient', got {method!r}")
+
+    if method == "lm":
+        max_norm = (
+            float(np.max(trust_region)) if trust_region is not None else 0.05
+        )
+        res = levenberg_marquardt_batched(
+            _residual_pc_delta,
+            jnp.zeros((n, 3), dtype=jnp.float32),
+            max_iters=min(max_iters, 30),
+            ftol=rtol * 1e-2,
+            blocks=((3, max_norm),),
+            args=(jnp.asarray(pc0), _unit_rows(exp), q0, master, om, mask_take),
+            static_args=pc_static,
+        )
+        new_pc = np.asarray(pc0 + np.asarray(res.x), dtype=np.float64)
+        new_detector = dataclasses.replace(
+            detector,
+            pc=new_pc.reshape(
+                nav_shape + (3,) if len(nav_shape) == 2 else (-1, 3)
+            ),
+        )
+        scores = 1.0 - np.asarray(res.fun)
+        new_xmap = _finalize_xmap(
+            xmap, np.asarray(xmap.best_rotations), scores,
+            np.asarray(res.n_iter), nav_shape,
+        )
+        return RefinementResult(xmap=new_xmap, detector=new_detector)
 
     lb = ub = None
     if trust_region is not None:
@@ -645,10 +781,33 @@ def refine_projection_center(
         lb = jnp.asarray(pc0 - tr)
         ub = jnp.asarray(pc0 + tr)
 
+    n_ev_de = 0
+    x_start = jnp.asarray(pc0)
+    initial_step = 0.01
+    if method == "de":
+        if trust_region is None:
+            raise ValueError(
+                "method='differential_evolution' requires trust_region "
+                "(the search bounds), as in the reference"
+            )
+        de = differential_evolution_batched(
+            _objective_pc,
+            lb,
+            ub,
+            x0=x_start,
+            max_iters=max_iters,
+            args=pc_args,
+            static_args=pc_static,
+        )
+        x_start = de.x
+        n_ev_de = np.asarray(de.n_iter)
+        initial_step = 0.0025
+        max_iters = 50
+
     res = nelder_mead_batched(
         _objective_pc,
-        jnp.asarray(pc0),
-        initial_step=0.01,
+        x_start,
+        initial_step=initial_step,
         max_iters=max_iters,
         fatol=rtol,
         xatol=1e-5,
@@ -663,8 +822,8 @@ def refine_projection_center(
     )
     scores = 1.0 - np.asarray(res.fun)
     new_xmap = _finalize_xmap(
-        xmap, np.asarray(xmap.best_rotations), scores, np.asarray(res.n_iter),
-        nav_shape,
+        xmap, np.asarray(xmap.best_rotations), scores,
+        np.asarray(res.n_iter) + n_ev_de, nav_shape,
     )
     return RefinementResult(xmap=new_xmap, detector=new_detector)
 
@@ -689,9 +848,11 @@ def refine_orientation_projection_center(
     ``trust_region``: optional ``(6,)``: three Euler half-widths in
     degrees then three PC half-widths.
 
-    ``method``: ``"nm"`` or ``"gradient"`` (batched Adam over the
-    6-vector (rotation vector, PC shift), each block trust-region
-    clipped separately).
+    ``method``: ``"nm"``, ``"lm"`` (batched Levenberg-Marquardt over
+    the 6-vector (rotation vector, PC shift), each block trust-region
+    clipped separately), ``"gradient"`` (batched Adam, same blocks), or
+    ``"differential_evolution"`` (batched global search within
+    ``trust_region``).
     """
     method = _normalize_method(method)
     xmap = xmap if xmap is not None else signal.xmap
@@ -765,8 +926,41 @@ def refine_orientation_projection_center(
             xmap, refined_rot, scores, np.full(n, max_iters), nav_shape
         )
         return RefinementResult(xmap=new_xmap, detector=new_detector)
-    if method != "nm":
-        raise ValueError(f"method must be 'nm' or 'gradient', got {method!r}")
+
+    if method == "lm":
+        if trust_region is not None:
+            tr = np.asarray(trust_region, dtype=np.float64)
+            rot_norm = float(np.deg2rad(np.max(tr[:3])))
+            pc_norm = float(np.max(tr[3:]))
+        else:
+            rot_norm, pc_norm = np.deg2rad(3.0), 0.05
+        q0 = jnp.asarray(xmap.best_rotations, dtype=jnp.float32)
+        pc0_j = jnp.asarray(pc0, dtype=jnp.float32)
+        res = levenberg_marquardt_batched(
+            _residual_joint_gibbs,
+            jnp.zeros((n, 6), dtype=jnp.float32),
+            max_iters=min(max_iters, 30),
+            ftol=rtol * 1e-2,
+            blocks=((3, rot_norm), (3, pc_norm)),
+            args=(q0, pc0_j, _unit_rows(exp), master, om, mask_take),
+            static_args=joint_static,
+        )
+        d_best = np.asarray(res.x)
+        refined_rot = np.asarray(
+            quat.multiply(q0, _exp_map(jnp.asarray(d_best[:, :3])))
+        )
+        new_pc = np.asarray(pc0 + d_best[:, 3:], dtype=np.float64)
+        new_detector = dataclasses.replace(
+            detector,
+            pc=new_pc.reshape(
+                nav_shape + (3,) if len(nav_shape) == 2 else (-1, 3)
+            ),
+        )
+        scores = 1.0 - np.asarray(res.fun)
+        new_xmap = _finalize_xmap(
+            xmap, refined_rot, scores, np.asarray(res.n_iter), nav_shape
+        )
+        return RefinementResult(xmap=new_xmap, detector=new_detector)
 
     lb = ub = None
     if trust_region is not None:
@@ -775,12 +969,37 @@ def refine_orientation_projection_center(
         lb = jnp.asarray(x0 - tr, dtype=jnp.float32)
         ub = jnp.asarray(x0 + tr, dtype=jnp.float32)
 
+    n_ev_de = 0
+    x_start = jnp.asarray(x0)
+    initial_step = jnp.asarray(
+        [np.deg2rad(1.0)] * 3 + [0.01] * 3, dtype=jnp.float32
+    )
+    if method == "de":
+        if trust_region is None:
+            raise ValueError(
+                "method='differential_evolution' requires trust_region "
+                "(the search bounds), as in the reference"
+            )
+        de = differential_evolution_batched(
+            _objective_joint,
+            lb,
+            ub,
+            x0=x_start,
+            max_iters=max_iters,
+            args=joint_args,
+            static_args=joint_static,
+        )
+        x_start = de.x
+        n_ev_de = np.asarray(de.n_iter)
+        initial_step = jnp.asarray(
+            [np.deg2rad(0.25)] * 3 + [0.0025] * 3, dtype=jnp.float32
+        )
+        max_iters = 50
+
     res = nelder_mead_batched(
         _objective_joint,
-        jnp.asarray(x0),
-        initial_step=jnp.asarray(
-            [np.deg2rad(1.0)] * 3 + [0.01] * 3, dtype=jnp.float32
-        ),
+        x_start,
+        initial_step=initial_step,
         max_iters=max_iters,
         fatol=rtol,
         xatol=1e-5,
@@ -798,7 +1017,7 @@ def refine_orientation_projection_center(
     )
     scores = 1.0 - np.asarray(res.fun)
     new_xmap = _finalize_xmap(
-        xmap, refined_rot, scores, np.asarray(res.n_iter), nav_shape
+        xmap, refined_rot, scores, np.asarray(res.n_iter) + n_ev_de, nav_shape
     )
     return RefinementResult(xmap=new_xmap, detector=new_detector)
 

@@ -154,6 +154,7 @@ def dictionary_index_streamed(
 
     from kikuchipy_tpu.indexing.di import (
         DictionaryIndexingResult,
+        PreparedDictionary,
         _default_tile,
         _index_resident,
     )
@@ -170,13 +171,31 @@ def dictionary_index_streamed(
                 done_starts.add(start)
 
     # Prepare the dictionary ON DEVICE ONCE (the previous implementation
-    # re-prepared it for every chunk via dictionary_index).
+    # re-prepared it for every chunk via dictionary_index); a
+    # PreparedDictionary skips even that and reuses preparation across
+    # scans.
     metric_obj = get_metric(metric)
-    dict_arr = jnp.asarray(dictionary)
-    sig_size = int(np.prod(dict_arr.shape[1:]))
-    keep_idx = signal_mask_to_idx(signal_mask, sig_size)
-    keep_idx = None if keep_idx is None else jnp.asarray(keep_idx)
-    dict_prepared = metric_obj.prepare(dict_arr, keep_idx)
+    if isinstance(dictionary, PreparedDictionary):
+        if dictionary.metric_name != metric_obj.name:
+            raise ValueError(
+                f"PreparedDictionary was prepared with metric "
+                f"{dictionary.metric_name!r}, requested {metric_obj.name!r}"
+            )
+        dict_prepared = dictionary.prepared
+        sig_size = None
+        keep_idx = (
+            None
+            if signal_mask is None
+            else jnp.asarray(
+                signal_mask_to_idx(signal_mask, int(np.asarray(signal_mask).size))
+            )
+        )
+    else:
+        dict_arr = jnp.asarray(dictionary)
+        sig_size = int(np.prod(dict_arr.shape[1:]))
+        keep_idx = signal_mask_to_idx(signal_mask, sig_size)
+        keep_idx = None if keep_idx is None else jnp.asarray(keep_idx)
+        dict_prepared = metric_obj.prepare(dict_arr, keep_idx)
     m = dict_prepared.shape[0]
     keep_n_eff = min(keep_n, m)
     tile = min(
@@ -186,6 +205,9 @@ def dictionary_index_streamed(
     approx = di_kwargs.pop("approx_topk", False)
     if di_kwargs:
         raise TypeError(f"Unknown arguments: {sorted(di_kwargs)}")
+    dict_q = dict_scale = None
+    if precision == "int8" and isinstance(dictionary, PreparedDictionary):
+        dict_q, dict_scale = dictionary.quantized_int8()
 
     # Host preprocessing runs in a pipeline thread so it overlaps device
     # compute; device dispatch is async, and results are synced with a
@@ -228,6 +250,8 @@ def dictionary_index_streamed(
             min(tile, m),
             precision,
             approx,
+            dict_q,
+            dict_scale,
         )
         if pending is not None:
             s_prev, sc_prev, ix_prev = pending

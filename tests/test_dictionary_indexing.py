@@ -331,3 +331,114 @@ class TestReferenceKwargs:
         np.testing.assert_allclose(
             np.asarray(xmap64.prop["scores"])[:, 0], 1.0, atol=1e-9
         )
+
+
+class TestPreparedDictionary:
+    """prepare_dictionary: one-time preparation/quantization reused
+    across calls (the dictionary is the reusable operand on TPU; the
+    reference re-prepares per call, _dictionary_indexing.py:130)."""
+
+    def test_prepared_matches_raw(self):
+        from kikuchipy_tpu.indexing.di import prepare_dictionary
+
+        rng = np.random.default_rng(11)
+        e = rng.normal(size=(12, 100)).astype(np.float32)
+        d = np.concatenate([rng.normal(size=(150, 100)).astype(np.float32), e])
+        prep = prepare_dictionary(d)
+        raw = dictionary_index(e, d, keep_n=5)
+        via_prep = dictionary_index(e, prep, keep_n=5)
+        np.testing.assert_array_equal(
+            via_prep.simulation_indices, raw.simulation_indices
+        )
+        np.testing.assert_allclose(via_prep.scores, raw.scores, rtol=0, atol=0)
+
+    def test_prepared_int8_matches_raw_int8(self):
+        from kikuchipy_tpu.indexing.di import prepare_dictionary
+
+        rng = np.random.default_rng(12)
+        e = rng.normal(size=(10, 81)).astype(np.float32)
+        d = np.concatenate([rng.normal(size=(120, 81)).astype(np.float32), e])
+        prep = prepare_dictionary(d, quantize=True)
+        assert prep._q8 is not None  # eagerly quantized
+        raw = dictionary_index(e, d, keep_n=4, precision="int8")
+        via_prep = dictionary_index(e, prep, keep_n=4, precision="int8")
+        np.testing.assert_array_equal(
+            via_prep.simulation_indices[:, 0], raw.simulation_indices[:, 0]
+        )
+        np.testing.assert_allclose(
+            via_prep.scores[:, 0], raw.scores[:, 0], atol=2e-6
+        )
+
+    def test_prepared_with_mask(self):
+        from kikuchipy_tpu.indexing.di import prepare_dictionary
+
+        rng = np.random.default_rng(13)
+        e = rng.normal(size=(6, 7, 7)).astype(np.float32)
+        d = np.concatenate([rng.normal(size=(40, 7, 7)).astype(np.float32), e])
+        mask = np.zeros((7, 7), dtype=bool)
+        mask[0, :3] = True  # exclude
+        prep = prepare_dictionary(d, signal_mask=mask)
+        raw = dictionary_index(e, d, keep_n=3, signal_mask=mask)
+        via_prep = dictionary_index(e, prep, keep_n=3, signal_mask=mask)
+        np.testing.assert_array_equal(
+            via_prep.simulation_indices, raw.simulation_indices
+        )
+
+    def test_metric_mismatch_raises(self):
+        from kikuchipy_tpu.indexing.di import prepare_dictionary
+
+        rng = np.random.default_rng(14)
+        d = rng.normal(size=(20, 36)).astype(np.float32)
+        e = rng.normal(size=(4, 36)).astype(np.float32)
+        prep = prepare_dictionary(d, metric="ndp")
+        with pytest.raises(ValueError, match="metric"):
+            dictionary_index(e, prep, keep_n=2, metric="ncc")
+
+    def test_streamed_scan_with_prepared_dictionary(self, tmp_path):
+        import h5py
+
+        from kikuchipy_tpu.indexing.di import prepare_dictionary
+        from kikuchipy_tpu.io.streaming import dictionary_index_streamed
+
+        rng = np.random.default_rng(15)
+        e = rng.normal(size=(20, 6, 6)).astype(np.float32)
+        d = np.concatenate([rng.normal(size=(60, 6, 6)).astype(np.float32), e])
+        prep = prepare_dictionary(d)
+        path = tmp_path / "scan.h5"
+        with h5py.File(path, "w") as f:
+            f.create_dataset("Scan 1/EBSD/Data/patterns", data=e)
+
+        res = dictionary_index_streamed(path, prep, chunk_size=8, keep_n=3)
+        ref = dictionary_index(e, d, keep_n=3)
+        np.testing.assert_array_equal(
+            res.simulation_indices, ref.simulation_indices
+        )
+
+
+class TestF16Tier:
+    """precision="f16": f32-class matmul, scores materialized as float16
+    (indices exact modulo f16 ties; scores within 2.44e-4)."""
+
+    def test_f16_matches_highest(self):
+        rng = np.random.default_rng(16)
+        e = rng.normal(size=(16, 144)).astype(np.float32)
+        d = np.concatenate([rng.normal(size=(200, 144)).astype(np.float32), e])
+        exact = dictionary_index(e, d, keep_n=5)
+        f16 = dictionary_index(e, d, keep_n=5, precision="f16")
+        np.testing.assert_array_equal(
+            f16.simulation_indices[:, 0], exact.simulation_indices[:, 0]
+        )
+        np.testing.assert_allclose(f16.scores, exact.scores, atol=3e-4)
+        assert f16.scores.dtype == np.float32
+
+    def test_f16_tiled_matches_untiled(self):
+        rng = np.random.default_rng(17)
+        e = rng.normal(size=(8, 64)).astype(np.float32)
+        d = np.concatenate([rng.normal(size=(100, 64)).astype(np.float32), e])
+        full = dictionary_index(e, d, keep_n=4, precision="f16")
+        tiled = dictionary_index(
+            e, d, keep_n=4, precision="f16", n_per_iteration=17
+        )
+        np.testing.assert_array_equal(
+            tiled.simulation_indices[:, 0], full.simulation_indices[:, 0]
+        )

@@ -311,12 +311,155 @@ class TestMethodNameCompat:
         )
         assert "scores" in res.xmap.prop
 
-    def test_global_optimizers_guide_user(self, nickel_setup):
+    def test_global_names_map_to_de(self, nickel_setup):
         s, mp = nickel_setup
-        with pytest.raises(NotImplementedError, match="pseudo_symmetry_ops"):
+        with pytest.warns(UserWarning, match="differential evolution"):
+            res = s.refine_orientation(
+                master_pattern=mp,
+                method="dual_annealing",
+                trust_region=[0.5, 0.5, 0.5],
+                max_iters=5,
+            )
+        assert "scores" in res.xmap.prop
+
+    def test_de_requires_trust_region(self, nickel_setup):
+        s, mp = nickel_setup
+        with pytest.raises(ValueError, match="trust_region"):
             s.refine_orientation(
                 master_pattern=mp, method="differential_evolution"
             )
+
+
+class TestLMRefinement:
+    """Batched Levenberg-Marquardt: the fast production solver must meet
+    the same reference benchmark criterion (< 0.8 deg;
+    /root/reference/benchmarks/indexing/test_refinement.py:85) as NM."""
+
+    def test_recovers_perturbed_orientations(self, nickel_setup):
+        s, mp = nickel_setup
+        stored = s.xmap.best_rotations
+        rng = np.random.default_rng(7)
+        axes = rng.normal(size=(9, 3))
+        axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+        dq = np.asarray(
+            quat.from_axis_angle(jnp.asarray(axes), np.deg2rad(3.0))
+        )
+        perturbed = np.asarray(
+            quat.multiply(jnp.asarray(dq), jnp.asarray(stored))
+        )
+        from kikuchipy_tpu.crystallography.crystal_map import CrystalMap
+
+        xmap0 = CrystalMap(rotations=perturbed, shape=(3, 3), phases=s.xmap.phases)
+        res = s.refine_orientation(
+            xmap=xmap0, detector=s.detector, master_pattern=mp, method="lm"
+        )
+        ang_after = np.degrees(
+            disorientation_angle(stored, res.xmap.best_rotations, "m-3m")
+        )
+        assert ang_after.max() < 0.8, ang_after
+        assert res.xmap.prop["scores"].min() > 0.3
+        # LM converges in few iterations (that is its point).
+        assert res.xmap.prop["num_evals"].max() <= 30
+
+    def test_pc_refines_towards_known_pc(self, nickel_setup):
+        s, mp = nickel_setup
+        import dataclasses
+
+        true_pc = s.detector.pc_average
+        bad_pc = true_pc + np.array([0.015, -0.015, 0.015])
+        det = dataclasses.replace(s.detector, pc=np.tile(bad_pc, (9, 1)))
+        res = s.refine_projection_center(
+            detector=det, master_pattern=mp, method="lm"
+        )
+        new_pc = np.asarray(res.detector.pc).reshape(-1, 3).mean(axis=0)
+        assert np.abs(new_pc - true_pc).max() < np.abs(bad_pc - true_pc).max()
+
+    def test_joint_improves_score(self, nickel_setup):
+        s, mp = nickel_setup
+        base = s.refine_orientation(
+            master_pattern=mp, max_iters=1, method="nm"
+        ).xmap.prop["scores"]
+        res = s.refine_orientation_projection_center(
+            master_pattern=mp, method="lm"
+        )
+        assert res.xmap.prop["scores"].mean() >= base.mean() - 1e-3
+
+
+class TestDifferentialEvolution:
+    """Batched DE: reference-equivalent global search within the
+    trust-region bounds (_refinement/_solvers.py:216-228)."""
+
+    def test_recovers_large_perturbation(self, nickel_setup):
+        s, mp = nickel_setup
+        stored = s.xmap.best_rotations
+        rng = np.random.default_rng(3)
+        axes = rng.normal(size=(9, 3))
+        axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+        dq = np.asarray(
+            quat.from_axis_angle(jnp.asarray(axes), np.deg2rad(8.0))
+        )
+        perturbed = np.asarray(
+            quat.multiply(jnp.asarray(dq), jnp.asarray(stored))
+        )
+        from kikuchipy_tpu.crystallography.crystal_map import CrystalMap
+
+        xmap0 = CrystalMap(rotations=perturbed, shape=(3, 3), phases=s.xmap.phases)
+        res_de = s.refine_orientation(
+            xmap=xmap0,
+            detector=s.detector,
+            master_pattern=mp,
+            method="differential_evolution",
+            trust_region=[10, 10, 10],
+            max_iters=80,
+        )
+        ang_de = np.degrees(
+            disorientation_angle(stored, res_de.xmap.best_rotations, "m-3m")
+        )
+        # DE + polish recovers every point from an 8-degree start within
+        # a wide trust region (a start distance where plain local NM
+        # cannot be guaranteed to escape side minima).
+        assert ang_de.max() < 1.0, ang_de
+
+        # And it is never worse than plain NM from the same starts.
+        res_nm = s.refine_orientation(
+            xmap=xmap0,
+            detector=s.detector,
+            master_pattern=mp,
+            method="nm",
+            trust_region=[10, 10, 10],
+            max_iters=150,
+        )
+        assert (
+            res_de.xmap.prop["scores"].mean()
+            >= res_nm.xmap.prop["scores"].mean() - 1e-3
+        )
+
+    def test_pc_de_within_bounds(self, nickel_setup):
+        s, mp = nickel_setup
+        res = s.refine_projection_center(
+            master_pattern=mp,
+            method="differential_evolution",
+            trust_region=[0.02, 0.02, 0.02],
+            max_iters=25,
+        )
+        pc0 = np.asarray(s.detector.pc).reshape(-1, 3)
+        pc1 = np.asarray(res.detector.pc).reshape(-1, 3)
+        if pc0.shape[0] == 1:
+            pc0 = np.tile(pc0, (pc1.shape[0], 1))
+        assert np.abs(pc1 - pc0).max() <= 0.02 + 1e-6
+
+    def test_joint_de_improves_score(self, nickel_setup):
+        s, mp = nickel_setup
+        base = s.refine_orientation(
+            master_pattern=mp, max_iters=1, method="nm"
+        ).xmap.prop["scores"]
+        res = s.refine_orientation_projection_center(
+            master_pattern=mp,
+            method="differential_evolution",
+            trust_region=[1, 1, 1, 0.02, 0.02, 0.02],
+            max_iters=25,
+        )
+        assert res.xmap.prop["scores"].mean() >= base.mean() - 1e-3
 
 
 class TestReferenceRefinementBenchmarkParity:
