@@ -214,10 +214,24 @@ def multihost_dictionary_index(
     if gather_results and n_proc > 1:
         from jax.experimental import multihost_utils
 
-        scores = multihost_utils.process_allgather(scores, tiled=True)
-        idx = multihost_utils.process_allgather(idx, tiled=True)
-        scores = np.asarray(scores)[:n_total]
-        idx = np.asarray(idx)[:n_total]
+        scores = np.asarray(multihost_utils.process_allgather(scores, tiled=True))
+        idx = np.asarray(multihost_utils.process_allgather(idx, tiled=True))
+
+        # Pad rows sit at the END OF EACH HOST BLOCK (each host padded
+        # its local slice to per_host rows), not all at the global end:
+        # strip per block, keeping each host's real row count.
+        def _strip_host_padding(arr):
+            blocks = arr.reshape(n_proc, per_host, -1)
+            return np.concatenate(
+                [
+                    blocks[p][: (sl := host_navigation_slice(n_total, p, n_proc)).stop - sl.start]
+                    for p in range(n_proc)
+                ],
+                axis=0,
+            )
+
+        scores = _strip_host_padding(scores)
+        idx = _strip_host_padding(idx)
         n_keep_rows = n_total
     else:
         # Assemble this host's block from its addressable shards. Each
