@@ -75,12 +75,22 @@ def map_streamed(
     chunk_size: int = 1024,
     out_path: str | Path | None = None,
     out_dataset: str = "Scan 1/EBSD/Data/patterns",
+    copy_metadata: bool = True,
 ) -> np.ndarray | None:
     """Apply a (jitted) per-chunk function over a streamed scan.
 
     Results are written into ``out`` (preallocated array), or streamed
     to ``out_path`` (HDF5, created on first chunk) when the result does
     not fit in memory, or collected into a new array otherwise.
+
+    This is the out-of-core "preprocess a scan larger than host RAM and
+    save it back" path (the reference does this through ``LazyEBSD`` +
+    Dask lazy saves, ``/root/reference/src/kikuchipy/signals/ebsd.py:
+    3186``): only one chunk of input and one of output are ever in
+    memory. With ``copy_metadata`` (default), every group/dataset of the
+    input file EXCEPT the pattern dataset is copied into ``out_path``,
+    so preprocessing an h5ebsd scan yields a valid, loadable h5ebsd
+    scan (header, PCs, crystal map and all).
     """
     import h5py
 
@@ -99,6 +109,8 @@ def map_streamed(
                     h5out = h5py.File(out_path, "w")
                     with h5py.File(filename, "r") as fin:
                         n = fin[dataset].shape[0]
+                        if copy_metadata:
+                            _copy_h5_except(fin, h5out, skip=dataset)
                     out_ds = h5out.create_dataset(
                         out_dataset,
                         shape=(n,) + result.shape[1:],
@@ -115,6 +127,28 @@ def map_streamed(
     if out_path is not None:
         return None
     return np.concatenate(collected, axis=0)
+
+
+def _copy_h5_except(fin, fout, skip: str) -> None:
+    """Copy all groups/datasets/attrs of ``fin`` into ``fout`` except
+    the (possibly nested) dataset path ``skip``."""
+    skip_parts = skip.strip("/").split("/")
+
+    def visit(src, dst, parts):
+        for key, item in src.items():
+            if parts and key == parts[0]:
+                if len(parts) == 1:
+                    continue  # the pattern dataset itself
+                sub = dst.require_group(key)
+                for a, v in item.attrs.items():
+                    sub.attrs[a] = v
+                visit(item, sub, parts[1:])
+                continue
+            src.copy(key, dst, name=key)
+        for a, v in src.attrs.items():
+            dst.attrs[a] = v
+
+    visit(fin, fout, skip_parts)
 
 
 def dictionary_index_streamed(

@@ -66,3 +66,82 @@ class TestAccessors:
     def test_master_pattern_phase_validation(self):
         with pytest.raises(ValueError, match="phase must be one of"):
             kpdata.ebsd_master_pattern("kryptonite")
+
+
+class TestDownloadPath:
+    """The urllib download branch exercised offline by serving bytes
+    from a local fixture (VERDICT r1 item 9 — zero-egress env)."""
+
+    def _serve(self, monkeypatch, payload: bytes):
+        import io
+        import urllib.request
+
+        class FakeResponse(io.BytesIO):
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                self.close()
+
+        calls = []
+
+        def fake_urlopen(url, timeout=None):
+            calls.append(url)
+            return FakeResponse(payload)
+
+        monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+        return calls
+
+    def test_download_lands_in_cache_and_verifies(self, monkeypatch, tmp_path):
+        # Serve the REAL in-package file so the registered MD5 matches.
+        src = kpdata.data_path() / "kikuchipy_h5ebsd/patterns.h5"
+        if not src.exists():
+            pytest.skip("reference data not available")
+        payload = src.read_bytes()
+        # patterns.h5 has no registered URL; fake one for the test.
+        relpath = "kikuchipy_h5ebsd/patterns.h5"
+        monkeypatch.setitem(
+            REGISTRY_URLS, relpath, "https://example.invalid/patterns.h5"
+        )
+        calls = self._serve(monkeypatch, payload)
+
+        p = fetch(relpath, tmp_path, allow_download=True, check_hash=True)
+        assert p == tmp_path / relpath
+        assert p.exists()
+        assert calls == ["https://example.invalid/patterns.h5"]
+        assert not p.with_suffix(p.suffix + ".part").exists()
+        # Second fetch: cached, no new download.
+        fetch(relpath, tmp_path, allow_download=True, check_hash=True)
+        assert len(calls) == 1
+
+    def test_corrupt_download_rejected(self, monkeypatch, tmp_path):
+        relpath = "nickel_ebsd_large/patterns.h5"
+        self._serve(monkeypatch, b"corrupted payload")
+        with pytest.raises(ValueError, match="MD5 mismatch"):
+            fetch(relpath, tmp_path, allow_download=True, check_hash=True)
+
+    def test_accessor_downloads_into_env_cache(self, monkeypatch, tmp_path):
+        src = kpdata.data_path() / "kikuchipy_h5ebsd/patterns.h5"
+        if not src.exists():
+            pytest.skip("reference data not available")
+        # Point BOTH the cache and the package-data root at empty dirs
+        # so the accessor is forced through the download branch.
+        monkeypatch.setenv("KP_TPU_DATA_DIR", str(tmp_path))
+        monkeypatch.setattr(kpdata, "_REFERENCE_DATA", tmp_path / "none")
+        monkeypatch.setitem(
+            REGISTRY_URLS,
+            "kikuchipy_h5ebsd/patterns.h5",
+            "https://example.invalid/patterns.h5",
+        )
+        self._serve(monkeypatch, src.read_bytes())
+        s = kpdata.nickel_ebsd_small(allow_download=True, check_hash=True)
+        assert s.data.shape == (3, 3, 60, 60)
+        assert (tmp_path / "kikuchipy_h5ebsd/patterns.h5").exists()
+
+    def test_clear_cache(self, monkeypatch, tmp_path):
+        cache = tmp_path / "cache"
+        cache.mkdir()
+        (cache / "junk.bin").write_bytes(b"x")
+        monkeypatch.setenv("KP_TPU_DATA_DIR", str(cache))
+        kpdata.clear_cache()
+        assert not cache.exists()

@@ -155,3 +155,70 @@ class TestDevicePreprocess:
             host.simulation_indices, dev.simulation_indices
         )
         np.testing.assert_allclose(host.scores, dev.scores, atol=1e-6)
+
+
+class TestStreamedSaveBack:
+    """Out-of-core preprocess-to-disk (VERDICT r1 item 7): streaming a
+    real h5ebsd scan through a kernel yields a VALID h5ebsd file
+    (header + crystal map copied) loadable with kp.load."""
+
+    def test_h5ebsd_roundtrip_loadable(self, tmp_path):
+        from pathlib import Path
+
+        import kikuchipy_tpu as kp
+
+        src = Path(
+            "/root/reference/src/kikuchipy/data/kikuchipy_h5ebsd/patterns.h5"
+        )
+        if not src.exists():
+            pytest.skip("reference data not available")
+        out_path = tmp_path / "preprocessed.h5"
+
+        import jax
+
+        from kikuchipy_tpu.ops import pattern as ops
+
+        raw = kp.load(src)
+        static_bg = np.asarray(raw.static_background)
+
+        @jax.jit
+        def preprocess(x):
+            return ops.remove_static_background(x, static_bg)
+
+        map_streamed(
+            src,
+            lambda c: np.asarray(preprocess(c)),
+            out_path=out_path,
+            chunk_size=4,
+        )
+
+        # The output is a loadable h5ebsd scan with metadata intact.
+        s2 = kp.load(out_path)
+        assert s2.data.shape == raw.data.shape
+        np.testing.assert_allclose(
+            np.asarray(s2.detector.pc), np.asarray(raw.detector.pc)
+        )
+        assert s2.xmap is not None
+        np.testing.assert_allclose(
+            s2.xmap.best_rotations, raw.xmap.best_rotations
+        )
+        # And the patterns are the preprocessed ones.
+        expected = np.asarray(raw.remove_static_background().data)
+        np.testing.assert_array_equal(
+            np.asarray(s2.data).reshape(expected.shape), expected
+        )
+
+    def test_copy_metadata_off(self, big_scan, tmp_path):
+        f, data = big_scan
+        out_path = tmp_path / "plain.h5"
+        map_streamed(
+            f,
+            lambda c: c.astype(np.float32),
+            out_path=out_path,
+            chunk_size=40,
+            copy_metadata=False,
+        )
+        with h5py.File(out_path) as h:
+            np.testing.assert_allclose(
+                h["Scan 1/EBSD/Data/patterns"][()], data.astype(np.float32)
+            )
