@@ -238,16 +238,18 @@ def _index_resident(
     else:
         k_carry = keep_n
 
-    # Selection scores materialize as f16 for every tier except
-    # "highest"/"high": the (n_exp, tile) score block's HBM write + the
-    # top-k's reads are the production path's dominant cost (~80 ms of
-    # the 127 ms pass at n=8192, m=100k — BENCH_NOTES.md "Top-k line"),
-    # and halving the bytes halves that. f16's 11-bit mantissa bounds
-    # the rounding of an NCC score in [-1, 1] by 2.44e-4 absolute —
-    # inside the 1e-3 agreement gate — so the "f16" tier needs no
-    # rescore; the int8/mixed tiers rescore anyway (their selection
-    # error dominates f16 rounding by an order of magnitude).
-    sel_dtype = jnp.float16 if precision in ("f16", "int8", "mixed") else dtype
+    # The "f16" tier materializes the (n_exp, tile) score block as
+    # float16 — halving the block's HBM write + the top-k's read
+    # traffic — and converts back to f32 AT THE TOP-K INPUT: exact
+    # lax.top_k on float16 keys hits a slow lowering on this backend
+    # (measured ~9x slower than the f32 pass, BENCH_NOTES.md "f16
+    # top-k trap"), while a convert fused into the top-k operand read
+    # is free. f16's 11-bit mantissa bounds the rounding of an NCC
+    # score in [-1, 1] by 2.44e-4 absolute — inside the 1e-3 agreement
+    # gate — so the tier needs no rescore. int8/mixed selection stays
+    # f32 (their rescore makes extra selection rounding pointless and
+    # the int32->f32 scale product is already fused).
+    sel_dtype = jnp.float16 if precision == "f16" else dtype
 
     if precision == "int8":
         # exp rows share a scale per row, which is rank-invariant per
@@ -313,6 +315,7 @@ def _index_resident(
             return _match(dict_prepared[start:])
 
     def tile_topk(sim, k):
+        sim = sim.astype(dtype)  # no-op except the f16 tier (see above)
         if approx:
             return jax.lax.approx_max_k(sim, k, recall_target=0.99)
         return jax.lax.top_k(sim, k)
@@ -329,7 +332,7 @@ def _index_resident(
         return (s, i), None
 
     init = (
-        jnp.full((n_exp, k_carry), -jnp.inf, dtype=sel_dtype),
+        jnp.full((n_exp, k_carry), -jnp.inf, dtype=dtype),
         jnp.zeros((n_exp, k_carry), dtype=jnp.int32),
     )
     (scores, idx), _ = jax.lax.scan(step, init, jnp.arange(n_tiles))

@@ -345,8 +345,13 @@ def bands_to_normals(
 
     # Line in pixel coords (x cos t + y sin t = rho about center);
     # shift to PC-centered gnomonic coordinates.
-    # Pixel of PC:
-    pc_px = np.array([pcx * sx, pcy * sy])
+    # Pixel-center coordinate of the PC: the projector places pixel
+    # (row, col) at gnomonic x = x0 + (col + 0.5) * x_scale (reference
+    # _master_pattern.py:133-295 convention, see projection/
+    # master_pattern.py:direction_cosines), so the PC fraction pcx maps
+    # to column pcx*sx - 0.5 — omitting the half-pixel shift biases
+    # every band normal by ~atan(0.5 / (pcz * sy)) (~1 deg here).
+    pc_px = np.array([pcx * sx - 0.5, pcy * sy - 0.5])
     # Distance from PC to the line, in pixels:
     d_px = rhos - (
         (pc_px[0] - cx) * np.cos(thetas) + (pc_px[1] - cy) * np.sin(thetas)
@@ -533,7 +538,7 @@ def hough_indexing(
     phase_list: PhaseList | Phase | None = None,
     reflectors=None,
     n_bands: int = 9,
-    n_theta: int = 90,
+    n_theta: int = 180,
     n_rho: int = 96,
     angle_tol_deg: float = 2.0,
     min_dspacing: float = 1.0,
@@ -679,10 +684,15 @@ def hough_indexing(
         err_parts.append(e_b)
         nin_parts.append(c_b)
     R_all = jnp.concatenate(R_parts, axis=0)
-    # Polish the voted orientations with the sub-bin refined normals.
-    R_all, err_ref, nin_ref = _refit_orientations(
-        R_all, jnp.asarray(normals_ref, jnp.float32), g_j, tol
-    )
+    # Polish the voted orientations with the sub-bin refined normals,
+    # iterating assignment + weighted Kabsch (ICP): an improved R
+    # recovers inliers missed under the voted R, which improves R again
+    # (converges in 2-3 rounds; each round is one fused device program).
+    normals_j = jnp.asarray(normals_ref, jnp.float32)
+    for _ in range(3):
+        R_all, err_ref, nin_ref = _refit_orientations(
+            R_all, normals_j, g_j, tol
+        )
     quats = np.asarray(quat.from_matrix(R_all))
     err = np.asarray(err_ref)
     fit = np.where(np.isfinite(err), np.rad2deg(err), np.nan)
