@@ -1,6 +1,9 @@
 """Visualization tools (public namespace mirroring ``kikuchipy.draw``)."""
 
-from kikuchipy_tpu.draw.detector_plotter import EBSDDetectorPlotter
+from kikuchipy_tpu.draw.detector_plotter import (
+    EBSDDetectorPlotter,
+    plot_detector_interactive,
+)
 from kikuchipy_tpu.draw.detector_plot import (
     plot_detector,
     plot_detector_sample_geometry,
@@ -16,6 +19,7 @@ from kikuchipy_tpu.draw.sphere import plot_master_pattern_sphere, sample_sphere
 
 __all__ = [
     "EBSDDetectorPlotter",
+    "plot_detector_interactive",
     "plot_pattern_positions_in_map",
     "get_line_segment_list",
     "get_point_list",

@@ -1,11 +1,13 @@
-"""Static detector plotter (reference's experimental interactive
+"""Detector plotter (reference's experimental interactive
 ``EBSDDetectorPlotter``, ``/root/reference/src/kikuchipy/draw/
 _ebsd_detector_plotter.py:630``).
 
-The reference builds an ipywidgets slider UI; headless TPU pipelines
-get a static three-panel figure instead (side view, top view, detector
-screen with optional geometrical-simulation / master-pattern overlay)
-that re-renders on demand via :meth:`EBSDDetectorPlotter.plot`.
+Two modes: a static three-panel figure (side view, top view, detector
+screen with optional master-pattern overlay) via
+:meth:`EBSDDetectorPlotter.plot`, and an interactive slider UI via
+:meth:`EBSDDetectorPlotter.interactive` — the reference's ipywidgets
+controls rebuilt on :class:`matplotlib.widgets.Slider`, so it works in
+plain Matplotlib windows and headless tests alike.
 """
 
 from __future__ import annotations
@@ -14,7 +16,7 @@ import dataclasses
 
 import numpy as np
 
-__all__ = ["EBSDDetectorPlotter"]
+__all__ = ["EBSDDetectorPlotter", "plot_detector_interactive"]
 
 
 class EBSDDetectorPlotter:
@@ -89,3 +91,101 @@ class EBSDDetectorPlotter:
             plot_detector(self._detector, ax=ax_det)
         if return_figure:
             return fig
+
+    def interactive(self):
+        """Interactive detector-geometry explorer: the reference's
+        ``plot_detector_interactive`` UI (``/root/reference/src/
+        kikuchipy/draw/_ebsd_detector_plotter.py:226-410``: ipywidgets
+        sliders driving side/top views and a live master-pattern
+        overlay), built on :class:`matplotlib.widgets.Slider` instead —
+        works in any Matplotlib backend (no Jupyter requirement) and is
+        drivable headless (``sliders["pcz"].set_val(...)``).
+
+        Sliders: sample tilt, detector tilt, azimuthal, PCx, PCy, PCz
+        (the reference's six controls). Each change re-renders the
+        geometry panels and, when a master pattern + rotation were
+        given, re-simulates the pattern at the new geometry.
+
+        Returns
+        -------
+        (fig, sliders)
+            The figure and a dict of named sliders.
+        """
+        import matplotlib.pyplot as plt
+        from matplotlib.widgets import Slider
+
+        from kikuchipy_tpu.draw.detector_plot import (
+            plot_detector,
+            plot_detector_sample_geometry,
+        )
+
+        fig = plt.figure(figsize=(12, 6))
+        grid = fig.add_gridspec(
+            2, 3, height_ratios=[3, 1], hspace=0.35, bottom=0.05
+        )
+        ax_side = fig.add_subplot(grid[0, 0])
+        ax_top = fig.add_subplot(grid[0, 1])
+        ax_det = fig.add_subplot(grid[0, 2])
+
+        det0 = self._detector
+        pc0 = det0.pc_average
+        specs = [
+            ("sample_tilt", 0.0, 90.0, float(det0.sample_tilt)),
+            ("detector_tilt", -45.0, 45.0, float(det0.tilt)),
+            ("azimuthal", -45.0, 45.0, float(det0.azimuthal)),
+            ("pcx", 0.0, 1.0, float(pc0[0])),
+            ("pcy", 0.0, 1.0, float(pc0[1])),
+            ("pcz", 0.05, 1.5, float(pc0[2])),
+        ]
+        sliders = {}
+        sub = grid[1, :].subgridspec(len(specs), 1, hspace=0.6)
+        for i, (name, lo, hi, v0) in enumerate(specs):
+            sax = fig.add_subplot(sub[i])
+            sliders[name] = Slider(sax, name, lo, hi, valinit=v0)
+
+        def redraw(_=None):
+            self._detector = dataclasses.replace(
+                det0,
+                sample_tilt=sliders["sample_tilt"].val,
+                tilt=sliders["detector_tilt"].val,
+                azimuthal=sliders["azimuthal"].val,
+                pc=np.array(
+                    [
+                        [
+                            sliders["pcx"].val,
+                            sliders["pcy"].val,
+                            sliders["pcz"].val,
+                        ]
+                    ]
+                ),
+            )
+            for ax in (ax_side, ax_top, ax_det):
+                ax.clear()
+            plot_detector_sample_geometry(
+                self._detector, mode="side", ax=ax_side
+            )
+            plot_detector_sample_geometry(
+                self._detector, mode="top", ax=ax_top
+            )
+            pattern = self._simulate_pattern()
+            if pattern is not None:
+                ax_det.imshow(pattern, cmap="gray")
+                ax_det.set_title("simulated pattern")
+                ax_det.set_axis_off()
+            else:
+                plot_detector(self._detector, ax=ax_det)
+            fig.canvas.draw_idle()
+
+        for s in sliders.values():
+            s.on_changed(redraw)
+        redraw()
+        return fig, sliders
+
+
+def plot_detector_interactive(detector, rotation=None, master_pattern=None):
+    """Module-level convenience for
+    :meth:`EBSDDetectorPlotter.interactive` (reference
+    ``plot_detector_interactive``)."""
+    return EBSDDetectorPlotter(
+        detector, rotation, master_pattern=master_pattern
+    ).interactive()

@@ -252,3 +252,62 @@ class TestPlotDetectorReferenceKwargs:
         x0, x1 = ax.get_xlim()
         assert x1 - x0 > 60  # zoomed out beyond the detector
         plt.close(fig)
+
+
+class TestInteractivePlotter:
+    """matplotlib.widgets.Slider interactive detector explorer
+    (reference _ebsd_detector_plotter.py:226-410 ipywidgets UI)."""
+
+    def test_sliders_drive_detector_and_pattern(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        import kikuchipy_tpu as kp
+        from kikuchipy_tpu.draw import plot_detector_interactive
+        from kikuchipy_tpu.geometry import quaternion as quat
+
+        import jax.numpy as jnp
+
+        det = kp.detectors.EBSDDetector(
+            shape=(60, 60), pc=(0.42, 0.21, 0.5), sample_tilt=70
+        )
+        mp = kp.data.nickel_ebsd_master_pattern_small(
+            projection="lambert", hemisphere="both"
+        )
+        rot = np.asarray(
+            quat.from_euler(jnp.asarray([[0.5, 0.4, 0.3]]))
+        )[0]
+        fig, sliders = plot_detector_interactive(
+            det, rotation=rot, master_pattern=mp
+        )
+        assert set(sliders) == {
+            "sample_tilt", "detector_tilt", "azimuthal", "pcx", "pcy", "pcz"
+        }
+        ax_det = fig.axes[2]
+        img0 = ax_det.images[0].get_array().copy()
+
+        sliders["pcz"].set_val(0.7)
+        # The internal detector follows the sliders...
+        img1 = fig.axes[2].images[0].get_array()
+        assert not np.array_equal(img0, img1)  # ...and the overlay re-simulated
+        plt.close(fig)
+
+    def test_interactive_without_master_pattern(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        import kikuchipy_tpu as kp
+        from kikuchipy_tpu.draw import EBSDDetectorPlotter
+
+        det = kp.detectors.EBSDDetector(
+            shape=(10, 10), pc=(0.5, 0.5, 0.5), sample_tilt=70
+        )
+        plotter = EBSDDetectorPlotter(det)
+        fig, sliders = plotter.interactive()
+        sliders["sample_tilt"].set_val(65.0)
+        assert float(plotter.detector.sample_tilt) == pytest.approx(65.0)
+        plt.close(fig)
