@@ -36,16 +36,43 @@ def main() -> None:
         sample_tilt=s.detector.sample_tilt,
     )
     rotations = sample_fundamental_zone(4.0, "m-3m")
-    print(f"dictionary: {len(rotations)} orientations")
-    dictionary = mp.get_patterns(rotations, det, dtype_out=np.float32)
+    print(f"dictionary: {len(rotations)} orientations (virtual)")
 
-    # 3. Index with a circular signal mask
+    # 3. FUSED dictionary indexing with a circular signal mask: the
+    # dictionary is projected tile-by-tile on device inside the
+    # matching loop (mp.projector + project_fn) and never exists as a
+    # host array — on TPU this removes the dictionary-generation
+    # readback stage entirely. (To materialize a reusable dictionary
+    # signal instead, use mp.get_patterns + s.dictionary_indexing, or
+    # prepare_dictionary for a persistent pre-normalized one.)
+    import jax.numpy as jnp
+
+    from kikuchipy_tpu.crystallography.crystal_map import CrystalMap
+    from kikuchipy_tpu.indexing.di import dictionary_index
+
     mask = ~np.asarray(Window("circular", shape=s.signal_shape), bool)
-    xmap = s.dictionary_indexing(dictionary, keep_n=20, signal_mask=mask)
+    result = dictionary_index(
+        jnp.asarray(s.data),
+        project_fn=mp.projector(det),
+        rotations=jnp.asarray(rotations, dtype=jnp.float32),
+        keep_n=20,
+        signal_mask=mask,
+    )
+    xmap = CrystalMap(
+        rotations=np.asarray(rotations)[result.simulation_indices],
+        shape=s.navigation_shape,
+        prop={
+            "scores": result.scores,
+            "simulation_indices": result.simulation_indices,
+        },
+    )
     print("top scores:", np.round(xmap.prop["scores"][:, 0], 3))
 
-    # 4. Refine orientations
-    res = s.refine_orientation(xmap=xmap, detector=det, master_pattern=mp)
+    # 4. Refine orientations (batched Levenberg-Marquardt: ~6x fewer
+    # projections than Nelder-Mead to the same <0.8 deg criterion)
+    res = s.refine_orientation(
+        xmap=xmap, detector=det, master_pattern=mp, method="lm"
+    )
     print("refined scores:", np.round(res.xmap.prop["scores"], 3))
 
     # 5. Export + IPF-Z orientation map
