@@ -152,6 +152,33 @@ def prepare_dictionary(
     return prep
 
 
+def _group_topk_T(simT: jnp.ndarray, k: int, group: int = 32):
+    """:func:`_group_topk` on a TRANSPOSED ``(c, n)`` score block.
+
+    The transposed layout is the fast one on this backend: the group
+    reduction runs over contiguous row blocks of the matmul output
+    (fusing with its epilogue instead of forcing a full (n, c) HBM
+    materialization — measured 110 -> 80 ms per 8192 x 100k pass, and
+    63 ms with f16 materialization; BENCH_NOTES.md round-2 "transposed
+    selection"). Only the tiny ``(n, c/group)`` compressed block is
+    transposed back for the exact ``top_k``.
+    """
+    c, n = simT.shape
+    if c % group or c // group < k:
+        return jax.lax.top_k(simT.T.astype(jnp.float32), k)
+    G = c // group
+    best = simT[:G]
+    best_j = jnp.zeros((G, n), dtype=jnp.int32)
+    for jj in range(1, group):
+        blk = simT[jj * G : (jj + 1) * G]
+        take = blk > best
+        best = jnp.where(take, blk, best)
+        best_j = jnp.where(take, jnp.int32(jj), best_j)
+    s, pos = jax.lax.top_k(best.T.astype(jnp.float32), k)
+    col = jnp.take_along_axis(best_j.T, pos, axis=1) * G + pos
+    return s, col
+
+
 @partial(jax.jit, static_argnames=("keep_n", "precision"), donate_argnums=(2, 3))
 def _match_merge_step(
     exp_prepared: jnp.ndarray,
@@ -249,7 +276,15 @@ def _index_resident(
     # gate — so the tier needs no rescore. int8/mixed selection stays
     # f32 (their rescore makes extra selection rounding pointless and
     # the int32->f32 scale product is already fused).
-    sel_dtype = jnp.float16 if precision == "f16" else dtype
+    # With approx (transposed selection), int8/mixed also materialize
+    # f16 — their exact rescore makes the extra rounding free, and the
+    # halved HBM write is the dominant saving (write bandwidth measured
+    # ~62 GB/s on this stack vs ~200 read; BENCH_NOTES.md round-2).
+    sel_dtype = (
+        jnp.float16
+        if precision == "f16" or (approx and precision in ("int8", "mixed"))
+        else dtype
+    )
 
     if precision == "int8":
         # exp rows share a scale per row, which is rank-invariant per
@@ -278,6 +313,24 @@ def _index_resident(
 
         def sel_tail(start):
             return sel_scores(dict_q[start:], dict_scale[start:])
+
+        def sel_scores_T(block_q, block_scale):
+            d = jax.lax.dot_general(
+                block_q,
+                exp_q,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return (d.astype(dtype) * block_scale[:, None]).astype(sel_dtype)
+
+        def sel_block_T(start, size):
+            return sel_scores_T(
+                jax.lax.dynamic_slice_in_dim(dict_q, start, size, 0),
+                jax.lax.dynamic_slice_in_dim(dict_scale, start, size, 0),
+            )
+
+        def sel_tail_T(start):
+            return sel_scores_T(dict_q[start:], dict_scale[start:])
 
     else:
         if precision == "mixed":
@@ -314,16 +367,37 @@ def _index_resident(
         def sel_tail(start):
             return _match(dict_prepared[start:])
 
+        def _match_T(block):
+            if precision == "mixed":
+                block = block.astype(jnp.bfloat16)
+            sim = jnp.matmul(
+                block,
+                exp_mm.T,
+                precision=mm_precision,
+                preferred_element_type=dtype,
+            )
+            return sim.astype(sel_dtype)
+
+        def sel_block_T(start, size):
+            return _match_T(
+                jax.lax.dynamic_slice_in_dim(dict_prepared, start, size, 0)
+            )
+
+        def sel_tail_T(start):
+            return _match_T(dict_prepared[start:])
+
     def tile_topk(sim, k):
         sim = sim.astype(dtype)  # no-op except the f16 tier (see above)
-        if approx:
-            return jax.lax.approx_max_k(sim, k, recall_target=0.99)
         return jax.lax.top_k(sim, k)
 
     def step(carry, tile_i):
         best_scores, best_idx = carry
-        sim = sel_block(tile_i * tile, tile)
-        t_scores, t_idx = tile_topk(sim, min(k_carry, tile))
+        if approx:
+            simT = sel_block_T(tile_i * tile, tile)
+            t_scores, t_idx = _group_topk_T(simT, min(k_carry, tile))
+        else:
+            sim = sel_block(tile_i * tile, tile)
+            t_scores, t_idx = tile_topk(sim, min(k_carry, tile))
         t_idx = (t_idx + tile_i * tile).astype(jnp.int32)
         all_s = jnp.concatenate([best_scores, t_scores], axis=1)
         all_i = jnp.concatenate([best_idx, t_idx], axis=1)
@@ -340,8 +414,12 @@ def _index_resident(
     # Remainder tile (static shape).
     rem = m - n_tiles * tile
     if rem:
-        sim = sel_tail(n_tiles * tile)
-        t_scores, t_idx = tile_topk(sim, min(k_carry, rem))
+        if approx:
+            simT = sel_tail_T(n_tiles * tile)
+            t_scores, t_idx = _group_topk_T(simT, min(k_carry, rem))
+        else:
+            sim = sel_tail(n_tiles * tile)
+            t_scores, t_idx = tile_topk(sim, min(k_carry, rem))
         t_idx = (t_idx + n_tiles * tile).astype(jnp.int32)
         all_s = jnp.concatenate([scores, t_scores], axis=1)
         all_i = jnp.concatenate([idx, t_idx], axis=1)

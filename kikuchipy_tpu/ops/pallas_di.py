@@ -45,6 +45,7 @@ __all__ = [
     "ncc_match_topk_pallas",
     "ncc_match_topk_pallas_v3",
     "ncc_match_topk_pallas_v4",
+    "ncc_match_topk_pallas_v5",
 ]
 
 _NEG_INF = float(np.finfo(np.float32).min)
@@ -469,3 +470,205 @@ def ncc_match_topk_pallas(
         ),
         interpret=interpret,
     )(exp_prepared, dict_prepared)
+
+
+def _group_compress(sim, base_col, group):
+    """Per-row, per-group max + element index over INTERLEAVED groups:
+    with ``G = c / group`` groups, group ``t`` holds columns
+    ``{t, t+G, t+2G, ...}``, so the reduction is an elementwise max
+    over ``group`` CONTIGUOUS ``(r, G)`` slices — 2D ops only (Mosaic
+    rejects the (r, G, group) reshape a contiguous grouping would
+    need). Returns ``(r, G)`` values and global column ids.
+
+    Selection then sees group maxima only: a score is lost iff a
+    better score lands in its group. Interleaving makes that
+    UNCORRELATED for dictionaries ordered by orientation similarity —
+    adjacent (correlated) dictionary entries are in different groups
+    by construction; same-group entries are ``G`` columns apart."""
+    r_dim, c_dim = sim.shape
+    G = c_dim // group
+    best = sim[:, :G]
+    best_j = jnp.zeros((r_dim, G), dtype=jnp.int32)
+    for jj in range(1, group):
+        blk = sim[:, jj * G : (jj + 1) * G]
+        take = blk > best
+        best = jnp.where(take, blk, best)
+        best_j = jnp.where(take, jnp.int32(jj), best_j)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r_dim, G), 1)
+    return best, best_j * G + lane + base_col
+
+
+def _kernel_v5(
+    exp_ref, dict_ref, scale_ref, out_s_ref, out_i_ref, run_s, run_i,
+    *, k, tile_m, extraction, group,
+):
+    """int8 variant of :func:`_kernel_v4`: s8 x s8 -> s32 on the MXU
+    (v5e native rate, ~2x bf16), scaled to f32 selection scores by the
+    per-dictionary-row quantization scales. int8 tiles also halve the
+    VMEM footprint that OOM'd v4 at n=8192 (see BENCH_NOTES.md round-2
+    tier re-measurement). With ``group > 1`` the score block is first
+    compressed to per-group (max, index) so the insertion loop scans a
+    ``group``x smaller block (the extraction was ~3x the matmul cost at
+    group=1)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        run_s[:] = jnp.full(run_s.shape, _NEG_INF, dtype=jnp.float32)
+        run_i[:] = jnp.zeros(run_i.shape, dtype=jnp.int32)
+
+    d32 = jax.lax.dot_general(
+        exp_ref[:],
+        dict_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    sim = d32.astype(jnp.float32) * scale_ref[:]
+
+    if extraction == "stream":
+        if group > 1:
+            gvals, gids = _group_compress(sim, j * tile_m, group)
+            s, i = _insert_stream_topk_ids(
+                run_s[:], run_i[:], gvals, gids, k
+            )
+        else:
+            s, i = _insert_stream_topk(
+                run_s[:], run_i[:], sim, j * tile_m, k
+            )
+        run_s[:] = s
+        run_i[:] = i
+    elif extraction == "none":  # debug: matmul-only floor measurement
+        run_s[:, 0] = jnp.max(sim, axis=1)
+    else:
+        row_max = jnp.max(sim, axis=1)
+        kth = run_s[:, k - 1]
+
+        @pl.when(jnp.any(row_max > kth))
+        def _():
+            s, i = _extract_concat_topk(
+                run_s[:], run_i[:], sim, j * tile_m, k
+            )
+            run_s[:] = s
+            run_i[:] = i
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        out_s_ref[:] = run_s[:]
+        out_i_ref[:] = run_i[:]
+
+
+def _insert_stream_topk_ids(run_s, run_i, vals, ids, k):
+    """:func:`_insert_stream_topk` for (value, explicit-id) pairs (the
+    group-compressed block carries its own global column ids)."""
+    r_dim, c_dim = vals.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (r_dim, c_dim), 1)
+    big = jnp.int32(2**30)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (r_dim, k), 1)
+
+    def cond(carry):
+        v, rs, ri = carry
+        return jnp.any(jnp.max(v, axis=1) > rs[:, k - 1])
+
+    def body(carry):
+        v, rs, ri = carry
+        bmax = jnp.max(v, axis=1, keepdims=True)
+        at_max = v >= bmax
+        am = jnp.min(jnp.where(at_max, pos, big), axis=1, keepdims=True)
+        extracted = pos == am
+        cand_i = jnp.min(jnp.where(extracted, ids, big), axis=1, keepdims=True)
+        improve = bmax > rs[:, k - 1 : k]
+        v = jnp.where(extracted, _NEG_INF, v)
+        p = jnp.sum((rs >= bmax).astype(jnp.int32), axis=1, keepdims=True)
+        rs_shifted = jnp.concatenate([rs[:, :1], rs[:, :-1]], axis=1)
+        ri_shifted = jnp.concatenate([ri[:, :1], ri[:, :-1]], axis=1)
+        new_rs = jnp.where(slot == p, bmax, jnp.where(slot > p, rs_shifted, rs))
+        new_ri = jnp.where(slot == p, cand_i, jnp.where(slot > p, ri_shifted, ri))
+        rs = jnp.where(improve, new_rs, rs)
+        ri = jnp.where(improve, new_ri, ri)
+        return v, rs, ri
+
+    _, out_s, out_i = jax.lax.while_loop(cond, body, (vals, run_s, run_i))
+    return out_s, out_i
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "tile_n", "tile_m", "interpret", "extraction", "group"
+    ),
+)
+def ncc_match_topk_pallas_v5(
+    exp_q: jnp.ndarray,
+    dict_q: jnp.ndarray,
+    dict_scale: jnp.ndarray,
+    k: int = 20,
+    tile_n: int = 512,
+    tile_m: int = 512,
+    interpret: bool = False,
+    extraction: str = "stream",
+    group: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused int8 NCC matmul + streaming-insertion top-k (v5).
+
+    Inputs are PRE-QUANTIZED int8 rows (see
+    ``indexing.di._quantize_rows_int8`` /
+    :class:`~kikuchipy_tpu.indexing.di.PreparedDictionary`): the
+    experimental-side scale is rank-invariant per pattern and omitted;
+    ``dict_scale`` (``(m,)`` f32) scales the s32 block to selection
+    scores. The ``(n, m)`` score matrix never reaches HBM.
+
+    Selection error is that of rowwise-max-abs int8 quantization
+    (~1e-2 relative); pair with an exact f32 rescore of the survivors
+    (``indexing.di._rescore_candidates``) for exact final scores, as
+    ``precision="pallas-int8"`` in :func:`kikuchipy_tpu.indexing.di.
+    dictionary_index` does.
+    """
+    n, d = exp_q.shape
+    m = dict_q.shape[0]
+    if n % tile_n or m % tile_m:
+        raise ValueError(
+            f"n={n} and m={m} must be multiples of tile_n={tile_n} / "
+            f"tile_m={tile_m}; pad the inputs"
+        )
+    d_pad = (-d) % 128
+    if d_pad:
+        exp_q = jnp.pad(exp_q, ((0, 0), (0, d_pad)))
+        dict_q = jnp.pad(dict_q, ((0, 0), (0, d_pad)))
+        d = d + d_pad
+    if group > 1 and tile_m % group:
+        raise ValueError(f"group={group} must divide tile_m={tile_m}")
+    scale_row = dict_scale.reshape(1, m).astype(jnp.float32)
+    grid = (n // tile_n, m // tile_m)
+    kernel = partial(
+        _kernel_v5, k=k, tile_m=tile_m, extraction=extraction, group=group
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_m, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, tile_m), lambda i, j: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_n, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_n, k), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, k), jnp.float32),
+            jax.ShapeDtypeStruct((n, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_n, k), jnp.float32),
+            pltpu.VMEM((tile_n, k), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * m * d,
+            bytes_accessed=n * d + (n // tile_n) * m * d + n * k * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(exp_q, dict_q, scale_row)

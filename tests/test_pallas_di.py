@@ -111,3 +111,66 @@ class TestPallasKernelV4:
         e, d = problem
         with pytest.raises(ValueError, match="multiples"):
             ncc_match_topk_pallas_v4(e[:100], d, k=5, interpret=True)
+
+
+class TestV5Int8:
+    """Fused int8 matmul + top-k (v5): pre-quantized rows, per-dict-row
+    scales, optional per-group compression (see pallas_di.py)."""
+
+    @pytest.fixture
+    def q_problem(self):
+        from kikuchipy_tpu.indexing.di import _quantize_rows_int8
+
+        rng = np.random.default_rng(3)
+        e = jnp.asarray(rng.normal(size=(16, 100)).astype(np.float32))
+        d = jnp.asarray(rng.normal(size=(128, 100)).astype(np.float32))
+        eq, _ = _quantize_rows_int8(e)
+        dq, ds = _quantize_rows_int8(d)
+        ref = (
+            np.asarray(eq, np.int32) @ np.asarray(dq, np.int32).T
+        ).astype(np.float32) * np.asarray(ds)[None, :]
+        return eq, dq, ds, ref
+
+    def test_v5_exact_group1(self, q_problem):
+        from kikuchipy_tpu.ops.pallas_di import ncc_match_topk_pallas_v5
+
+        eq, dq, ds, ref = q_problem
+        s, i = ncc_match_topk_pallas_v5(
+            eq, dq, ds, 5, tile_n=8, tile_m=32, interpret=True
+        )
+        rs, ri = jax.lax.top_k(jnp.asarray(ref), 5)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+        np.testing.assert_allclose(np.asarray(s), np.asarray(rs))
+
+    def test_v5_group_compression(self, q_problem):
+        from kikuchipy_tpu.ops.pallas_di import ncc_match_topk_pallas_v5
+
+        eq, dq, ds, ref = q_problem
+        g, tile_m = 8, 32
+        s8, i8 = ncc_match_topk_pallas_v5(
+            eq, dq, ds, 5, tile_n=8, tile_m=tile_m, interpret=True, group=g
+        )
+        # Interleaved groups PER TILE: within tile j, group t holds
+        # columns {t, t+G, ...} of the tile (G = tile_m / g).
+        n, m = ref.shape
+        G = tile_m // g
+        tiles = ref.reshape(n, m // tile_m, g, G)     # (n, tiles, g, G)
+        gmax = tiles.max(axis=2)                       # (n, tiles, G)
+        goff = tiles.argmax(axis=2)                    # slice index jj
+        base = (np.arange(m // tile_m) * tile_m)[None, :, None]
+        gids = base + goff * G + np.arange(G)[None, None, :]
+        gmax = gmax.reshape(n, -1)
+        gids = gids.reshape(n, -1)
+        rs, rpos = jax.lax.top_k(jnp.asarray(gmax), 5)
+        ri = np.take_along_axis(gids, np.asarray(rpos), axis=1)
+        np.testing.assert_array_equal(np.asarray(i8), ri)
+        np.testing.assert_allclose(np.asarray(s8), np.asarray(rs))
+
+    def test_v5_group_must_divide(self, q_problem):
+        from kikuchipy_tpu.ops.pallas_di import ncc_match_topk_pallas_v5
+
+        eq, dq, ds, _ = q_problem
+        with pytest.raises(ValueError, match="group"):
+            ncc_match_topk_pallas_v5(
+                eq, dq, ds, 5, tile_n=8, tile_m=32, interpret=True, group=7
+            )
