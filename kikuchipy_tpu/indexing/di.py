@@ -9,8 +9,9 @@ _dictionary_indexing.py:36-203``):
   per dictionary tile — an MXU matmul at ``Precision.HIGHEST`` followed
   by an on-device ``top_k``;
 - the running top-k across dictionary tiles is carried **on device**
-  (``lax.scan`` when the dictionary is resident, a host loop of jitted
-  steps when streaming), never round-tripping scores to the host;
+  (an unrolled static-tile program when the dictionary is resident, a
+  host loop of jitted steps when streaming), never round-tripping
+  scores to the host;
 - the dictionary can be *virtual*: a ``project_fn(rotations)`` callback
   generates each tile on device from the master pattern, fusing
   dictionary generation into the indexing loop so the full dictionary is
@@ -164,18 +165,47 @@ def _group_topk_T(simT: jnp.ndarray, k: int, group: int = 32):
     transposed back for the exact ``top_k``.
     """
     c, n = simT.shape
-    if c % group or c // group < k:
-        return jax.lax.top_k(simT.T.astype(jnp.float32), k)
     G = c // group
-    best = simT[:G]
-    best_j = jnp.zeros((G, n), dtype=jnp.int32)
-    for jj in range(1, group):
-        blk = simT[jj * G : (jj + 1) * G]
-        take = blk > best
-        best = jnp.where(take, blk, best)
-        best_j = jnp.where(take, jnp.int32(jj), best_j)
-    s, pos = jax.lax.top_k(best.T.astype(jnp.float32), k)
-    col = jnp.take_along_axis(best_j.T, pos, axis=1) * G + pos
+    if G < k:
+        return jax.lax.top_k(simT.T.astype(jnp.float32), k)
+    # Per-group top-2 (best and runner-up): a true rank-r candidate is
+    # lost only when >= 2 better-scoring candidates share its group
+    # (probability ~(k/n_groups)^2 per rank — negligible), against
+    # ~k/n_groups for top-1-only compression, whose deep-rank drops
+    # measurably perturbed keep_n scores on noise-dense data.
+    # Reshape-and-reduce over the leading (group) axis — this is XLA,
+    # not Mosaic, so the 3D view is free and the reductions vectorize
+    # over the (G, n) minor axes.
+    sim3 = simT[: G * group].reshape(group, G, n)
+    j1 = jnp.argmax(sim3, axis=0).astype(jnp.int32)
+    m1 = jnp.max(sim3, axis=0)
+    gid = jnp.arange(group, dtype=jnp.int32)[:, None, None]
+    masked = jnp.where(gid == j1[None], jnp.asarray(-jnp.inf, simT.dtype), sim3)
+    j2 = jnp.argmax(masked, axis=0).astype(jnp.int32)
+    m2 = jnp.max(masked, axis=0)
+    lane = jnp.arange(G, dtype=jnp.int32)[None, :]
+    cand_s = jnp.concatenate(
+        [m1.T.astype(jnp.float32), m2.T.astype(jnp.float32)], axis=1
+    )  # (n, 2G)
+    cand_i = jnp.concatenate([j1.T * G + lane, j2.T * G + lane], axis=1)
+    rem = c - G * group
+    if rem:
+        # Tail columns (c not a multiple of group) ride along as
+        # singleton candidates — exactness for them, negligible cost.
+        tail = simT[G * group :].T.astype(jnp.float32)       # (n, rem)
+        cand_s = jnp.concatenate([cand_s, tail], axis=1)
+        cand_i = jnp.concatenate(
+            [
+                cand_i,
+                jnp.broadcast_to(
+                    G * group + jnp.arange(rem, dtype=jnp.int32)[None, :],
+                    (n, rem),
+                ),
+            ],
+            axis=1,
+        )
+    s, pos = jax.lax.top_k(cand_s, k)
+    col = jnp.take_along_axis(cand_i, pos, axis=1)
     return s, col
 
 
@@ -234,17 +264,18 @@ def _index_resident(
     dict_scale: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fully on-device DI over a resident, already-prepared dictionary:
-    ``lax.scan`` over dictionary tiles with carried top-k. With
-    ``approx``, per-tile candidates come from the TPU-optimized
-    ``lax.approx_max_k`` (recall target 0.99; the cross-tile merge stays
-    exact), trading a tiny recall loss on ties for ~25% less top-k
-    overhead.
+    an unrolled static-tile loop (tile starts are compile-time
+    constants) whose per-tile top-k candidates merge in one final exact
+    ``top_k``. With ``approx``, per-tile candidates come from the
+    transposed group-compressed selection (:func:`_group_topk_T`:
+    true top-1 guaranteed, deeper ranks lose only on group collisions,
+    ~1.8x faster than the exact per-tile ``lax.top_k``).
 
     Reduced-precision candidate selection + exact rescoring
     (``precision="mixed"`` or ``"int8"``): the O(n*m*d) selection matmul
-    runs in single-pass bfloat16 ("mixed", 71.7 TF/s measured on v5e vs
-    20.8 for f32 HIGHEST) or rowwise max-abs-quantized int8 ("int8",
-    87.6 TOP/s), carrying ``2*keep_n`` candidates per pattern; the
+    runs in single-pass bfloat16 ("mixed", 126 TF/s measured on v5e vs
+    28.9 for f32 HIGHEST) or rowwise max-abs-quantized int8 ("int8",
+    206 TOP/s), carrying ``2*keep_n`` candidates per pattern; the
     surviving candidates are then rescored at float32
     ``Precision.HIGHEST``, so final scores are f32-exact. A true
     top-keep_n entry is lost only if selection rounding error (~4e-3
@@ -254,7 +285,6 @@ def _index_resident(
     ``bench.py`` does)."""
     n_exp = exp_prepared.shape[0]
     m = dict_prepared.shape[0]
-    n_tiles = m // tile
     dtype = exp_prepared.dtype
 
     reduced = precision in ("mixed", "int8")
@@ -307,12 +337,8 @@ def _index_resident(
 
         def sel_block(start, size):
             return sel_scores(
-                jax.lax.dynamic_slice_in_dim(dict_q, start, size, 0),
-                jax.lax.dynamic_slice_in_dim(dict_scale, start, size, 0),
+                dict_q[start : start + size], dict_scale[start : start + size]
             )
-
-        def sel_tail(start):
-            return sel_scores(dict_q[start:], dict_scale[start:])
 
         def sel_scores_T(block_q, block_scale):
             d = jax.lax.dot_general(
@@ -325,12 +351,8 @@ def _index_resident(
 
         def sel_block_T(start, size):
             return sel_scores_T(
-                jax.lax.dynamic_slice_in_dim(dict_q, start, size, 0),
-                jax.lax.dynamic_slice_in_dim(dict_scale, start, size, 0),
+                dict_q[start : start + size], dict_scale[start : start + size]
             )
-
-        def sel_tail_T(start):
-            return sel_scores_T(dict_q[start:], dict_scale[start:])
 
     else:
         if precision == "mixed":
@@ -360,12 +382,7 @@ def _index_resident(
             return sim.astype(sel_dtype)
 
         def sel_block(start, size):
-            return _match(
-                jax.lax.dynamic_slice_in_dim(dict_prepared, start, size, 0)
-            )
-
-        def sel_tail(start):
-            return _match(dict_prepared[start:])
+            return _match(dict_prepared[start : start + size])
 
         def _match_T(block):
             if precision == "mixed":
@@ -379,50 +396,34 @@ def _index_resident(
             return sim.astype(sel_dtype)
 
         def sel_block_T(start, size):
-            return _match_T(
-                jax.lax.dynamic_slice_in_dim(dict_prepared, start, size, 0)
-            )
-
-        def sel_tail_T(start):
-            return _match_T(dict_prepared[start:])
+            return _match_T(dict_prepared[start : start + size])
 
     def tile_topk(sim, k):
         sim = sim.astype(dtype)  # no-op except the f16 tier (see above)
         return jax.lax.top_k(sim, k)
 
-    def step(carry, tile_i):
-        best_scores, best_idx = carry
+    # Unrolled static-tile loop: tile starts/sizes are compile-time
+    # constants (m and tile are static), so static slices let XLA fuse
+    # the dictionary reads straight into the matmuls — a lax.scan with
+    # dynamic_slice measured ~40% slower on the f16+approx tier (the
+    # sliced 720 MB tile copy materializes at the slow HBM write
+    # bandwidth; BENCH_NOTES.md round-2 "scan vs unrolled").
+    parts_s, parts_i = [], []
+    for start in range(0, m, tile):
+        size = min(tile, m - start)
         if approx:
-            simT = sel_block_T(tile_i * tile, tile)
-            t_scores, t_idx = _group_topk_T(simT, min(k_carry, tile))
+            simT = sel_block_T(start, size)
+            t_scores, t_idx = _group_topk_T(simT, min(k_carry, size))
         else:
-            sim = sel_block(tile_i * tile, tile)
-            t_scores, t_idx = tile_topk(sim, min(k_carry, tile))
-        t_idx = (t_idx + tile_i * tile).astype(jnp.int32)
-        all_s = jnp.concatenate([best_scores, t_scores], axis=1)
-        all_i = jnp.concatenate([best_idx, t_idx], axis=1)
-        s, pos = jax.lax.top_k(all_s, k_carry)
-        i = jnp.take_along_axis(all_i, pos, axis=1)
-        return (s, i), None
-
-    init = (
-        jnp.full((n_exp, k_carry), -jnp.inf, dtype=dtype),
-        jnp.zeros((n_exp, k_carry), dtype=jnp.int32),
-    )
-    (scores, idx), _ = jax.lax.scan(step, init, jnp.arange(n_tiles))
-
-    # Remainder tile (static shape).
-    rem = m - n_tiles * tile
-    if rem:
-        if approx:
-            simT = sel_tail_T(n_tiles * tile)
-            t_scores, t_idx = _group_topk_T(simT, min(k_carry, rem))
-        else:
-            sim = sel_tail(n_tiles * tile)
-            t_scores, t_idx = tile_topk(sim, min(k_carry, rem))
-        t_idx = (t_idx + n_tiles * tile).astype(jnp.int32)
-        all_s = jnp.concatenate([scores, t_scores], axis=1)
-        all_i = jnp.concatenate([idx, t_idx], axis=1)
+            sim = sel_block(start, size)
+            t_scores, t_idx = tile_topk(sim, min(k_carry, size))
+        parts_s.append(t_scores)
+        parts_i.append((t_idx + start).astype(jnp.int32))
+    if len(parts_s) == 1:
+        scores, idx = parts_s[0], parts_i[0]
+    else:
+        all_s = jnp.concatenate(parts_s, axis=1)
+        all_i = jnp.concatenate(parts_i, axis=1)
         scores, pos = jax.lax.top_k(all_s, k_carry)
         idx = jnp.take_along_axis(all_i, pos, axis=1)
 

@@ -16,19 +16,19 @@ new score block — only max/min reductions and selects (robust Mosaic
 lowering), with a threshold test skipping blocks that cannot beat the
 current per-row k-th score.
 
-STATUS (line CLOSED after the v4/v5 experiment set; see
-BENCH_NOTES.md): exact against ``lax.top_k`` in interpreter mode
-(covered by tests/test_pallas_di.py). On the 2048 x 100k x 3600
-benchmark: v1 10k pps, v3 (D-blocked) 24.7k pps, v4 full-D bf16 tiles
-with while_loop streaming insertion 46.3k pps — and the matmul-only
-floor of the same structure is 76.8k pps (55.5 TF/s), equal to the XLA
-``matmul`` + ``top_k`` production path (82.7k amortized). This backend
-promotes bf16 tiles to f32-class matmuls (scores match f32 to 3e-8),
-so there is no single-pass-bf16 headroom for a fused kernel to win;
-extraction temporaries additionally spill VMEM at full-D tiles. The
-kernel's remaining value is HBM footprint (the (n, m) score block is
-never materialized); the XLA path in :mod:`kikuchipy_tpu.indexing.di`
-stays the production default.
+STATUS (re-measured round 2; see BENCH_NOTES.md "round 2"): all
+variants exact against ``lax.top_k`` in interpreter mode (covered by
+tests/test_pallas_di.py). Round 1's conclusion that "this backend
+promotes bf16 tiles to f32-class matmuls" is WRONG on the current
+backend (bf16 runs 126 TF/s vs 28.9 for f32 HIGHEST; int8 206 TOP/s).
+The v5 int8 kernel's matmul-only floor is excellent (31.4 ms per
+8192 x 100k x 3600 batch = 260k pps), but Mosaic's data-dependent
+``while_loop`` extraction stalls the inter-block pipeline (~28 us per
+block regardless of the scanned width), capping the fused kernel at
+~67k pps. The production path is the TRANSPOSED group-compressed
+XLA pipeline in :mod:`kikuchipy_tpu.indexing.di` (``_group_topk_T``,
+129-190k pps); this module remains the from-scratch kernel line and
+the HBM-footprint option (the (n, m) score block never materializes).
 """
 
 from __future__ import annotations
