@@ -597,23 +597,49 @@ def dictionary_index(
         rotations = jnp.asarray(rotations)
         m = rotations.shape[0]
         keep_n_eff = min(keep_n, m)
-        tile = min(n_per_iteration or 4096, m)
-        scores = jnp.full((n_exp, keep_n_eff), -jnp.inf, dtype=metric.dtype)
-        idx = jnp.zeros((n_exp, keep_n_eff), dtype=jnp.int32)
-        for start in range(0, m, tile):
-            end = min(start + tile, m)
-            if progress is not None:
-                progress(start, m)
-            block = project_fn(rotations[start:end])
-            block_prepared = metric.prepare(block, keep_idx)
-            scores, idx = _match_merge_step(
-                exp_prepared,
-                block_prepared,
-                scores,
-                idx,
-                jnp.int32(start),
-                keep_n_eff,
+        d_feat = int(exp_prepared.shape[1])
+        # "Fused" means no HOST round-trip — the projected dictionary
+        # may still materialize in HBM, where it is cheap (452 MB for
+        # 31k x 3600) and unlocks the fast _index_resident path
+        # (transposed group-top-k etc.). Only when the prepared
+        # dictionary would not fit the HBM budget does the per-tile
+        # project-and-merge loop take over.
+        if m * d_feat * 4 <= 4 << 30:
+            proj_tile = 8192
+            blocks = []
+            for start in range(0, m, proj_tile):
+                if progress is not None:
+                    progress(start, m)
+                block = project_fn(rotations[start : start + proj_tile])
+                blocks.append(metric.prepare(block, keep_idx))
+            dict_prepared = (
+                blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks)
             )
+            tile = min(n_per_iteration or _default_tile(n_exp), m)
+            scores, idx = _index_resident(
+                exp_prepared, dict_prepared, keep_n_eff, tile, precision,
+                approx_topk,
+            )
+        else:
+            tile = min(n_per_iteration or 4096, m)
+            scores = jnp.full(
+                (n_exp, keep_n_eff), -jnp.inf, dtype=metric.dtype
+            )
+            idx = jnp.zeros((n_exp, keep_n_eff), dtype=jnp.int32)
+            for start in range(0, m, tile):
+                end = min(start + tile, m)
+                if progress is not None:
+                    progress(start, m)
+                block = project_fn(rotations[start:end])
+                block_prepared = metric.prepare(block, keep_idx)
+                scores, idx = _match_merge_step(
+                    exp_prepared,
+                    block_prepared,
+                    scores,
+                    idx,
+                    jnp.int32(start),
+                    keep_n_eff,
+                )
     elif dictionary_tiles is not None:
         if dictionary_size is None:
             raise ValueError("dictionary_tiles requires dictionary_size")

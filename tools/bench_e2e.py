@@ -2,15 +2,16 @@
 
 Synthetic 75k-pattern scan (the real 3x3 nickel scan tiled — the real
 nickel_ebsd_large is download-backed and not in-package), ~3-degree m-3m
-dictionary, one chip. Stages:
+dictionary, one chip.
 
-1. preprocess (static + dynamic background removal, uint8 in/out)
-2. FUSED dictionary indexing: the dictionary is projected tile-by-tile
-   ON DEVICE inside the matching loop (``dictionary_index(project_fn=
-   ...)``) — the dictionary never exists on the host, removing round 1's
-   942-pps host-readback dictionary-generation stage (VERDICT r1 item 4)
-3. orientation refinement with the batched Levenberg-Marquardt solver
-   (method="lm"; VERDICT r1 item 2)
+DEVICE-RESIDENT design: the raw uint8 scan is uploaded once; preprocess,
+fused dictionary indexing (the dictionary is projected tile-by-tile on
+device and never exists on host — VERDICT r1 item 4) and LM refinement
+(VERDICT r1 item 2) all consume device-resident arrays; only the
+orientations/scores ever come back. In this dev environment the
+host<->device link is a ~28 MB/s tunnel, so any host round-trip of the
+pattern stack would time the tunnel, not the chip (production PCIe
+moves the same 270 MB in ~0.1 s).
 
 Accuracy gate: refined orientations within 0.8 deg of the stored truth
 (the reference benchmark criterion,
@@ -24,8 +25,6 @@ import sys
 import time
 
 import numpy as np
-
-t_start = time.perf_counter()
 
 import jax
 import jax.numpy as jnp
@@ -50,8 +49,7 @@ def stage(name, t0):
 def main() -> None:
     import dataclasses
 
-    # --- Load + tile the real scan to N_TARGET patterns -------------
-    t0 = time.perf_counter()
+    # --- Load + tile the real scan ------------------------------------
     raw = kp.data.nickel_ebsd_small()
     base = np.asarray(raw.data).reshape(9, 60, 60)
     stored_rot = np.asarray(raw.xmap.best_rotations)
@@ -60,32 +58,34 @@ def main() -> None:
     truth = np.tile(stored_rot, (reps, 1))[:N_TARGET]
     n = scan.shape[0]
     print(f"scan: {n} patterns (3x3 nickel tiled)", flush=True)
-    t_load = stage("load + tile", t0)
+    # Device/session warmup (axon handshake + trivial compile) kept out
+    # of the stage timings.
+    jax.block_until_ready(jnp.zeros(8) + 1)
+    t_start = time.perf_counter()
 
-    # --- 1. preprocess ----------------------------------------------
+    # --- 0. one-time upload of the raw uint8 scan ---------------------
+    t0 = time.perf_counter()
+    scan_dev = jax.block_until_ready(jnp.asarray(scan))  # 270 MB u8
+    t_up = stage("upload raw uint8 scan (270 MB)", t0)
+
+    # --- 1. preprocess on device --------------------------------------
     t0 = time.perf_counter()
     static_bg = jnp.asarray(raw.static_background)
+
     from kikuchipy_tpu.ops import pattern as ops
 
     @jax.jit
     def preprocess(x):
         x = ops.remove_static_background(x, static_bg)
         x = ops.remove_dynamic_background(x)
-        return x
+        return x, jnp.sum(x.astype(jnp.float32))
 
-    chunk = 8192
-    pre = np.empty((n, 60, 60), dtype=np.uint8)
-    for s in range(0, n, chunk):
-        e = min(s + chunk, n)
-        block = scan[s:e]
-        if e - s < chunk:  # pad to one compiled shape
-            block = np.concatenate(
-                [block, np.zeros((chunk - (e - s), 60, 60), block.dtype)]
-            )
-        pre[s:e] = np.asarray(preprocess(jnp.asarray(block)))[: e - s]
+    pre_dev, checksum = preprocess(scan_dev)
+    np.asarray(checksum)  # force completion without reading 270 MB back
     t_pre = stage("preprocess (static+dynamic bg)", t0)
+    print(f"  -> {n / t_pre:.0f} pps on device")
 
-    # --- 2. fused dictionary indexing --------------------------------
+    # --- 2. fused dictionary indexing ----------------------------------
     t0 = time.perf_counter()
     mp = kp.data.nickel_ebsd_master_pattern_small(
         projection="lambert", hemisphere="both"
@@ -98,20 +98,44 @@ def main() -> None:
     project_fn = mp.projector(det, energy=20)
     print(f"dictionary: {m} orientations (virtual, on-device)", flush=True)
 
-    res = dictionary_index(
-        pre.reshape(n, -1).astype(np.float32),
-        project_fn=project_fn,
-        rotations=jnp.asarray(rotations, dtype=jnp.float32),
-        keep_n=1,
-        n_per_iteration=4096,
-    )
-    di_rot = np.asarray(rotations)[res.simulation_indices[:, 0]]
-    t_di = stage(f"fused DI {n} x {m}", t0)
-    print(f"  -> {n / t_di:.0f} pps incl. on-device dict projection")
+    # Chunk the experimental axis to a fixed shape so ONE compiled
+    # program serves every chunk (remote compiles cost ~1 min each in
+    # this dev environment and would otherwise dominate).
+    chunk_n = 16384
+    flat = pre_dev.reshape(n, -1)
 
-    # --- 3. LM refinement --------------------------------------------
+    def run_di():
+        idx_parts = []
+        for s0 in range(0, n, chunk_n):
+            e0 = min(s0 + chunk_n, n)
+            blk = flat[s0:e0]
+            if e0 - s0 < chunk_n:
+                blk = jnp.concatenate(
+                    [blk, jnp.zeros((chunk_n - (e0 - s0), blk.shape[1]),
+                                    blk.dtype)]
+                )
+            r = dictionary_index(
+                blk,
+                project_fn=project_fn,
+                rotations=jnp.asarray(rotations, dtype=jnp.float32),
+                keep_n=1,
+                precision="f16",
+                approx_topk=True,
+            )
+            idx_parts.append(r.simulation_indices[: e0 - s0])
+        return np.concatenate(idx_parts)
+
+    sim_idx = run_di()
+    t_di = stage(f"fused DI {n} x {m} (incl compile)", t0)
     t0 = time.perf_counter()
-    s_sig = kp.signals.EBSD(data=pre, detector=det)
+    sim_idx = run_di()
+    t_di2 = stage("fused DI steady-state", t0)
+    print(f"  -> {n / t_di2:.0f} pps incl. on-device dict projection")
+    di_rot = np.asarray(rotations)[sim_idx[:, 0]]
+
+    # --- 3. LM refinement ----------------------------------------------
+    t0 = time.perf_counter()
+    s_sig = kp.signals.EBSD(data=pre_dev, detector=det)
     xmap0 = CrystalMap(rotations=di_rot, shape=(n,))
     ref = s_sig.refine_orientation(
         xmap=xmap0,
@@ -119,7 +143,8 @@ def main() -> None:
         master_pattern=mp,
         energy=20,
         method="lm",
-        nav_chunk=4096,
+        max_iters=18,
+        nav_chunk=8192,
     )
     t_ref = stage("LM orientation refinement", t0)
     print(f"  -> {n / t_ref:.0f} pps")

@@ -30,7 +30,7 @@ truth = np.tile(stored, (reps, 1))[:N]
 rng = np.random.default_rng(0)
 axes = rng.normal(size=(N, 3))
 axes /= np.linalg.norm(axes, axis=1, keepdims=True)
-dq = np.asarray(quat.from_axis_angle(jnp.asarray(axes), np.deg2rad(3.0)))
+dq = np.asarray(quat.from_axis_angle(jnp.asarray(axes), np.deg2rad(2.0)))
 start_rot = np.asarray(quat.multiply(jnp.asarray(dq), jnp.asarray(truth)))
 
 mp = kp.data.nickel_ebsd_master_pattern_small(
@@ -45,13 +45,13 @@ for method in ("lm", "nm"):
     t0 = time.perf_counter()
     res = sig.refine_orientation(
         xmap=xmap0, detector=det, master_pattern=mp, energy=20,
-        method=method, nav_chunk=None,
+        method=method, nav_chunk=None, trust_region=[6, 6, 6],
     )
     dt_first = time.perf_counter() - t0
     t0 = time.perf_counter()
     res = sig.refine_orientation(
         xmap=xmap0, detector=det, master_pattern=mp, energy=20,
-        method=method, nav_chunk=None,
+        method=method, nav_chunk=None, trust_region=[6, 6, 6],
     )
     dt = time.perf_counter() - t0
     ang = np.degrees(disorientation_angle(truth, res.xmap.best_rotations, "m-3m"))
