@@ -15,21 +15,36 @@ steady-state number is *pipelined* throughput — K batches enqueued
 back-to-back with results read back at the end (device execution is
 in-order, so the final readback bounds all batches). This amortizes the
 ~26-34 ms per-dispatch cost of this environment's tunneled TPU, which a
-per-call timing would charge to every batch. Precision tiers
-("int8"/"mixed"/"default"/...; see ``indexing/di._index_resident``) are
-first gated for score agreement with f32 ``Precision.HIGHEST`` on a
-validation subset, then the PASSING tiers are timed and the fastest
-measured one is selected — assumed speed orderings do not hold reliably
-through the tunnel.
+per-call timing would charge to every batch.
+
+Remote-compile budget (round-2 lesson: the tier sweep ran 10+
+multi-minute remote compiles and timed out the driver): the winning
+tier from the round-2 measurements (``f16`` materialization +
+transposed group-top-k selection; BENCH_NOTES.md) is PERSISTED here and
+verified — not re-discovered. The verification run uses the SAME array
+shapes and static arguments as the timing runs, so gating costs zero
+extra compiles; the exact reference scores come from a host NumPy
+matmul on a 256-row subset, not a second compiled TPU program. Fallback
+tiers compile only if the gate fails. Stages that would exceed the
+wall-clock budget (``KP_BENCH_BUDGET_S``, default 2100 s) are skipped
+in favor of printing the primary number.
 
 Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "patterns/s/chip", "vs_baseline": N}``
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+_BUDGET_S = float(os.environ.get("KP_BENCH_BUDGET_S", "2100"))
+_T0 = time.monotonic()
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.monotonic() - _T0)
 
 
 def _baseline_cpu_pps(d: int, keep_n: int) -> float:
@@ -65,14 +80,16 @@ def main() -> None:
     import jax.numpy as jnp
 
     # Large batch amortizes the per-dispatch host->device latency of
-    # this environment's tunneled TPU (~26 ms/call measured).
-    N = 16384       # experimental patterns per batch
-    M = 100_000     # dictionary entries
+    # this environment's tunneled TPU (~26 ms/call measured). Env
+    # overrides exist only for smoke-testing on CPU.
+    N = int(os.environ.get("KP_BENCH_N", 16384))   # patterns per batch
+    M = int(os.environ.get("KP_BENCH_M", 100_000))  # dictionary entries
     SY = SX = 60
     D = SY * SX
     KEEP_N = 20
-    TILE = 100_000  # single tile: fewer merges; simT is (M, N) f16
+    TILE = M        # single tile: fewer merges; simT is (M, N) f16
     REPS = 4        # pipelined batches per timing pass
+    N_GATE = min(256, N)  # rows checked against the exact host reference
 
     rng = np.random.default_rng(0)
     exp_np = rng.normal(size=(N, D)).astype(np.float32)
@@ -83,59 +100,63 @@ def main() -> None:
     # (~1e-4) sit below even f16 rounding. Gates on the first 256
     # patterns therefore act on realistic margins; the timed workload
     # (dims, dtype, tiling) is unchanged.
-    dic_np[:: M // 256][: 256] = (
-        exp_np[:256] + 0.7 * rng.normal(size=(256, D)).astype(np.float32)
+    dic_np[:: M // N_GATE][:N_GATE] = (
+        exp_np[:N_GATE] + 0.7 * rng.normal(size=(N_GATE, D)).astype(np.float32)
     )
     exp = jnp.asarray(exp_np)
     dic = jnp.asarray(dic_np)
     exp_prepared = jax.block_until_ready(ncc.prepare(exp, None))
-    # Production semantics: the dictionary is prepared AND (for the int8
-    # tier) quantized once, outside the timed loop — it is reused across
-    # every indexing call, so its one-time preparation is not part of
-    # steady-state throughput (VERDICT r1 item 1).
+    # Production semantics: the dictionary is prepared once, outside the
+    # timed loop — it is reused across every indexing call, so its
+    # one-time preparation is not part of steady-state throughput.
     prep = PreparedDictionary(
         prepared=jax.block_until_ready(ncc.prepare(dic, None))
     )
     dict_prepared = prep.prepared
-    dict_q, dict_scale = (jax.block_until_ready(a) for a in prep.quantized_int8())
 
-    def tier_args(precision):
-        if precision == "int8":
-            return {"dict_q": dict_q, "dict_scale": dict_scale}
-        return {}
+    # Exact reference for the gate, computed on HOST (no TPU compile):
+    # replicate the NCC preparation in NumPy (zero-mean, L2-normalized
+    # rows) and take exact top-keep_n on the gate subset.
+    def _prep_np(x):
+        x = x - x.mean(axis=1, keepdims=True)
+        return x / np.linalg.norm(x, axis=1, keepdims=True)
 
-    # Gate: a tier qualifies if its scores stay within 1e-3 of the
-    # highest-precision scores on a validation subset with embedded
-    # true matches (score conformance target ~1e-4 on real data).
-    # The approx (transposed group-top-k) variant qualifies per tier if
-    # its top-1 indices agree exactly AND its keep_n scores stay within
-    # the same 1e-3.
-    ref_scores, ref_idx = _index_resident(
-        exp_prepared[:256], dict_prepared, KEEP_N, TILE, "highest"
+    exp0 = _prep_np(exp_np[:N_GATE])
+    gate_scores = exp0 @ _prep_np(dic_np).T  # (N_GATE, M) exact f32
+    part = np.argpartition(-gate_scores, KEEP_N, axis=1)[:, : KEEP_N]
+    order = np.argsort(
+        -np.take_along_axis(gate_scores, part, axis=1), axis=1
     )
-    ref_scores = np.asarray(ref_scores)
-    ref_idx = np.asarray(ref_idx)
-    tiers = []
-    for cand in ("int8", "mixed", "f16", "default"):
-        s, _ = _index_resident(
-            exp_prepared[:256], dict_prepared, KEEP_N, TILE, cand,
-            **tier_args(cand),
+    ref_idx = np.take_along_axis(part, order, axis=1)
+    ref_scores = np.take_along_axis(gate_scores, ref_idx, axis=1)
+
+    def gate(precision: str, approx: bool) -> bool:
+        """Run the FULL timing shape once (this is also the compile +
+        warmup for timed_pps) and check the gate rows: exact top-1
+        index agreement and keep_n scores within 1e-3 of the exact
+        host reference (f16 materialization bounds rounding by
+        2.44e-4; NCC-score conformance target on real data is ~1e-4
+        but the gate patterns embed realistic ~1e-2 margins)."""
+        s, i = _index_resident(
+            exp_prepared, dict_prepared, KEEP_N, TILE, precision, approx
         )
-        if np.abs(np.asarray(s) - ref_scores).max() < 1e-3:
-            tiers.append(cand)
-    if not tiers:
-        tiers = ["highest"]
-    gated = []
-    for cand in tiers:
-        s_a, i_a = _index_resident(
-            exp_prepared[:256], dict_prepared, KEEP_N, TILE, cand, True,
-            **tier_args(cand),
+        s = np.asarray(s[:N_GATE])
+        i = np.asarray(i[:N_GATE])
+        return bool(
+            (i[:, 0] == ref_idx[:, 0]).all()
+            and np.abs(s - ref_scores).max() < 1e-3
         )
-        ok = bool(
-            (np.asarray(i_a)[:, 0] == ref_idx[:, 0]).all()
-            and np.abs(np.asarray(s_a) - ref_scores).max() < 1e-3
-        )
-        gated.append((cand, ok))
+
+    # Persisted winner first (BENCH_NOTES.md round 2: f16 + transposed
+    # group-top-k, 106.2k pps); exact fallbacks only on gate failure.
+    for precision, approx in (("f16", True), ("default", False)):
+        if gate(precision, approx):
+            break
+        if _remaining() < 600:
+            precision, approx = "highest", False
+            break
+    else:
+        precision, approx = "highest", False
 
     def timed_pps(precision: str, approx: bool) -> float:
         """Steady-state pipelined throughput: enqueue REPS batches,
@@ -148,7 +169,7 @@ def main() -> None:
             outs = [
                 _index_resident(
                     exp_prepared, dict_prepared, KEEP_N, TILE, precision,
-                    approx, **tier_args(precision),
+                    approx,
                 )
                 for _ in range(REPS)
             ]
@@ -160,15 +181,10 @@ def main() -> None:
             np.asarray(outs[-1][1][:64])
             return time.perf_counter() - t0
 
-        pass_once()  # compile + warm
+        pass_once()  # warm (already compiled by the gate call)
         return REPS * N / min(pass_once() for _ in range(3))
 
-    best = ("highest", False, 0.0)
-    for cand, approx in gated:
-        pps = timed_pps(cand, approx)
-        if pps > best[2]:
-            best = (cand, approx, pps)
-    precision, approx, pps = best
+    pps = timed_pps(precision, approx)
 
     # Secondary headline figure (BASELINE.json names both): preprocess
     # throughput of the uint8 static+dynamic background chain.
@@ -195,9 +211,23 @@ def main() -> None:
         np.asarray(outs[-1][1])
         return time.perf_counter() - t0
 
-    preprocess_pass()  # compile
-    pre_dt = min(preprocess_pass() for _ in range(3))
-    pre_mbps = REPS * raw.size / pre_dt / 1e6
+    pre_mbps = 0.0
+    if _remaining() > 240:
+        preprocess_pass()  # compile
+        pre_dt = min(preprocess_pass() for _ in range(3))
+        pre_mbps = REPS * raw.size / pre_dt / 1e6
+
+    # Refinement throughput (driver-verified, VERDICT r2 item 9): LM
+    # orientation refinement at the <0.8 deg criterion via the
+    # spherical-harmonic projector; skipped if the wall budget is low.
+    refine_pps = 0.0
+    if _remaining() > 900:
+        try:
+            from tools.bench_refine_sh import bench_refine_sh
+
+            refine_pps = bench_refine_sh()
+        except Exception:
+            refine_pps = 0.0
 
     base_cps = _baseline_cpu_pps(D, KEEP_N)
     base_pps = base_cps / M
@@ -210,7 +240,9 @@ def main() -> None:
                     f"(NCC, {M}-entry 60x60 dict, keep_n={KEEP_N}, "
                     f"precision={precision}, approx_topk={approx}, "
                     f"pipelined x{REPS}; preprocess "
-                    f"{pre_mbps:.0f} MB/s/chip uint8 static+dynamic bg)"
+                    f"{pre_mbps:.0f} MB/s/chip uint8 static+dynamic bg; "
+                    f"refinement {refine_pps:.0f} patterns/s/chip LM "
+                    f"<0.8deg)"
                 ),
                 "value": round(pps, 2),
                 "unit": "patterns/s",

@@ -59,13 +59,16 @@ def make_mesh(
     return Mesh(dev_array, axis_names=("scan", "dict"))
 
 
-@partial(jax.jit, static_argnames=("keep_n", "mesh", "precision"))
+@partial(jax.jit, static_argnames=("keep_n", "mesh", "precision", "approx"))
 def sharded_match_topk(
     exp_prepared: jnp.ndarray,
     dict_prepared: jnp.ndarray,
     keep_n: int,
     mesh: Mesh,
     precision: str = "highest",
+    approx: bool = False,
+    dict_q: jnp.ndarray | None = None,
+    dict_scale: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Match prepared experimental patterns against a prepared dictionary
     on a ``("scan", "dict")`` mesh and return the global top-k.
@@ -76,64 +79,55 @@ def sharded_match_topk(
     ``(scores, indices)`` of shape ``(n, keep_n)`` sharded over ``scan``
     and replicated over ``dict``.
 
-    ``precision="mixed"`` runs each shard's matmul in single-pass bf16
-    and rescores the shard-local bf16 top ``2*keep_n`` candidates at f32
-    ``Precision.HIGHEST`` *before* the cross-shard merge (candidate rows
-    are shard-local, so no extra communication) — final scores are
-    f32-exact at bf16 matmul speed, as in
-    :func:`kikuchipy_tpu.indexing.di._index_resident`.
+    Each shard's match runs THE single-device fast path
+    (:func:`kikuchipy_tpu.indexing.di._index_resident`), so every
+    precision tier and the transposed group-compressed selection
+    (``approx=True``, the round-2 headline: f16 score materialization +
+    group-top-2, ~1.5x the exact per-tile ``lax.top_k``) apply per shard
+    unchanged. Tiers that rescore ("mixed"/"int8") rescore shard-locally
+    — candidate rows live on the owning shard — so the cross-shard
+    ``all_gather`` merge (ICI) always sees final-precision scores and
+    the sharded result equals the single-device result for the exact
+    tiers bit-for-bit. For ``precision="int8"``, pass the
+    pre-quantized ``dict_q (m, d) int8`` / ``dict_scale (m,)`` from
+    :meth:`PreparedDictionary.quantized_int8`, sharded like the
+    dictionary.
     """
-    from kikuchipy_tpu.indexing.di import _PRECISIONS
+    from kikuchipy_tpu.indexing.di import _index_resident
 
     m = dict_prepared.shape[0]
     n_dict = mesh.shape["dict"]
     m_local = m // n_dict
-    mixed = precision == "mixed"
+    k_local = min(keep_n, m_local)
+    k_out = min(keep_n, m)
+    has_q = dict_q is not None
 
-    def local_step(exp_local, dict_local):
-        exp_mm = exp_local.astype(jnp.bfloat16) if mixed else exp_local
-        dict_mm = dict_local.astype(jnp.bfloat16) if mixed else dict_local
-        sim = jnp.matmul(
-            exp_mm,
-            dict_mm.T,
-            precision=(
-                # For bf16 inputs the flag is numerically moot but
-                # HIGHEST compiles to the faster path on this backend.
-                jax.lax.Precision.HIGHEST if mixed else _PRECISIONS[precision]
-            ),
-            preferred_element_type=exp_local.dtype,
+    def local_step(exp_local, dict_local, *q):
+        dq, ds = q if has_q else (None, None)
+        s, i = _index_resident(
+            exp_local, dict_local, k_local, m_local, precision, approx,
+            dq, ds,
         )
-        k_local = min(keep_n, m_local)
-        if mixed:
-            k_cand = min(max(2 * keep_n, keep_n + 8), m_local)
-            _, ci = jax.lax.top_k(sim, k_cand)
-            rows = jnp.take(dict_local, ci, axis=0)
-            sc = jnp.einsum(
-                "nd,nkd->nk",
-                exp_local,
-                rows,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            s, pos = jax.lax.top_k(sc, k_local)
-            i = jnp.take_along_axis(ci, pos, axis=1)
-        else:
-            s, i = jax.lax.top_k(sim, k_local)
         i = (i + jax.lax.axis_index("dict") * m_local).astype(jnp.int32)
         # Merge candidates across dictionary shards over ICI.
         s_all = jax.lax.all_gather(s, "dict", axis=1, tiled=True)
         i_all = jax.lax.all_gather(i, "dict", axis=1, tiled=True)
-        k_out = min(keep_n, m)
         s_out, pos = jax.lax.top_k(s_all, k_out)
         i_out = jnp.take_along_axis(i_all, pos, axis=1)
         return s_out, i_out
 
+    in_specs = [P("scan", None), P("dict", None)]
+    args = [exp_prepared, dict_prepared]
+    if has_q:
+        in_specs += [P("dict", None), P("dict")]
+        args += [dict_q, dict_scale]
     return jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P("scan", None), P("dict", None)),
+        in_specs=tuple(in_specs),
         out_specs=(P("scan", None), P("scan", None)),
         check_vma=False,
-    )(exp_prepared, dict_prepared)
+    )(*args)
 
 
 def sharded_fused_dictionary_index(
@@ -234,6 +228,7 @@ def sharded_dictionary_index(
     mesh: Mesh | None = None,
     signal_mask: np.ndarray | None = None,
     precision: str = "highest",
+    approx_topk: bool = False,
 ):
     """Dictionary indexing over a device mesh.
 
@@ -241,7 +236,14 @@ def sharded_dictionary_index(
     prepares patterns on device with sharded layouts, matches with
     :func:`sharded_match_topk`, and strips the padding. Returns
     ``(scores, indices)`` as NumPy arrays.
+
+    ``dictionary`` may be a
+    :class:`~kikuchipy_tpu.indexing.di.PreparedDictionary` — its
+    (already prepared, and for ``precision="int8"`` pre-quantized)
+    arrays are resharded over the ``dict`` axis and reused, skipping
+    per-call preparation exactly as on a single device.
     """
+    from kikuchipy_tpu.indexing.di import PreparedDictionary
     from kikuchipy_tpu.indexing.metrics import get_metric, signal_mask_to_idx
 
     metric = get_metric(metric)
@@ -253,47 +255,81 @@ def sharded_dictionary_index(
         experimental = experimental.reshape(
             (-1, experimental.shape[-2] * experimental.shape[-1])
         )
-    dictionary = jnp.asarray(dictionary)
-    if dictionary.ndim > 2:
-        dictionary = dictionary.reshape(
-            (-1, dictionary.shape[-2] * dictionary.shape[-1])
-        )
-
     n, d = experimental.shape
-    m = dictionary.shape[0]
     keep_idx = signal_mask_to_idx(signal_mask, d)
     keep_idx = None if keep_idx is None else jnp.asarray(keep_idx)
-
     n_scan, n_dict = mesh.shape["scan"], mesh.shape["dict"]
+    exp_sharding = NamedSharding(mesh, P("scan", None))
+    dict_sharding = NamedSharding(mesh, P("dict", None))
+
+    dict_q = dict_scale = None
+    prepared_in = isinstance(dictionary, PreparedDictionary)
+    if prepared_in:
+        if dictionary.metric_name != metric.name:
+            raise ValueError(
+                f"PreparedDictionary was prepared with metric "
+                f"{dictionary.metric_name!r}, requested {metric.name!r}"
+            )
+        dict_prepared = dictionary.prepared
+        if precision == "int8":
+            dict_q, dict_scale = dictionary.quantized_int8()
+        m = dict_prepared.shape[0]
+    else:
+        dictionary = jnp.asarray(dictionary)
+        if dictionary.ndim > 2:
+            dictionary = dictionary.reshape(
+                (-1, dictionary.shape[-2] * dictionary.shape[-1])
+            )
+        m = dictionary.shape[0]
+
     n_pad = (-n) % n_scan
     m_pad = (-m) % n_dict
     if n_pad:
         experimental = jnp.concatenate(
             [experimental, jnp.zeros((n_pad, d), experimental.dtype)], axis=0
         )
-    if m_pad:
-        # Padding patterns are all-zero; after centering they normalize
-        # to nan — replace with -inf-scoring constants instead: use the
-        # first dictionary row so scores are valid, then mask by index.
-        pad_rows = jnp.broadcast_to(dictionary[:1], (m_pad, dictionary.shape[1]))
-        dictionary = jnp.concatenate([dictionary, pad_rows], axis=0)
 
-    exp_sharding = NamedSharding(mesh, P("scan", None))
-    dict_sharding = NamedSharding(mesh, P("dict", None))
+    def _pad_rows(arr, n_rows):
+        # Padding rows replicate the first row (already valid/normalized)
+        # so scores stay finite; padded entries are dropped by index.
+        pad = jnp.broadcast_to(arr[:1], (n_rows,) + arr.shape[1:])
+        return jnp.concatenate([arr, pad], axis=0)
+
     experimental = jax.device_put(experimental, exp_sharding)
-    dictionary = jax.device_put(dictionary, dict_sharding)
-
-    prepare = jax.jit(
-        metric.prepare, out_shardings=exp_sharding
-    )
+    prepare = jax.jit(metric.prepare, out_shardings=exp_sharding)
     exp_prepared = prepare(experimental, keep_idx)
-    prepare_d = jax.jit(metric.prepare, out_shardings=dict_sharding)
-    dict_prepared = prepare_d(dictionary, keep_idx)
 
+    if prepared_in:
+        if m_pad:
+            dict_prepared = _pad_rows(dict_prepared, m_pad)
+            if dict_q is not None:
+                dict_q = _pad_rows(dict_q, m_pad)
+                dict_scale = _pad_rows(dict_scale, m_pad)
+        dict_prepared = jax.device_put(dict_prepared, dict_sharding)
+        if dict_q is not None:
+            dict_q = jax.device_put(dict_q, dict_sharding)
+            dict_scale = jax.device_put(
+                dict_scale, NamedSharding(mesh, P("dict"))
+            )
+    else:
+        if m_pad:
+            dictionary = _pad_rows(dictionary, m_pad)
+        dictionary = jax.device_put(dictionary, dict_sharding)
+        prepare_d = jax.jit(metric.prepare, out_shardings=dict_sharding)
+        dict_prepared = prepare_d(dictionary, keep_idx)
+
+    if dict_prepared.shape[1] != exp_prepared.shape[1]:
+        raise ValueError(
+            f"dictionary feature size {dict_prepared.shape[1]} != "
+            f"experimental feature size {exp_prepared.shape[1]} — the "
+            f"signal_mask here must match the one used at "
+            f"prepare_dictionary time"
+        )
     keep_n_eff = min(keep_n, m)
     k_query = min(keep_n_eff + m_pad, m + m_pad) if m_pad else keep_n_eff
     scores, idx = sharded_match_topk(
-        exp_prepared, dict_prepared, k_query, mesh, precision
+        exp_prepared, dict_prepared, k_query, mesh, precision, approx_topk,
+        dict_q, dict_scale,
     )
     scores = np.asarray(scores)[:n]
     idx = np.asarray(idx)[:n]

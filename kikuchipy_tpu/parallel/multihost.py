@@ -106,6 +106,8 @@ def multihost_dictionary_index(
     signal_mask: np.ndarray | None = None,
     n_total: int | None = None,
     gather_results: bool = False,
+    precision: str = "highest",
+    approx_topk: bool = False,
 ):
     """Index a scan distributed across hosts against a host-replicated
     dictionary.
@@ -130,6 +132,15 @@ def multihost_dictionary_index(
         If True, all-gather the per-host results so every host returns
         the full ``(n_total, keep_n)`` arrays (DCN traffic: ~8 bytes *
         keep_n per pattern). Otherwise each host returns its own block.
+    precision, approx_topk
+        Per-shard match tier and transposed group-compressed selection,
+        exactly as in :func:`kikuchipy_tpu.indexing.di.dictionary_index`
+        (every shard runs the single-device fast path; see
+        :func:`kikuchipy_tpu.parallel.mesh.sharded_match_topk`).
+        ``dictionary`` may be a
+        :class:`~kikuchipy_tpu.indexing.di.PreparedDictionary` to skip
+        per-call preparation (and, for ``precision="int8"``, per-call
+        quantization).
 
     Returns
     -------
@@ -137,6 +148,7 @@ def multihost_dictionary_index(
         This host's block (or the full arrays with
         ``gather_results=True``) as NumPy arrays.
     """
+    from kikuchipy_tpu.indexing.di import PreparedDictionary
     from kikuchipy_tpu.indexing.metrics import get_metric, signal_mask_to_idx
 
     metric = get_metric(metric)
@@ -148,9 +160,24 @@ def multihost_dictionary_index(
     local_patterns = np.asarray(local_patterns)
     if local_patterns.ndim > 2:
         local_patterns = local_patterns.reshape(local_patterns.shape[0], -1)
-    dictionary = jnp.asarray(dictionary)
-    if dictionary.ndim > 2:
-        dictionary = dictionary.reshape(dictionary.shape[0], -1)
+
+    dict_q_np = dict_scale_np = None
+    prepared_in = isinstance(dictionary, PreparedDictionary)
+    if prepared_in:
+        if dictionary.metric_name != metric.name:
+            raise ValueError(
+                f"PreparedDictionary was prepared with metric "
+                f"{dictionary.metric_name!r}, requested {metric.name!r}"
+            )
+        if precision == "int8":
+            q, s = dictionary.quantized_int8()
+            dict_q_np = np.asarray(q)
+            dict_scale_np = np.asarray(s)
+        dictionary = jnp.asarray(dictionary.prepared)
+    else:
+        dictionary = jnp.asarray(dictionary)
+        if dictionary.ndim > 2:
+            dictionary = dictionary.reshape(dictionary.shape[0], -1)
 
     n_local, d = local_patterns.shape
     m = dictionary.shape[0]
@@ -183,6 +210,14 @@ def multihost_dictionary_index(
     if m_pad:
         pad_rows = jnp.broadcast_to(dictionary[:1], (m_pad, d))
         dictionary = jnp.concatenate([dictionary, pad_rows], axis=0)
+        if dict_q_np is not None:
+            dict_q_np = np.concatenate(
+                [dict_q_np, np.broadcast_to(dict_q_np[:1], (m_pad, d))],
+                axis=0,
+            )
+            dict_scale_np = np.concatenate(
+                [dict_scale_np, np.broadcast_to(dict_scale_np[:1], (m_pad,))]
+            )
 
     exp_sharding = NamedSharding(mesh, P("scan", None))
     dict_sharding = NamedSharding(mesh, P("dict", None))

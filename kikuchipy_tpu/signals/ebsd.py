@@ -443,11 +443,6 @@ class EBSD:
     def std(self, axis=None) -> "EBSD":
         return self._reduce(np.std, axis)
 
-    def deepcopy(self) -> "EBSD":
-        import copy
-
-        return copy.deepcopy(self)
-
     def change_dtype(self, dtype) -> "EBSD":
         """Return the scan with patterns cast to ``dtype`` (the
         reference's in-place HyperSpy ``change_dtype``; here a new
@@ -822,7 +817,19 @@ class EBSD:
         return new
 
     def deepcopy(self) -> "EBSD":
-        return dataclasses.replace(self, data=np.array(np.asarray(self.data)))
+        """Return a true deep copy (reference: HyperSpy ``deepcopy``,
+        which copies the data AND the custom attributes ``detector``,
+        ``xmap`` and ``static_background``; mutating the copy must not
+        touch the original)."""
+        import copy
+
+        new = dataclasses.replace(self, data=np.array(np.asarray(self.data)))
+        new.detector = copy.deepcopy(self.detector)
+        new.xmap = copy.deepcopy(self.xmap)
+        if self.static_background is not None:
+            new.static_background = np.array(np.asarray(self.static_background))
+        new.metadata = copy.deepcopy(self.metadata)
+        return new
 
     def save(self, filename, **kwargs) -> None:
         from kikuchipy_tpu.io import save

@@ -75,6 +75,78 @@ class TestShardedDI:
         np.testing.assert_array_equal(i_mix[:, 0], i_ref[:, 0])
         np.testing.assert_allclose(s_mix[:, 0], s_ref[:, 0], atol=2e-6)
 
+    @pytest.mark.parametrize("mesh_shape", [(8, 1), (1, 8), (2, 4)])
+    def test_f16_approx_matches_single_device(self, devices, problem, mesh_shape):
+        # The round-2 fast path (f16 materialization + transposed
+        # group-compressed selection) plumbed through the mesh: the
+        # sharded result must equal the SINGLE-DEVICE f16+approx result
+        # (same tier per shard, deterministic group semantics) and the
+        # exact path's top-1.
+        exp, dictionary = problem
+        ref_exact = dictionary_index(exp, dictionary=dictionary, keep_n=5)
+        mesh = make_mesh(*mesh_shape)
+        scores, idx = sharded_dictionary_index(
+            exp, dictionary, keep_n=5, mesh=mesh, precision="f16",
+            approx_topk=True,
+        )
+        # Group-compressed selection guarantees the exact top-1 and that
+        # every returned candidate carries its true score (within f16
+        # materialization rounding). Deep ranks may differ between group
+        # decompositions on a 160-entry toy dictionary (5 groups), so
+        # assert the invariants, not rank-for-rank equality.
+        np.testing.assert_array_equal(idx[:, 0], ref_exact.simulation_indices[:, 0])
+
+        def _prep(x):
+            x = x.reshape(x.shape[0], -1).astype(np.float32)
+            x = x - x.mean(axis=1, keepdims=True)
+            return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+        sim = _prep(exp) @ _prep(dictionary).T
+        true_scores = np.take_along_axis(sim, idx, axis=1)
+        np.testing.assert_allclose(scores, true_scores, atol=5e-4)
+        # Dict-replicated meshes shard nothing along dict, so the
+        # per-shard group compression is identical to single-device:
+        if mesh_shape[1] == 1:
+            ref = dictionary_index(
+                exp, dictionary=dictionary, keep_n=5, precision="f16",
+                approx_topk=True,
+            )
+            np.testing.assert_array_equal(idx, ref.simulation_indices)
+            np.testing.assert_allclose(scores, ref.scores, atol=1e-6)
+
+    @pytest.mark.parametrize("precision", ["f16", "int8"])
+    def test_prepared_dictionary_sharded(self, devices, problem, precision):
+        # A PreparedDictionary (prepared + pre-quantized once) must flow
+        # through the sharded path and agree with the raw-array path.
+        from kikuchipy_tpu.indexing.di import prepare_dictionary
+
+        exp, dictionary = problem
+        prep = prepare_dictionary(dictionary, quantize=(precision == "int8"))
+        mesh = make_mesh(2, 4)
+        s_raw, i_raw = sharded_dictionary_index(
+            exp, dictionary, keep_n=5, mesh=mesh, precision=precision
+        )
+        s_prep, i_prep = sharded_dictionary_index(
+            exp, prep, keep_n=5, mesh=mesh, precision=precision
+        )
+        np.testing.assert_array_equal(i_prep, i_raw)
+        np.testing.assert_allclose(s_prep, s_raw, atol=1e-5)
+        ref = dictionary_index(exp, dictionary=dictionary, keep_n=5)
+        np.testing.assert_array_equal(
+            i_prep[:, 0], ref.simulation_indices[:, 0]
+        )
+
+    def test_prepared_dictionary_mask_mismatch_raises(self, devices, problem):
+        from kikuchipy_tpu.indexing.di import prepare_dictionary
+
+        exp, dictionary = problem
+        mask = np.zeros((60, 60), dtype=bool)
+        mask[:10] = True  # exclude top rows at prepare time only
+        prep = prepare_dictionary(dictionary, signal_mask=mask)
+        mesh = make_mesh(2, 4)
+        with pytest.raises(ValueError, match="signal_mask"):
+            sharded_dictionary_index(exp, prep, keep_n=5, mesh=mesh)
+
     def test_padding_path(self, devices, problem):
         # 23 experimental patterns and 157 dictionary entries: neither
         # divides the mesh axes, exercising the padding logic.

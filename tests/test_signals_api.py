@@ -104,6 +104,31 @@ class TestSignalOps:
         np.asarray(c.data)[0, 0, 0, 0]  # touch
         assert c.data is not signal.data
 
+    def test_deepcopy_mutating_copy_attrs_leaves_original(self, signal):
+        # Regression (round-2 verdict): the copy's detector, xmap,
+        # static_background and metadata must NOT be shared by
+        # reference with the original (HyperSpy deepcopy semantics).
+        import numpy as _np
+
+        signal.static_background = _np.ones(signal.signal_shape, dtype=_np.uint8)
+        signal.metadata["tag"] = {"a": 1}
+        c = signal.deepcopy()
+        assert c.detector is not signal.detector
+        assert c.static_background is not signal.static_background
+        pcz0 = float(_np.atleast_1d(signal.detector.pc[..., 2]).ravel()[0])
+        c.detector.pc[..., 2] = -1.0
+        assert float(
+            _np.atleast_1d(signal.detector.pc[..., 2]).ravel()[0]
+        ) == pytest.approx(pcz0)
+        c.static_background[0, 0] = 0
+        assert signal.static_background[0, 0] == 1
+        c.metadata["tag"]["a"] = 2
+        assert signal.metadata["tag"]["a"] == 1
+        # Pattern data independence
+        d0 = float(_np.asarray(signal.data)[0, 0, 0, 0])
+        c.data[0, 0, 0, 0] = 255 if d0 < 128 else 0
+        assert float(_np.asarray(signal.data)[0, 0, 0, 0]) == d0
+
 
 class TestFFTHelpers:
     def test_fft_ifft_roundtrip(self, dummy_patterns):
