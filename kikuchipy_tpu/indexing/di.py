@@ -74,6 +74,11 @@ _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
 }
 
+# Past this many full tiles the unrolled static-slice loop in
+# _index_resident switches to a lax.scan: HLO size (and this stack's
+# multi-minute remote compiles) grows linearly with the unroll count.
+_MAX_UNROLL_TILES = 32
+
 
 def _quantize_rows_int8(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Rowwise max-abs int8 quantization: ``(values int8, scales f32)``."""
@@ -103,6 +108,11 @@ class PreparedDictionary:
 
     prepared: jnp.ndarray
     metric_name: str = "ncc"
+    # Provenance of the signal mask used at prepare time: the kept-pixel
+    # count is ``prepared.shape[1]``; ``mask_hash`` additionally
+    # distinguishes different masks of the same size (None = unknown,
+    # e.g. a PreparedDictionary built by hand from a raw array).
+    mask_hash: int | None = None
     _q8: tuple[jnp.ndarray, jnp.ndarray] | None = dataclasses.field(
         default=None, repr=False, compare=False
     )
@@ -110,6 +120,11 @@ class PreparedDictionary:
     @property
     def n_dictionary(self) -> int:
         return self.prepared.shape[0]
+
+    @property
+    def n_features(self) -> int:
+        """Kept-pixel count after the prepare-time signal mask."""
+        return self.prepared.shape[1]
 
     def quantized_int8(self) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Pre-quantized ``(values int8 (m, d), scales (m,))``, computed
@@ -146,11 +161,22 @@ def prepare_dictionary(
     keep_idx = signal_mask_to_idx(signal_mask, sig_size)
     keep_idx = None if keep_idx is None else jnp.asarray(keep_idx)
     prep = PreparedDictionary(
-        prepared=metric.prepare(dictionary, keep_idx), metric_name=metric.name
+        prepared=metric.prepare(dictionary, keep_idx),
+        metric_name=metric.name,
+        mask_hash=_mask_hash(keep_idx),
     )
     if quantize:
         prep.quantized_int8()
     return prep
+
+
+def _mask_hash(keep_idx) -> int:
+    """Stable hash of the kept-pixel index set (0 = no mask)."""
+    if keep_idx is None:
+        return 0
+    import zlib
+
+    return zlib.crc32(np.ascontiguousarray(np.asarray(keep_idx)).tobytes())
 
 
 def _group_topk_T(simT: jnp.ndarray, k: int, group: int = 32):
@@ -358,8 +384,8 @@ def _index_resident(
         if precision == "mixed":
             exp_mm = exp_prepared.astype(jnp.bfloat16)
             # Precision is numerically moot for bf16 inputs (single MXU
-            # pass), but HIGHEST measures ~1.3x faster than DEFAULT on
-            # this backend (71.7 vs 53.0 TF/s, see BENCH_NOTES.md).
+            # pass, 126 TF/s measured round 2 vs 28.9 for f32 HIGHEST;
+            # BENCH_NOTES.md "Round 2: tier re-measurement").
             mm_precision = jax.lax.Precision.HIGHEST
         elif precision == "f16":
             exp_mm = exp_prepared
@@ -407,25 +433,89 @@ def _index_resident(
     # the dictionary reads straight into the matmuls — a lax.scan with
     # dynamic_slice measured ~40% slower on the f16+approx tier (the
     # sliced 720 MB tile copy materializes at the slow HBM write
-    # bandwidth; BENCH_NOTES.md round-2 "scan vs unrolled").
-    parts_s, parts_i = [], []
-    for start in range(0, m, tile):
-        size = min(tile, m - start)
-        if approx:
-            simT = sel_block_T(start, size)
-            t_scores, t_idx = _group_topk_T(simT, min(k_carry, size))
+    # bandwidth; BENCH_NOTES.md round-2 "scan vs unrolled"). But HLO
+    # size (and this stack's multi-minute remote compiles) grows
+    # linearly with the tile count, so past _MAX_UNROLL_TILES full
+    # tiles the loop switches to a lax.scan with a carried top-k —
+    # slower per tile, compile-time bounded.
+    n_full = m // tile
+    if n_full > _MAX_UNROLL_TILES and tile >= k_carry:
+        d_feat = dict_prepared.shape[1]
+        m_main = n_full * tile
+
+        def scan_body(carry, xs):
+            bs, bi, start = carry
+            if precision == "int8":
+                block_q, block_scale = xs
+                simT_or_sim = (
+                    sel_scores_T(block_q, block_scale)
+                    if approx
+                    else sel_scores(block_q, block_scale)
+                )
+            else:
+                simT_or_sim = _match_T(xs) if approx else _match(xs)
+            if approx:
+                ts, ti = _group_topk_T(simT_or_sim, k_carry)
+            else:
+                ts, ti = tile_topk(simT_or_sim, k_carry)
+            all_s = jnp.concatenate([bs, ts.astype(bs.dtype)], axis=1)
+            all_i = jnp.concatenate(
+                [bi, (ti + start).astype(jnp.int32)], axis=1
+            )
+            ns, pos = jax.lax.top_k(all_s, k_carry)
+            ni = jnp.take_along_axis(all_i, pos, axis=1)
+            return (ns, ni, start + tile), None
+
+        if precision == "int8":
+            xs = (
+                dict_q[:m_main].reshape(n_full, tile, -1),
+                dict_scale[:m_main].reshape(n_full, tile),
+            )
         else:
-            sim = sel_block(start, size)
-            t_scores, t_idx = tile_topk(sim, min(k_carry, size))
-        parts_s.append(t_scores)
-        parts_i.append((t_idx + start).astype(jnp.int32))
-    if len(parts_s) == 1:
-        scores, idx = parts_s[0], parts_i[0]
+            xs = dict_prepared[:m_main].reshape(n_full, tile, d_feat)
+        init = (
+            jnp.full((n_exp, k_carry), -jnp.inf, dtype=dtype),
+            jnp.zeros((n_exp, k_carry), dtype=jnp.int32),
+            jnp.int32(0),
+        )
+        (scores, idx, _), _ = jax.lax.scan(scan_body, init, xs)
+        if m_main < m:  # tail tile, statically sliced + merged
+            size = m - m_main
+            if approx:
+                t_scores, t_idx = _group_topk_T(
+                    sel_block_T(m_main, size), min(k_carry, size)
+                )
+            else:
+                t_scores, t_idx = tile_topk(
+                    sel_block(m_main, size), min(k_carry, size)
+                )
+            all_s = jnp.concatenate(
+                [scores, t_scores.astype(scores.dtype)], axis=1
+            )
+            all_i = jnp.concatenate(
+                [idx, (t_idx + m_main).astype(jnp.int32)], axis=1
+            )
+            scores, pos = jax.lax.top_k(all_s, k_carry)
+            idx = jnp.take_along_axis(all_i, pos, axis=1)
     else:
-        all_s = jnp.concatenate(parts_s, axis=1)
-        all_i = jnp.concatenate(parts_i, axis=1)
-        scores, pos = jax.lax.top_k(all_s, k_carry)
-        idx = jnp.take_along_axis(all_i, pos, axis=1)
+        parts_s, parts_i = [], []
+        for start in range(0, m, tile):
+            size = min(tile, m - start)
+            if approx:
+                simT = sel_block_T(start, size)
+                t_scores, t_idx = _group_topk_T(simT, min(k_carry, size))
+            else:
+                sim = sel_block(start, size)
+                t_scores, t_idx = tile_topk(sim, min(k_carry, size))
+            parts_s.append(t_scores)
+            parts_i.append((t_idx + start).astype(jnp.int32))
+        if len(parts_s) == 1:
+            scores, idx = parts_s[0], parts_i[0]
+        else:
+            all_s = jnp.concatenate(parts_s, axis=1)
+            all_i = jnp.concatenate(parts_i, axis=1)
+            scores, pos = jax.lax.top_k(all_s, k_carry)
+            idx = jnp.take_along_axis(all_i, pos, axis=1)
 
     if reduced:
         scores, idx = _rescore_candidates(
@@ -467,6 +557,29 @@ def _rescore_candidates(
     if len(out_s) == 1:
         return out_s[0], out_i[0]
     return jnp.concatenate(out_s, axis=0), jnp.concatenate(out_i, axis=0)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _write_rows(buf: jnp.ndarray, block: jnp.ndarray, start) -> jnp.ndarray:
+    """In-place (donated) row write into a preallocated device buffer."""
+    return jax.lax.dynamic_update_slice(buf, block, (start, jnp.int32(0)))
+
+
+def _project_dictionary_resident(
+    project_fn, rotations, metric, keep_idx, m, d_feat, proj_tile, progress
+) -> jnp.ndarray:
+    """Project + prepare the virtual dictionary into ONE preallocated
+    HBM buffer (donated in-place row writes), so peak memory is the
+    buffer itself — not buffer + per-tile block list + a concatenate
+    copy (~2x transient near the residency threshold)."""
+    buf = jnp.zeros((m, d_feat), dtype=metric.dtype)
+    for start in range(0, m, proj_tile):
+        if progress is not None:
+            progress(start, m)
+        end = min(start + proj_tile, m)
+        block = metric.prepare(project_fn(rotations[start:end]), keep_idx)
+        buf = _write_rows(buf, block, jnp.int32(start))
+    return buf
 
 
 def _default_tile(n_exp: int, budget_bytes: int = 2 << 30) -> int:
@@ -578,6 +691,24 @@ def dictionary_index(
                     f"PreparedDictionary was prepared with metric "
                     f"{dictionary.metric_name!r}, requested {metric.name!r}"
                 )
+            if dictionary.n_features != exp_prepared.shape[1]:
+                raise ValueError(
+                    f"signal_mask mismatch: PreparedDictionary keeps "
+                    f"{dictionary.n_features} pixels but the indexing-"
+                    f"time signal_mask keeps {exp_prepared.shape[1]} — "
+                    f"pass the same signal_mask to prepare_dictionary "
+                    f"and dictionary_index"
+                )
+            if (
+                dictionary.mask_hash is not None
+                and dictionary.mask_hash != _mask_hash(keep_idx)
+            ):
+                raise ValueError(
+                    "signal_mask mismatch: the mask used at "
+                    "prepare_dictionary time selects a different pixel "
+                    "set than the indexing-time signal_mask (same size, "
+                    "different pixels) — scores would be misaligned"
+                )
             dict_prepared = dictionary.prepared
             if precision == "int8":
                 dict_q, dict_scale = dictionary.quantized_int8()
@@ -605,15 +736,10 @@ def dictionary_index(
         # dictionary would not fit the HBM budget does the per-tile
         # project-and-merge loop take over.
         if m * d_feat * 4 <= 4 << 30:
-            proj_tile = 8192
-            blocks = []
-            for start in range(0, m, proj_tile):
-                if progress is not None:
-                    progress(start, m)
-                block = project_fn(rotations[start : start + proj_tile])
-                blocks.append(metric.prepare(block, keep_idx))
-            dict_prepared = (
-                blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks)
+            proj_tile = min(n_per_iteration or 8192, m)
+            dict_prepared = _project_dictionary_resident(
+                project_fn, rotations, metric, keep_idx, m, d_feat,
+                proj_tile, progress,
             )
             tile = min(n_per_iteration or _default_tile(n_exp), m)
             scores, idx = _index_resident(

@@ -252,7 +252,7 @@ def levenberg_marquardt_batched(
     the TPU-fast refinement solver: the projector chain is
     differentiable, so the ``(n_pix, d)`` Jacobian comes from ``d``
     forward-mode JVPs (one batched projection each) and each iteration
-    costs ``d + 1`` projections — against ~35 Nelder-Mead iterations of
+    costs ``d`` projections — against ~35 Nelder-Mead iterations of
     ~2.2 evaluations, LM's near-quadratic convergence typically lands
     within 5-8 iterations from dictionary-indexing-quality starts.
 
@@ -281,8 +281,11 @@ def levenberg_marquardt_batched(
     -----
     The normal equations are ``d x d`` (3 or 6 here) and are solved for
     all elements at once with a batched Cholesky-free
-    ``jnp.linalg.solve``; rejected steps re-use the cached residual and
-    Jacobian, so a reject costs one extra residual evaluation only.
+    ``jnp.linalg.solve``. The residual and Jacobian are carried in the
+    loop state: each iteration evaluates one (residual, Jacobian)
+    bundle at the trial point, which becomes the cache on accept and is
+    discarded on reject — the Jacobian at the current point is never
+    recomputed.
     """
     x0 = jnp.asarray(x0)
     n, d = x0.shape
@@ -322,8 +325,7 @@ def levenberg_marquardt_batched(
         return jnp.concatenate(parts, axis=-1)
 
     def body(state):
-        x, f, lam, it, done, stalled = state
-        r, J = jac_and_res(x)
+        x, f, r, J, lam, it, done, stalled = state
         jtj = jnp.einsum("nmp,nmq->npq", J, J)
         g = jnp.einsum("nmp,nm->np", J, r)
         diag = jnp.maximum(
@@ -332,10 +334,16 @@ def levenberg_marquardt_batched(
         A = jtj + lam[:, None, None] * (diag[:, :, None] * eye[None])
         step = clip_step(-jnp.linalg.solve(A, g[..., None])[..., 0])
         x_new = x + step
-        r_new = residual_fn(x_new)
+        # Trial residual + Jacobian at the candidate: on accept both are
+        # the NEXT iteration's cache (no recompute); on reject the old
+        # (r, J) carry forward, so a rejected step costs one extra
+        # evaluation bundle only — never a second Jacobian at x.
+        r_new, J_new = jac_and_res(x_new)
         f_new = 0.5 * jnp.sum(jnp.square(r_new), axis=-1)
         accept = (f_new < f) & ~done
         x = jnp.where(accept[:, None], x_new, x)
+        r = jnp.where(accept[:, None], r_new, r)
+        J = jnp.where(accept[:, None, None], J_new, J)
         lam = jnp.where(
             accept, jnp.maximum(lam / 3.0, 1e-9), jnp.minimum(lam * 4.0, 1e8)
         )
@@ -347,23 +355,25 @@ def levenberg_marquardt_batched(
         done_new = done_new | (stalled >= 6)
         f = jnp.where(accept, f_new, f)
         it = it + jnp.where(done, 0, 1)
-        return x, f, lam, it, done_new, stalled
+        return x, f, r, J, lam, it, done_new, stalled
 
     def cond(state):
-        _, _, _, it, done, _ = state
+        _, _, _, _, _, it, done, _ = state
         return (~jnp.all(done)) & (jnp.max(it) < max_iters)
 
-    r0 = residual_fn(x0)
+    r0, J0 = jac_and_res(x0)
     f0 = 0.5 * jnp.sum(jnp.square(r0), axis=-1)
     init = (
         x0,
         f0,
+        r0,
+        J0,
         jnp.full((n,), lambda0, dtype=x0.dtype),
         jnp.zeros(n, dtype=jnp.int32),
         jnp.zeros(n, dtype=bool),
         jnp.zeros(n, dtype=jnp.int32),
     )
-    x, f, _, it, done, _ = jax.lax.while_loop(cond, body, init)
+    x, f, _, _, _, it, done, _ = jax.lax.while_loop(cond, body, init)
     return LMResult(x=x, fun=f, n_iter=it, converged=done)
 
 

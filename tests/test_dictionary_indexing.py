@@ -394,6 +394,81 @@ class TestPreparedDictionary:
         with pytest.raises(ValueError, match="metric"):
             dictionary_index(e, prep, keep_n=2, metric="ncc")
 
+    def test_mask_size_mismatch_raises(self):
+        from kikuchipy_tpu.indexing.di import prepare_dictionary
+
+        rng = np.random.default_rng(15)
+        d = rng.normal(size=(20, 6, 6)).astype(np.float32)
+        e = rng.normal(size=(4, 6, 6)).astype(np.float32)
+        mask = np.zeros((6, 6), dtype=bool)
+        mask[0] = True
+        prep = prepare_dictionary(d, signal_mask=mask)
+        with pytest.raises(ValueError, match="signal_mask mismatch"):
+            dictionary_index(e, prep, keep_n=2)  # no mask at index time
+
+    def test_mask_same_size_different_pixels_raises(self):
+        from kikuchipy_tpu.indexing.di import prepare_dictionary
+
+        rng = np.random.default_rng(16)
+        d = rng.normal(size=(20, 6, 6)).astype(np.float32)
+        e = rng.normal(size=(4, 6, 6)).astype(np.float32)
+        mask_a = np.zeros((6, 6), dtype=bool)
+        mask_a[0] = True
+        mask_b = np.zeros((6, 6), dtype=bool)
+        mask_b[-1] = True  # same excluded count, different pixels
+        prep = prepare_dictionary(d, signal_mask=mask_a)
+        with pytest.raises(ValueError, match="different pixel"):
+            dictionary_index(e, prep, keep_n=2, signal_mask=mask_b)
+
+
+class TestScanFallback:
+    """Past _MAX_UNROLL_TILES full tiles _index_resident switches from
+    the unrolled static-slice loop to a lax.scan with a carried top-k;
+    results must be identical (mod cross-tile tie order)."""
+
+    @pytest.mark.parametrize(
+        "precision,approx",
+        [("highest", False), ("f16", True), ("int8", False), ("mixed", True)],
+    )
+    def test_scan_matches_unrolled(self, precision, approx):
+        rng = np.random.default_rng(17)
+        e = rng.normal(size=(6, 64)).astype(np.float32)
+        # 40 tiles of 16 rows -> scan path; embed the experimental rows
+        # so top-1 has a clear margin for the reduced-precision tiers.
+        d = rng.normal(size=(640, 64)).astype(np.float32)
+        d[::100][:6] = e + 0.3 * rng.normal(size=(6, 64)).astype(np.float32)
+        unrolled = dictionary_index(
+            e, d, keep_n=5, n_per_iteration=640, precision=precision,
+            approx_topk=approx,
+        )
+        scanned = dictionary_index(
+            e, d, keep_n=5, n_per_iteration=16, precision=precision,
+            approx_topk=approx,
+        )
+        np.testing.assert_array_equal(
+            scanned.simulation_indices[:, 0], unrolled.simulation_indices[:, 0]
+        )
+        np.testing.assert_allclose(
+            scanned.scores, unrolled.scores, atol=5e-3
+        )
+
+    def test_scan_exact_matches_host_reference(self):
+        rng = np.random.default_rng(18)
+        e = rng.normal(size=(5, 32)).astype(np.float32)
+        d = rng.normal(size=(330, 32)).astype(np.float32)  # tail tile of 10
+
+        def prep_rows(x):
+            x = x - x.mean(axis=1, keepdims=True)
+            return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+        ref = prep_rows(e) @ prep_rows(d).T
+        order = np.argsort(-ref, axis=1)[:, :4]
+        res = dictionary_index(e, d, keep_n=4, n_per_iteration=10)
+        np.testing.assert_array_equal(res.simulation_indices, order)
+        np.testing.assert_allclose(
+            res.scores, np.take_along_axis(ref, order, axis=1), atol=1e-5
+        )
+
     def test_streamed_scan_with_prepared_dictionary(self, tmp_path):
         import h5py
 
