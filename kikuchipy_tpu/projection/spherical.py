@@ -19,27 +19,36 @@ Ultramicroscopy 207 (2019) 112841) re-designed for TPU: batched
 coefficient rotation + one synthesis matmul per pattern batch.
 
 Accuracy: a band limit ``L`` resolves features of ~180/L degrees; the
-harmonic patterns converge to the bilinear projector's as L grows (NCC
-> 0.99 at L = 88 on the 401 px nickel master; see
-tests/test_spherical.py). Band-limiting smooths the sharp Kikuchi band
-edges slightly — for refinement that SMOOTHS THE OBJECTIVE, it does not
-bias band geometry. The bilinear projector remains the conformance
-default (bit-compatible with the reference); this one is the speed
-option (``EBSDMasterPattern.spherical_projector``).
+harmonic patterns converge to the bilinear projector's as L grows —
+measured NCC vs the gather projector on the 401 px nickel master at
+real detector geometry: 0.59 (L=44), 0.89 (L=88), 0.95 (L=132), 0.98
+(L=180); the sharp Kikuchi band edges carry real high-frequency power
+(edge-dominated ~1/L^2 spectral decay), so exact-pattern parity is not
+the design point. Band-limiting SMOOTHS THE OBJECTIVE without biasing
+band geometry: orientation refinement through this projector meets the
+same <0.8 deg criterion as the bilinear path (pinned in
+tests/test_refinement.py), and refinement reports final scores from
+one bilinear projection at the solution, so returned NCC values remain
+reference-conformant. The bilinear projector remains the conformance
+default; this one is the speed option
+(``EBSDMasterPattern.spherical_projector``).
 
 Conventions: real spherical harmonics with Condon-Shortley-free
 normalization, basis order ``idx = l^2 + (m + l)`` (m = -l..l); the
 l = 1 block transforms like the coordinates in (y, z, x) order. The
 coefficient rotation satisfies ``synth(rotate_coeffs(q, c), d) =
-synth(c, R(q)^T d)`` with ``R(q)`` the active rotation matrix of
-``geometry.quaternion.rotate_vector`` — exactly the sampling the
-gather projector performs (it samples the master at ``R(q) d`` with
-the reference's conjugation convention; see
-``projection/master_pattern.py:project_patterns``).
+synth(c, R(q)^T d)`` with ``R(q) = to_matrix(q)`` (so ``D`` is a true
+homomorphism, ``D(q1 q2) = D(q1) D(q2)``). The gather projector
+samples the master at ``rotate_vector(q, d) = R(q) d``
+(``projection/master_pattern.py:project_patterns``), so
+:meth:`SphericalProjector.project` applies ``rotate_coeffs`` with the
+CONJUGATE quaternion — pinned numerically in
+``tests/test_spherical.py``.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from functools import lru_cache, partial
 
 import numpy as np
@@ -50,6 +59,8 @@ __all__ = [
     "sh_basis",
     "sh_analysis_lambert",
     "rotate_coefficients",
+    "rotate_coefficients_zyz",
+    "WignerTables",
     "SphericalProjector",
 ]
 
@@ -248,6 +259,388 @@ def rotation_blocks_numpy(mat: np.ndarray, L: int) -> list[np.ndarray]:
     for l in range(2, L + 1):
         blocks.append(_next_block(r1, blocks[-1], l))
     return blocks
+
+
+def sh_analysis_lambert(
+    master: np.ndarray,
+    L: int,
+    n_theta: int | None = None,
+) -> np.ndarray:
+    """Real-SH coefficients of a square-Lambert master pattern.
+
+    The master (both hemispheres packed ``(2, npy, npx)``, upper first)
+    is sampled at a Gauss-Legendre (polar) x equiangular (azimuth)
+    quadrature grid through the same bilinear Lambert lookup the gather
+    projector uses, then analyzed separably: an azimuthal cosine/sine
+    transform (one small matmul) followed by the Legendre quadrature
+    over the polar nodes. One-time, host-side; the resulting
+    coefficients satisfy ``synth(c, d) ~ bilinear_master_lookup(d)``.
+
+    Parameters
+    ----------
+    master
+        ``(2, npy, npx)`` hemispheres (any float dtype).
+    L
+        Band limit (inclusive).
+    n_theta
+        Polar quadrature nodes; default ``max(2 * (L + 1), npy)`` —
+        exact for integrand degree ``2 * n_theta - 1``, i.e. oversampled
+        well past the master's own pixel band limit. The azimuthal grid
+        is ``2 * n_theta``.
+
+    Returns
+    -------
+    ``((L+1)^2,)`` float64 coefficients in the ``l^2 + m + l`` layout.
+    """
+    from kikuchipy_tpu.projection.master_pattern import project_patterns
+
+    master = np.asarray(master, dtype=np.float64)
+    npy, npx = master.shape[-2:]
+    if n_theta is None:
+        n_theta = max(2 * (L + 1), npy)
+    n_phi = 2 * n_theta
+
+    z_nodes, w_theta = np.polynomial.legendre.leggauss(n_theta)
+    s_nodes = np.sqrt(np.maximum(1.0 - z_nodes * z_nodes, 0.0))
+    phi = 2.0 * np.pi * np.arange(n_phi) / n_phi
+
+    # Sample the master at all quadrature directions via the shared
+    # quad-texture bilinear gather (identity rotation).
+    dirs = np.empty((n_theta, n_phi, 3))
+    dirs[..., 0] = s_nodes[:, None] * np.cos(phi)[None, :]
+    dirs[..., 1] = s_nodes[:, None] * np.sin(phi)[None, :]
+    dirs[..., 2] = z_nodes[:, None]
+    f = project_patterns(
+        jnp.asarray([[1.0, 0.0, 0.0, 0.0]], dtype=jnp.float32),
+        jnp.asarray(dirs.reshape(-1, 3), dtype=jnp.float32),
+        jnp.asarray(master, dtype=jnp.float32),
+        npx,
+        npy,
+        (npx - 1) / 2,
+    )
+    f = np.asarray(f, dtype=np.float64).reshape(n_theta, n_phi)
+
+    # Azimuthal transform: C[j, m] = (2 pi / n_phi) sum_k f cos(m phi_k)
+    m = np.arange(L + 1)
+    cosmat = np.cos(phi[:, None] * m[None, :]) * (2.0 * np.pi / n_phi)
+    sinmat = np.sin(phi[:, None] * m[None, :]) * (2.0 * np.pi / n_phi)
+    C = f @ cosmat  # (n_theta, L+1)
+    S = f @ sinmat
+
+    # Legendre quadrature: the +|m| basis columns evaluated at phi = 0
+    # are exactly amp_m * Pbar_lm(theta_j) (cos(m*0) = 1, sin = 0).
+    theta_dirs = np.stack(
+        [s_nodes, np.zeros_like(s_nodes), z_nodes], axis=-1
+    )
+    b_theta = sh_basis(theta_dirs, L)  # (n_theta, (L+1)^2)
+
+    ls, ms = _lm_of_columns(L)
+    abs_cols = ls * ls + ls + np.abs(ms)
+    g = np.where(ms[None, :] >= 0, C[:, np.abs(ms)], S[:, np.abs(ms)])
+    return np.einsum("j,jc,jc->c", w_theta, b_theta[:, abs_cols], g)
+
+
+def _lm_of_columns(L: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-column degree ``l`` and signed order ``m`` for the
+    ``col = l^2 + m + l`` layout."""
+    cols = np.arange((L + 1) * (L + 1))
+    ls = np.floor(np.sqrt(cols)).astype(np.int64)
+    ms = cols - ls * ls - ls
+    return ls, ms
+
+
+# ---------------------------------------------------------------------------
+# zyz-factorized batched rotation: D(p) = Z(alpha) T- Z(beta) T+ Z(gamma)
+# with T+ = D(Rx(+90 deg)) a FIXED block-diagonal matrix (precomputed,
+# grouped into dense tiles for the MXU) and Z(t) = D(Rz(t)) an
+# elementwise 2x2 mixing of (+m, -m) coefficient pairs. Per-quaternion
+# cost is a few grouped matmuls — no Ivanic-Ruedenberg recursion in the
+# hot path, so rotating a batch of coefficient vectors is matmul-bound
+# (the EMSphInx decomposition re-designed for TPU batching).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class WignerTables:
+    """Precomputed fixed operators for :func:`rotate_coefficients_zyz`.
+
+    All arrays are HOST NumPy (safe to build/cache inside a JAX trace);
+    the jitted pipeline receives them as traced arguments so the ~O(L^3)
+    floats ride as device buffers, not HLO constants (which would bloat
+    this stack's remote-compile payloads).
+
+    Attributes
+    ----------
+    L
+        Band limit.
+    group_bounds
+        Static ``((start, size), ...)`` column ranges; consecutive
+        l-blocks are packed into dense ~``target``-wide tiles so the
+        block-diagonal ``T+`` applies as a handful of MXU matmuls
+        instead of one O(((L+1)^2)^2) dense one.
+    t_groups
+        Per-group dense ``(size, size)`` float32 blocks of
+        ``D(Rx(+90 deg))``.
+    m_abs, sigma
+        ``((L+1)^2,)`` per-column ``|m|`` (float32) and the sign of the
+        ``sin`` mixing term (+1 for m < 0, -1 for m > 0, 0 at m = 0).
+    """
+
+    L: int
+    group_bounds: tuple[tuple[int, int], ...]
+    t_groups: tuple[np.ndarray, ...]
+    m_abs: np.ndarray
+    sigma: np.ndarray
+
+    def device_arrays(self):
+        """``(t_groups, m_abs, sigma)`` as float32 device arrays — call
+        OUTSIDE jit and pass through as traced arguments."""
+        return (
+            tuple(jnp.asarray(g) for g in self.t_groups),
+            jnp.asarray(self.m_abs),
+            jnp.asarray(self.sigma),
+        )
+
+
+def _pack_group_bounds(L: int, target: int = 512) -> tuple[tuple[int, int], ...]:
+    """Greedily pack consecutive l-blocks into ~target-wide groups."""
+    bounds = []
+    start = 0
+    size = 0
+    for l in range(L + 1):
+        size += 2 * l + 1
+        if size >= target or l == L:
+            bounds.append((start, size))
+            start += size
+            size = 0
+    return tuple(bounds)
+
+
+@lru_cache(maxsize=8)
+def wigner_tables(L: int, target: int = 512) -> WignerTables:
+    """Build (and cache) the fixed zyz tables for band limit ``L``."""
+    rx90 = np.array(
+        [[1.0, 0.0, 0.0], [0.0, 0.0, -1.0], [0.0, 1.0, 0.0]]
+    )  # active Rx(+90 deg): y -> z, z -> -y
+    blocks = rotation_blocks_numpy(rx90, L)
+    bounds = _pack_group_bounds(L, target)
+    groups = []
+    l_start = 0
+    l_idx = 0
+    for start, size in bounds:
+        g = np.zeros((size, size))
+        off = 0
+        while off < size:
+            b = blocks[l_idx]
+            n_b = b.shape[0]
+            g[off : off + n_b, off : off + n_b] = b
+            off += n_b
+            l_idx += 1
+        groups.append(np.asarray(g, dtype=np.float32))
+        l_start += size
+    ls, ms = _lm_of_columns(L)
+    sigma = np.where(ms > 0, -1.0, np.where(ms < 0, 1.0, 0.0))
+    return WignerTables(
+        L=L,
+        group_bounds=bounds,
+        t_groups=tuple(groups),
+        m_abs=np.abs(ms).astype(np.float32),
+        sigma=sigma.astype(np.float32),
+    )
+
+
+def _flip_blocks(c: jnp.ndarray, L: int) -> jnp.ndarray:
+    """Reverse each l-block along the coefficient axis (maps column
+    ``(l, m)`` to ``(l, -m)``); contiguous reverses, no gather."""
+    parts = [
+        jnp.flip(c[..., l * l : (l + 1) * (l + 1)], axis=-1)
+        for l in range(L + 1)
+    ]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _z_apply(c, c_flip, t, m_abs, sigma):
+    """Apply ``D(Rz(t))`` given the block-flipped copy of ``c``:
+    ``c' = cos(|m| t) c + sigma sin(|m| t) flip(c)``."""
+    ang = m_abs[None, :] * t[:, None]
+    return jnp.cos(ang) * c + (sigma[None, :] * jnp.sin(ang)) * c_flip
+
+
+def _t_apply(c, t_groups, group_bounds, transpose: bool, precision):
+    """Batched ``T+ c`` (or ``T- c = T+^T c`` with ``transpose``) via the
+    grouped dense blocks: row vectors, so ``c' = c @ T+^T``."""
+    parts = []
+    for (start, size), g in zip(group_bounds, t_groups):
+        seg = c[..., start : start + size]
+        mat = g if transpose else g.T
+        parts.append(
+            jnp.matmul(seg, mat.astype(seg.dtype), precision=precision)
+        )
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _zyz_angles(mat: jnp.ndarray):
+    """Euler zyz angles of active rotation matrices ``(..., 3, 3)``:
+    ``R = Rz(alpha) Ry(beta) Rz(gamma)``. Smooth except at
+    ``sin(beta) = 0`` (handled by the two-variant trick in
+    :func:`rotate_coefficients_zyz`)."""
+    alpha = jnp.arctan2(mat[..., 1, 2], mat[..., 0, 2])
+    beta = jnp.arctan2(
+        jnp.sqrt(mat[..., 0, 2] ** 2 + mat[..., 1, 2] ** 2), mat[..., 2, 2]
+    )
+    gamma = jnp.arctan2(mat[..., 2, 1], -mat[..., 2, 0])
+    return alpha, beta, gamma
+
+
+def _rotate_variant(
+    mat, coeffs, coeffs_flip, t_groups, bounds, m_abs, sigma, L, precision
+):
+    """``D(R) c`` for one batch of rotation matrices via the zyz
+    pipeline (right-to-left): Z(gamma), T+, Z(beta), T-, Z(alpha)."""
+    alpha, beta, gamma = _zyz_angles(mat)
+    c1 = _z_apply(coeffs[None, :], coeffs_flip[None, :], gamma, m_abs, sigma)
+    c2 = _t_apply(c1, t_groups, bounds, transpose=False, precision=precision)
+    c3 = _z_apply(c2, _flip_blocks(c2, L), beta, m_abs, sigma)
+    c4 = _t_apply(c3, t_groups, bounds, transpose=True, precision=precision)
+    return _z_apply(c4, _flip_blocks(c4, L), alpha, m_abs, sigma)
+
+
+# Quaternion of the active Rx(+90 deg) offset used to escape gimbal
+# lock, and a neutral quaternion (beta = 90 deg) substituted into the
+# UNSELECTED variant so its zyz extraction never hits the atan2(0, 0)
+# singularity (NaN tangents would otherwise leak through jnp.where
+# under jax.jvp — the standard double-where hazard).
+_RX90 = np.array([np.cos(np.pi / 4), np.sin(np.pi / 4), 0.0, 0.0])
+_NEUTRAL = np.array([np.cos(np.pi / 4), 0.0, np.cos(np.pi / 4), 0.0])
+
+
+def rotate_coefficients_zyz(
+    quats: jnp.ndarray,
+    coeffs: jnp.ndarray,
+    L: int,
+    mm_precision: str = "highest",
+) -> jnp.ndarray:
+    """Batched ``D(q) c`` via the zyz factorization — the fast,
+    gimbal-safe equivalent of :func:`rotate_coefficients`.
+
+    Returns ``(n, (L+1)^2)`` rotated coefficient vectors satisfying the
+    same convention (``synth(out_p, d) = synth(c, R(q_p)^T d)`` with
+    ``R = to_matrix``; pass ``conjugate(q)`` to reproduce the gather
+    projector's sampling at ``rotate_vector(q, d) = R(q) d``, as
+    :meth:`SphericalProjector.project` does).
+
+    Gimbal handling: the zyz extraction is singular at
+    ``sin(beta) = 0``. Each quaternion is evaluated through two
+    variants — direct, and left-offset by ``Rx(90 deg)`` (undone by one
+    extra fixed ``T-`` application) — and the variant whose
+    ``|cos(beta)| <= 0.75`` is selected per point; at least one always
+    qualifies, and the unselected variant's input is replaced by a
+    neutral quaternion so no NaN gradients form.
+    """
+    tables = wigner_tables(L)
+    t_groups, m_abs, sigma = tables.device_arrays()
+    return _rotate_zyz_impl(
+        quats,
+        jnp.asarray(coeffs),
+        t_groups,
+        m_abs,
+        sigma,
+        L=L,
+        bounds=tables.group_bounds,
+        mm_precision=mm_precision,
+    )
+
+
+@partial(jax.jit, static_argnames=("L", "bounds", "mm_precision"))
+def _rotate_zyz_impl(
+    quats, coeffs, t_groups, m_abs, sigma, L, bounds, mm_precision
+):
+    """Jitted core of :func:`rotate_coefficients_zyz` with the fixed
+    tables as traced arguments (callable from other jitted programs via
+    explicit args — keeps the ~O(L^3) table floats out of the HLO)."""
+    from kikuchipy_tpu.geometry.quaternion import multiply, to_matrix
+
+    precision = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "default": jax.lax.Precision.DEFAULT,
+    }[mm_precision]
+    dtype = coeffs.dtype
+    quats = quats.astype(dtype)
+    coeffs_flip = _flip_blocks(coeffs, L)
+
+    mat_id = to_matrix(quats)
+    use_id = jnp.abs(mat_id[..., 2, 2]) <= 0.75
+
+    neutral = jnp.asarray(_NEUTRAL, dtype=dtype)
+    q_id_safe = jnp.where(use_id[:, None], quats, neutral[None, :])
+    q_rx = multiply(jnp.asarray(_RX90, dtype=dtype), quats)
+    q_rx_safe = jnp.where(use_id[:, None], neutral[None, :], q_rx)
+
+    c_id = _rotate_variant(
+        to_matrix(q_id_safe), coeffs, coeffs_flip, t_groups, bounds,
+        m_abs, sigma, L, precision,
+    )
+    c_rx = _rotate_variant(
+        to_matrix(q_rx_safe), coeffs, coeffs_flip, t_groups, bounds,
+        m_abs, sigma, L, precision,
+    )
+    # Undo the offset: D(q) = D(Rx90^-1) D(Rx90 q) = T- D(Rx90 q).
+    c_rx = _t_apply(c_rx, t_groups, bounds, transpose=True, precision=precision)
+    return jnp.where(use_id[:, None], c_id, c_rx)
+
+
+@dataclasses.dataclass(frozen=True)
+class SphericalProjector:
+    """Master pattern as a spherical-harmonic expansion: pattern
+    synthesis at fixed detector directions is ONE dense matmul after a
+    matmul-bound coefficient rotation (zero gathers; contrast the
+    bilinear projector's ~140M samples/s gather bound on v5e).
+
+    Build from a master pattern via
+    :meth:`EBSDMasterPattern.spherical_projector` (cached per
+    ``(energy, L)``) or directly from hemispheres with
+    :meth:`from_master`.
+    """
+
+    coeffs: jnp.ndarray  # ((L+1)^2,) float32
+    L: int
+
+    @classmethod
+    def from_master(cls, master: np.ndarray, L: int = 88) -> "SphericalProjector":
+        """Analyze packed hemispheres ``(2, npy, npx)`` at band limit
+        ``L`` (one-time; ~seconds on host)."""
+        c = sh_analysis_lambert(master, L)
+        return cls(coeffs=jnp.asarray(c, dtype=jnp.float32), L=L)
+
+    def synthesis_basis(self, dirs: np.ndarray) -> jnp.ndarray:
+        """Synthesis matrix ``B = Y(dirs)`` at unit directions
+        ``(npix, 3)`` (host evaluation, float32 on device)."""
+        b = sh_basis(np.asarray(dirs, dtype=np.float64), self.L)
+        return jnp.asarray(b, dtype=jnp.float32)
+
+    def project(
+        self,
+        quats: jnp.ndarray,
+        basis: jnp.ndarray,
+        mm_precision: str = "highest",
+    ) -> jnp.ndarray:
+        """Patterns ``(n, npix)`` at orientations ``(n, 4)`` — the
+        harmonic equivalent of
+        :func:`kikuchipy_tpu.projection.master_pattern.project_patterns`
+        with ``dc`` fixed (single PC)."""
+        from kikuchipy_tpu.geometry.quaternion import conjugate
+
+        # The gather projector samples at rotate_vector(q, d) = R(q) d;
+        # in coefficient space that is D(conjugate(q)) (see module
+        # docstring conventions).
+        c = rotate_coefficients_zyz(
+            conjugate(quats), self.coeffs, self.L, mm_precision=mm_precision
+        )
+        precision = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT,
+        }[mm_precision]
+        return jnp.matmul(c, basis.T, precision=precision)
 
 
 @partial(jax.jit, static_argnames=("L",))

@@ -405,6 +405,40 @@ class EBSDMasterPattern(KikuchiMasterPattern):
 
         return project_fn
 
+    def spherical_projector(
+        self, energy: float | None = None, L: int = 88
+    ):
+        """Spherical-harmonic projector of this master pattern (see
+        :class:`kikuchipy_tpu.projection.spherical.SphericalProjector`):
+        a one-time harmonic analysis (cached per ``(energy, L)``) after
+        which pattern synthesis at fixed detector directions is pure
+        matmuls — the fast projector for orientation refinement
+        (``EBSD.refine_orientation(..., projector="spherical")``).
+
+        ``L`` is the band limit: features of ~180/L degrees are
+        resolved; L = 88 reproduces the bilinear projector to
+        NCC > 0.99 on the 401 px nickel master
+        (``tests/test_spherical.py``).
+        """
+        from kikuchipy_tpu.projection.spherical import SphericalProjector
+
+        if self.projection != "lambert":
+            raise ValueError(
+                "spherical_projector requires a square-Lambert master "
+                "pattern (use as_lambert() first)"
+            )
+        cache = getattr(self, "_sh_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_sh_cache", cache)
+        key = (energy, L)
+        if key not in cache:
+            master = self._hemispheres_at_energy(energy)
+            cache[key] = SphericalProjector.from_master(
+                np.asarray(master, dtype=np.float32), L=L
+            )
+        return cache[key]
+
 
 @dataclasses.dataclass(repr=False)
 class ECPMasterPattern(KikuchiMasterPattern):

@@ -330,6 +330,92 @@ class TestMethodNameCompat:
             )
 
 
+class TestSphericalProjectorRefinement:
+    """projector="spherical": refinement through the spherical-harmonic
+    projector (matmul-only synthesis) must meet the SAME reference
+    benchmark criterion (< 0.8 deg;
+    /root/reference/benchmarks/indexing/test_refinement.py:85) — the
+    band-limited objective smooths band edges without biasing band
+    geometry — and report reference-conformant (bilinear) scores."""
+
+    @pytest.fixture()
+    def single_pc(self, nickel_setup):
+        import dataclasses
+
+        s, mp = nickel_setup
+        det = dataclasses.replace(
+            s.detector, pc=s.detector.pc_average.reshape(1, 3)
+        )
+        return s, mp, det
+
+    def _perturbed(self, s, seed, deg):
+        stored = s.xmap.best_rotations
+        rng = np.random.default_rng(seed)
+        axes = rng.normal(size=(9, 3))
+        axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+        dq = np.asarray(quat.from_axis_angle(jnp.asarray(axes), np.deg2rad(deg)))
+        return stored, np.asarray(
+            quat.multiply(jnp.asarray(dq), jnp.asarray(stored))
+        )
+
+    @pytest.mark.parametrize("method", ["lm", "nm"])
+    def test_recovers_perturbed_orientations(self, single_pc, method):
+        s, mp, det = single_pc
+        stored, perturbed = self._perturbed(s, 21, 2.5)
+        from kikuchipy_tpu.crystallography.crystal_map import CrystalMap
+
+        xmap0 = CrystalMap(rotations=perturbed, shape=(3, 3), phases=s.xmap.phases)
+        res = s.refine_orientation(
+            xmap=xmap0, detector=det, master_pattern=mp, method=method,
+            projector="spherical", sh_L=64, trust_region=[6, 6, 6],
+        )
+        ang_after = np.degrees(
+            disorientation_angle(stored, res.xmap.best_rotations, "m-3m")
+        )
+        assert ang_after.max() < 0.8, ang_after
+        # Scores are reference-conformant (one bilinear projection at
+        # the solution), so the usual level applies.
+        assert res.xmap.prop["scores"].min() > 0.3
+
+    def test_matches_bilinear_lm(self, single_pc):
+        """Spherical-LM and bilinear-LM land on the same orientations
+        (within the accuracy criterion of each other)."""
+        s, mp, det = single_pc
+        stored, perturbed = self._perturbed(s, 22, 2.0)
+        from kikuchipy_tpu.crystallography.crystal_map import CrystalMap
+
+        xmap0 = CrystalMap(rotations=perturbed, shape=(3, 3), phases=s.xmap.phases)
+        kw = dict(
+            xmap=xmap0, detector=det, master_pattern=mp, method="lm",
+            trust_region=[6, 6, 6],
+        )
+        res_sh = s.refine_orientation(projector="spherical", sh_L=64, **kw)
+        res_bl = s.refine_orientation(projector="bilinear", **kw)
+        ang = np.degrees(
+            disorientation_angle(
+                res_sh.xmap.best_rotations, res_bl.xmap.best_rotations, "m-3m"
+            )
+        )
+        assert ang.max() < 0.8, ang
+        np.testing.assert_allclose(
+            res_sh.xmap.prop["scores"], res_bl.xmap.prop["scores"], atol=0.05
+        )
+
+    def test_requires_single_pc(self, nickel_setup):
+        s, mp = nickel_setup  # per-point PC detector
+        with pytest.raises(ValueError, match="single-PC"):
+            s.refine_orientation(
+                master_pattern=mp, projector="spherical", sh_L=32
+            )
+
+    def test_unknown_projector_raises(self, single_pc):
+        s, mp, det = single_pc
+        with pytest.raises(ValueError, match="projector"):
+            s.refine_orientation(
+                detector=det, master_pattern=mp, projector="cubic"
+            )
+
+
 class TestLMRefinement:
     """Batched Levenberg-Marquardt: the fast production solver must meet
     the same reference benchmark criterion (< 0.8 deg;

@@ -1,0 +1,89 @@
+"""LM orientation refinement through the spherical-harmonic projector
+(VERDICT r2 item 2: >=10k patterns/s/chip at the <0.8 deg criterion).
+
+Real 3x3 nickel patterns tiled to one large chunk, ~2-degree
+perturbations of the stored orientations (dictionary-indexing-quality
+starts), ``refine_orientation(method="lm", projector="spherical")``.
+Importable: ``bench_refine_sh()`` returns steady-state patterns/s and
+is called by bench.py for the driver-verified refinement line; the
+accuracy gate (<0.8 deg vs the stored truth) must pass or 0.0 is
+returned.
+"""
+
+import dataclasses
+import time
+
+import numpy as np
+
+
+def bench_refine_sh(
+    n: int = 8192, sh_l: int = 88, verbose: bool = False
+) -> float:
+    import jax.numpy as jnp
+
+    import kikuchipy_tpu as kp
+    from kikuchipy_tpu.crystallography.crystal_map import CrystalMap
+    from kikuchipy_tpu.crystallography.sampling import disorientation_angle
+    from kikuchipy_tpu.geometry import quaternion as quat
+
+    raw = kp.data.nickel_ebsd_small()
+    s0 = raw.remove_static_background().remove_dynamic_background()
+    base = np.asarray(s0.data).reshape(9, 60, 60)
+    stored = np.asarray(raw.xmap.best_rotations)
+    reps = -(-n // 9)
+    scan = np.tile(base, (reps, 1, 1))[:n]
+    truth = np.tile(stored, (reps, 1))[:n]
+
+    rng = np.random.default_rng(0)
+    axes = rng.normal(size=(n, 3))
+    axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+    dq = np.asarray(
+        quat.from_axis_angle(jnp.asarray(axes), np.deg2rad(2.0))
+    )
+    start_rot = np.asarray(
+        quat.multiply(jnp.asarray(dq), jnp.asarray(truth))
+    )
+
+    mp = kp.data.nickel_ebsd_master_pattern_small(
+        projection="lambert", hemisphere="both"
+    )
+    det = dataclasses.replace(
+        raw.detector, pc=raw.detector.pc_average.reshape(1, 3)
+    )
+    sig = kp.signals.EBSD(data=scan, detector=det)
+    xmap0 = CrystalMap(rotations=start_rot, shape=(n,))
+    kw = dict(
+        xmap=xmap0, detector=det, master_pattern=mp, energy=20,
+        method="lm", projector="spherical", sh_L=sh_l,
+        nav_chunk=None, trust_region=[6, 6, 6],
+    )
+
+    t0 = time.perf_counter()
+    res = sig.refine_orientation(**kw)
+    dt_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = sig.refine_orientation(**kw)
+    dt = time.perf_counter() - t0
+
+    ang = np.degrees(
+        disorientation_angle(truth, res.xmap.best_rotations, "m-3m")
+    )
+    ok = float(ang.max()) < 0.8
+    if verbose:
+        print(
+            f"sh-lm L={sh_l}: {n / dt:8.0f} pps "
+            f"(first incl compile {n / dt_first:.0f}) "
+            f"max {ang.max():.3f} deg mean {ang.mean():.3f} "
+            f"iters<= {int(np.max(res.xmap.prop['num_evals']))} "
+            f"accuracy_ok={ok}",
+            flush=True,
+        )
+    return n / dt if ok else 0.0
+
+
+if __name__ == "__main__":
+    import sys
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    sh_l = int(sys.argv[2]) if len(sys.argv) > 2 else 88
+    bench_refine_sh(n, sh_l, verbose=True)
