@@ -10,14 +10,22 @@ requires applying the space-group operations first. This module
 implements that expansion natively:
 
 - centering translations for all 230 space groups (exact);
-- full general positions for all 73 symmorphic space groups (point-group
-  operations in fractional coordinates + centering);
-- full general positions for a curated set of common non-symmorphic
-  structure types in EBSD work (diamond/Si ``Fd-3m``, hcp ``P6_3/mmc``,
-  wurtzite ``P6_3mc``, corundum ``R-3c``, quartz ``P3_121``, rutile
-  ``P4_2/mnm``, pyrite ``Pa-3``, olivine/cementite ``Pnma``, ...);
-- a centering-only fallback (with a warning) for the rest, which still
-  reproduces the dominant lattice-type extinction rules.
+- full general positions for ALL 230 space groups, from three tables:
+  the 73 symmorphic groups (point-group operations + centering), a
+  hand-curated set of common non-symmorphic EBSD structure types
+  (diamond/Si ``Fd-3m``, hcp ``P6_3/mmc``, wurtzite ``P6_3mc``,
+  corundum ``R-3c``, quartz ``P3_121``, rutile ``P4_2/mnm``, pyrite
+  ``Pa-3``, olivine/cementite ``Pnma``, ...), and a generated table for
+  the rest (``_sg_generated.py``, built by ``tools/gen_spacegroups.py``
+  so each closure reproduces its Hermann-Mauguin symbol; every group is
+  re-verified against its symbol by ``tests/test_spacegroup.py``).
+
+Origin conventions: inversion centres at the origin (ITA origin choice
+2); cubic 3-folds and polar/principal axes through the origin; for the
+remaining non-centrosymmetric screw groups the generated table places
+the origin on a maximal pure-symmetry site (matches ITA for the common
+cases; ITA occasionally chooses an off-element origin — such groups
+belong in the curated table, e.g. #24).
 
 All operations act on fractional coordinates as ``x' = M x + t`` with
 integer ``M`` (hexagonal-axes setting for trigonal/rhombohedral and
@@ -194,6 +202,11 @@ _NONSYMMORPHIC = {
     14: [_t("2y", 0, 0.5, 0.5), _t("inv", 0, 0, 0)],
     # P2_12_12_1: olivine-related, many intermetallic hydrides.
     19: [_t("2z", 0.5, 0, 0.5), _t("2y", 0, 0.5, 0.5)],
+    # I2_12_12_1: ITA origin sits midway between the non-intersecting
+    # screw pairs (NOT on a symmetry element), so it is curated here
+    # rather than searched (tools/gen_spacegroups.py's origin policy
+    # prefers elements through the origin).
+    24: [_t("2z", 0.5, 0, 0.5), _t("2y", 0, 0.5, 0.5)],
     # Pna2_1: wurtzite-derived ternaries.
     33: [_t("2z", 0, 0, 0.5), _t("my", 0.5, 0.5, 0)],
     # Pbca.
@@ -306,32 +319,38 @@ _NONSYMMORPHIC = {
 
 
 def has_general_positions(space_group: int) -> bool:
-    """Whether full general positions are tabulated for this group."""
-    return space_group in _SYMMORPHIC or space_group in _NONSYMMORPHIC
+    """Whether full general positions are available (all 230 groups:
+    symmorphic + curated + generated tables)."""
+    if space_group in _SYMMORPHIC or space_group in _NONSYMMORPHIC:
+        return True
+    from kikuchipy_tpu.crystallography._sg_generated import (
+        GENERATED_GENERATORS,
+    )
+
+    return space_group in GENERATED_GENERATORS
 
 
 def general_positions(space_group: int) -> list[tuple[np.ndarray, np.ndarray]]:
     """All symmetry operations ``(M, t)`` of the space group, including
-    centering, from generator closure.
-
-    Raises
-    ------
-    NotImplementedError
-        If the group is non-symmorphic and not in the curated table;
-        use :func:`expand_atoms` with ``centering_only=True`` (or its
-        automatic fallback) in that case.
-    """
+    centering, from generator closure. Covers all 230 groups: the 73
+    symmorphic groups, the hand-curated non-symmorphic table above
+    (common EBSD structure types, ITA-checked), and the generated table
+    (``_sg_generated.py``, searched so the closure reproduces each
+    group's Hermann-Mauguin symbol; re-verified by
+    ``tests/test_spacegroup.py`` on every run)."""
     if space_group in _SYMMORPHIC:
         gens = _SYMMORPHIC[space_group]
     elif space_group in _NONSYMMORPHIC:
         gens = _NONSYMMORPHIC[space_group]
     else:
         centering_letter(space_group)  # validates the number
-        raise NotImplementedError(
-            f"General positions for space group {space_group} are not "
-            "tabulated (non-symmorphic, uncommon in EBSD work); "
-            "centering-only expansion is available"
+        from kikuchipy_tpu.crystallography._sg_generated import (
+            GENERATED_GENERATORS,
         )
+
+        gens = [
+            (_OPS[name], t) for name, t in GENERATED_GENERATORS[space_group]
+        ]
 
     ident = (np.eye(3, dtype=int), np.zeros(3))
     ops = [ident]
@@ -410,19 +429,7 @@ def expand_atoms(
             for c in centering_translations(space_group)
         ]
     else:
-        try:
-            ops = general_positions(space_group)
-        except NotImplementedError:
-            _logger.warning(
-                "No general-position table for space group %d; expanding "
-                "with centering translations only. Extinctions from "
-                "screw axes / glide planes will be missed.",
-                space_group,
-            )
-            ops = [
-                (np.eye(3, dtype=int), c)
-                for c in centering_translations(space_group)
-            ]
+        ops = general_positions(space_group)
 
     out = []
     for atom in atoms:

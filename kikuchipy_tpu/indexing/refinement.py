@@ -224,17 +224,20 @@ def _sim_unit(sim: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sh_project_delta(
-    delta, q0, coeffs, t_groups, m_abs, sigma, basis, L, bounds, mm_precision
+    delta, q0, use_id, coeffs, t_groups, m_onehot, sigma, basis,
+    L, bounds, mm_precision,
 ):
     """Simulated patterns at ``q0 * exp(delta)`` via the spherical-
     harmonic projector (matmul-only; no gathers). Matches the gather
-    projector's sampling (``projection/spherical.py`` conventions)."""
-    from kikuchipy_tpu.projection.spherical import _rotate_zyz_impl
+    projector's sampling (``projection/spherical.py`` conventions).
+    ``use_id`` is the per-point gimbal-variant mask chosen at setup
+    from ``q0`` (one zyz pipeline per eval instead of two)."""
+    from kikuchipy_tpu.projection.spherical import _rotate_zyz_preselected
 
     q = quat.multiply(q0, _exp_map(delta)).astype(jnp.float32)
-    c = _rotate_zyz_impl(
-        quat.conjugate(q), coeffs, t_groups, m_abs, sigma,
-        L=L, bounds=bounds, mm_precision=mm_precision,
+    c = _rotate_zyz_preselected(
+        quat.conjugate(q), use_id, coeffs, t_groups, m_onehot, sigma,
+        L, bounds, mm_precision,
     )
     precision = (
         jax.lax.Precision.HIGHEST
@@ -245,23 +248,23 @@ def _sh_project_delta(
 
 
 def _residual_orientation_delta_sh(
-    delta, q0, exp_unit, coeffs, t_groups, m_abs, sigma, basis,
+    delta, q0, use_id, exp_unit, coeffs, t_groups, m_onehot, sigma, basis,
     L, bounds, mm_precision,
 ):
     sim = _sh_project_delta(
-        delta, q0, coeffs, t_groups, m_abs, sigma, basis, L, bounds,
-        mm_precision,
+        delta, q0, use_id, coeffs, t_groups, m_onehot, sigma, basis,
+        L, bounds, mm_precision,
     )
     return _sim_unit(sim) - exp_unit
 
 
 def _objective_orientation_delta_sh(
-    delta, q0, exp, sq_norm, coeffs, t_groups, m_abs, sigma, basis,
-    L, bounds, mm_precision,
+    delta, q0, use_id, exp, sq_norm, coeffs, t_groups, m_onehot, sigma,
+    basis, L, bounds, mm_precision,
 ):
     sim = _sh_project_delta(
-        delta, q0, coeffs, t_groups, m_abs, sigma, basis, L, bounds,
-        mm_precision,
+        delta, q0, use_id, coeffs, t_groups, m_onehot, sigma, basis,
+        L, bounds, mm_precision,
     )
     return 1.0 - _ncc_centered(exp, sq_norm, sim)
 
@@ -475,6 +478,7 @@ def refine_orientation(
     nav_chunk: int | None = 2048,
     projector: str = "bilinear",
     sh_L: int = 88,
+    sh_precision: str = "default",
 ) -> RefinementResult:
     """Refine orientations by maximizing NCC over Euler angles
     (reference ``EBSD.refine_orientation``, ``signals/ebsd.py:1986``).
@@ -514,14 +518,14 @@ def refine_orientation(
                 pseudo_symmetry_ops=pseudo_symmetry_ops,
                 trust_region=trust_region, max_iters=max_iters, rtol=rtol,
                 method=method, nav_chunk=nav_chunk, projector=projector,
-                sh_L=sh_L,
+                sh_L=sh_L, sh_precision=sh_precision,
             ),
         )
     if pseudo_symmetry_ops is not None:
         return _refine_orientation_pseudo_symmetry(
             signal, xmap, detector, master_pattern, energy, signal_mask,
             np.asarray(pseudo_symmetry_ops), trust_region, max_iters, rtol,
-            method, projector, sh_L,
+            method, projector, sh_L, sh_precision,
         )
     xmap = xmap if xmap is not None else signal.xmap
     detector = detector if detector is not None else signal.detector
@@ -534,7 +538,7 @@ def refine_orientation(
         return _refine_orientation_chunked(
             signal, xmap, detector, master_pattern, energy, signal_mask,
             trust_region, max_iters, rtol, method, nav_chunk, projector,
-            sh_L,
+            sh_L, sh_precision,
         )
 
     mask_idx = _mask_bool_to_idx(signal_mask, int(np.prod(signal.signal_shape)))
@@ -559,7 +563,8 @@ def refine_orientation(
     if projector == "spherical":
         return _refine_orientation_spherical(
             signal, xmap, detector, master_pattern, energy, exp, sq_norm,
-            dc, trust_region, max_iters, rtol, method, sh_L, nav_shape, n,
+            dc, trust_region, max_iters, rtol, method, sh_L, sh_precision,
+            nav_shape, n,
         )
 
     if method == "gradient":
@@ -675,7 +680,7 @@ def refine_orientation(
 
 def _refine_orientation_spherical(
     signal, xmap, detector, master_pattern, energy, exp, sq_norm, dc,
-    trust_region, max_iters, rtol, method, sh_L, nav_shape, n,
+    trust_region, max_iters, rtol, method, sh_L, sh_precision, nav_shape, n,
 ):
     """Orientation refinement through the spherical-harmonic projector:
     the objective's pattern synthesis is pure matmuls (coefficient
@@ -700,7 +705,7 @@ def _refine_orientation_spherical(
 
     proj = master_pattern.spherical_projector(energy=energy, L=sh_L)
     tables = wigner_tables(sh_L)
-    t_groups, m_abs, sigma = tables.device_arrays()
+    t_groups, m_onehot, sigma = tables.device_arrays()
     basis = proj.synthesis_basis(np.asarray(dc))
 
     q0 = jnp.asarray(xmap.best_rotations, dtype=jnp.float32)
@@ -709,18 +714,38 @@ def _refine_orientation_spherical(
         if trust_region is not None
         else np.deg2rad(3.0)
     )
-    sh_static = (sh_L, tables.group_bounds, "highest")
+    if max_norm > np.deg2rad(10.0):
+        raise ValueError(
+            "projector='spherical' supports trust regions up to 10 "
+            "degrees (the gimbal variant is preselected from the start "
+            "orientations with that safety margin); use "
+            "projector='bilinear' for wider searches"
+        )
+    # Gimbal variant per point, FIXED through the whole optimization:
+    # the zyz extraction is singular at |cos(beta)| = 1; selecting the
+    # identity variant when |cos(beta(q0*))| <= 0.65 (else the
+    # Rx90-offset variant, whose |cos(beta)| is then <= 0.76) leaves
+    # >= 0.24 of margin, and a <= 10-degree trust region can drift
+    # cos(beta) by at most sin(10 deg) ~ 0.17.
+    q0_star = quat.conjugate(q0)
+    mat00 = quat.to_matrix(q0_star)
+    use_id = jnp.abs(mat00[..., 2, 2]) <= 0.65
+    sh_static = (sh_L, tables.group_bounds, sh_precision)
 
     if method == "lm":
         res = levenberg_marquardt_batched(
             _residual_orientation_delta_sh,
             jnp.zeros((n, 3), dtype=jnp.float32),
-            max_iters=min(max_iters, 30),
-            ftol=rtol * 1e-2,
+            max_iters=min(max_iters, 20),
+            # One decade looser than the bilinear path: sub-ftol
+            # improvements at sh_precision="default" are matmul
+            # rounding noise that keeps points iterating at the cap
+            # without moving orientations (<0.8 deg criterion pinned).
+            ftol=rtol * 1e-1,
             blocks=((3, max_norm),),
             args=(
-                q0, _unit_rows(exp), proj.coeffs, t_groups, m_abs, sigma,
-                basis,
+                q0, use_id, _unit_rows(exp), proj.coeffs, t_groups,
+                m_onehot, sigma, basis,
             ),
             static_args=sh_static,
         )
@@ -732,7 +757,7 @@ def _refine_orientation_spherical(
             lr=np.deg2rad(0.25),
             iters=max_iters,
             blocks=((3, max_norm),),
-            args=(q0, exp, sq_norm, proj.coeffs, t_groups, m_abs, sigma, basis),
+            args=(q0, use_id, exp, sq_norm, proj.coeffs, t_groups, m_onehot, sigma, basis),
             static_args=sh_static,
         )
         n_iter = np.full(n, max_iters)
@@ -746,7 +771,7 @@ def _refine_orientation_spherical(
             xatol=1e-4,
             lower_bounds=jnp.full((3,), -max_norm, dtype=jnp.float32),
             upper_bounds=jnp.full((3,), max_norm, dtype=jnp.float32),
-            args=(q0, exp, sq_norm, proj.coeffs, t_groups, m_abs, sigma, basis),
+            args=(q0, use_id, exp, sq_norm, proj.coeffs, t_groups, m_onehot, sigma, basis),
             static_args=sh_static,
         )
         d_best, f_best, n_iter = res.x, res.fun, np.asarray(res.n_iter)
@@ -773,7 +798,7 @@ def _refine_orientation_spherical(
 def _refine_orientation_pseudo_symmetry(
     signal, xmap, detector, master_pattern, energy, signal_mask,
     ops, trust_region, max_iters, rtol, method="nm", projector="bilinear",
-    sh_L=88,
+    sh_L=88, sh_precision="default",
 ):
     """Refine from the original and each pseudo-symmetric start; keep
     the best result per map point."""
@@ -805,6 +830,7 @@ def _refine_orientation_pseudo_symmetry(
                 method=method,
                 projector=projector,
                 sh_L=sh_L,
+                sh_precision=sh_precision,
             )
         )
     scores = np.stack([r.xmap.prop["scores"] for r in results])  # (v, n)
@@ -1189,7 +1215,7 @@ def refine_orientation_projection_center(
 def _refine_orientation_chunked(
     signal, xmap, detector, master_pattern, energy, signal_mask,
     trust_region, max_iters, rtol, method, chunk, projector="bilinear",
-    sh_L=88,
+    sh_L=88, sh_precision="default",
 ):
     """Refine a large map in fixed-size navigation chunks."""
     import dataclasses as _dc
@@ -1229,7 +1255,7 @@ def _refine_orientation_chunked(
             master_pattern=master_pattern, energy=energy,
             signal_mask=signal_mask, trust_region=tr,
             max_iters=max_iters, rtol=rtol, method=method, nav_chunk=None,
-            projector=projector, sh_L=sh_L,
+            projector=projector, sh_L=sh_L, sh_precision=sh_precision,
         )
         keep = end - start
         rot_parts.append(np.asarray(res.xmap.rotations)[:keep])

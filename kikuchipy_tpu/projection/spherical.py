@@ -390,14 +390,15 @@ class WignerTables:
     group_bounds: tuple[tuple[int, int], ...]
     t_groups: tuple[np.ndarray, ...]
     m_abs: np.ndarray
+    m_onehot: np.ndarray
     sigma: np.ndarray
 
     def device_arrays(self):
-        """``(t_groups, m_abs, sigma)`` as float32 device arrays — call
-        OUTSIDE jit and pass through as traced arguments."""
+        """``(t_groups, m_onehot, sigma)`` as float32 device arrays —
+        call OUTSIDE jit and pass through as traced arguments."""
         return (
             tuple(jnp.asarray(g) for g in self.t_groups),
-            jnp.asarray(self.m_abs),
+            jnp.asarray(self.m_onehot),
             jnp.asarray(self.sigma),
         )
 
@@ -440,11 +441,20 @@ def wigner_tables(L: int, target: int = 512) -> WignerTables:
         l_start += size
     ls, ms = _lm_of_columns(L)
     sigma = np.where(ms > 0, -1.0, np.where(ms < 0, 1.0, 0.0))
+    m_abs = np.abs(ms)
+    # One-hot |m| -> column expansion matrix: broadcasting per-point
+    # cos/sin tables (n, L+1) onto the (n, (L+1)^2) coefficient layout
+    # as ONE small MXU matmul — evaluating the transcendentals at full
+    # (n, (L+1)^2) width instead was the dominant cost of the whole
+    # rotation pipeline on v5e (VPU-transcendental-bound).
+    onehot = np.zeros((L + 1, (L + 1) * (L + 1)), dtype=np.float32)
+    onehot[m_abs, np.arange(m_abs.size)] = 1.0
     return WignerTables(
         L=L,
         group_bounds=bounds,
         t_groups=tuple(groups),
-        m_abs=np.abs(ms).astype(np.float32),
+        m_abs=m_abs.astype(np.float32),
+        m_onehot=onehot,
         sigma=sigma.astype(np.float32),
     )
 
@@ -459,11 +469,24 @@ def _flip_blocks(c: jnp.ndarray, L: int) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=-1)
 
 
-def _z_apply(c, c_flip, t, m_abs, sigma):
+def _z_apply(c, c_flip, t, m_onehot, sigma):
     """Apply ``D(Rz(t))`` given the block-flipped copy of ``c``:
-    ``c' = cos(|m| t) c + sigma sin(|m| t) flip(c)``."""
-    ang = m_abs[None, :] * t[:, None]
-    return jnp.cos(ang) * c + (sigma[None, :] * jnp.sin(ang)) * c_flip
+    ``c' = cos(|m| t) c + sigma sin(|m| t) flip(c)``.
+
+    The per-point transcendentals are evaluated at width L+1 and
+    expanded to the coefficient layout by the one-hot matmul (kept at
+    HIGHEST — it is tiny and the cos/sin values must survive exactly).
+    """
+    L1 = m_onehot.shape[0]
+    m = jnp.arange(L1, dtype=t.dtype)
+    ang = t[:, None] * m[None, :]  # (n, L+1)
+    cosv = jnp.matmul(
+        jnp.cos(ang), m_onehot, precision=jax.lax.Precision.HIGHEST
+    )
+    sinv = jnp.matmul(
+        jnp.sin(ang), m_onehot, precision=jax.lax.Precision.HIGHEST
+    )
+    return cosv * c + (sigma[None, :] * sinv) * c_flip
 
 
 def _t_apply(c, t_groups, group_bounds, transpose: bool, precision):
@@ -493,16 +516,16 @@ def _zyz_angles(mat: jnp.ndarray):
 
 
 def _rotate_variant(
-    mat, coeffs, coeffs_flip, t_groups, bounds, m_abs, sigma, L, precision
+    mat, coeffs, coeffs_flip, t_groups, bounds, m_onehot, sigma, L, precision
 ):
     """``D(R) c`` for one batch of rotation matrices via the zyz
     pipeline (right-to-left): Z(gamma), T+, Z(beta), T-, Z(alpha)."""
     alpha, beta, gamma = _zyz_angles(mat)
-    c1 = _z_apply(coeffs[None, :], coeffs_flip[None, :], gamma, m_abs, sigma)
+    c1 = _z_apply(coeffs[None, :], coeffs_flip[None, :], gamma, m_onehot, sigma)
     c2 = _t_apply(c1, t_groups, bounds, transpose=False, precision=precision)
-    c3 = _z_apply(c2, _flip_blocks(c2, L), beta, m_abs, sigma)
+    c3 = _z_apply(c2, _flip_blocks(c2, L), beta, m_onehot, sigma)
     c4 = _t_apply(c3, t_groups, bounds, transpose=True, precision=precision)
-    return _z_apply(c4, _flip_blocks(c4, L), alpha, m_abs, sigma)
+    return _z_apply(c4, _flip_blocks(c4, L), alpha, m_onehot, sigma)
 
 
 # Quaternion of the active Rx(+90 deg) offset used to escape gimbal
@@ -538,12 +561,12 @@ def rotate_coefficients_zyz(
     neutral quaternion so no NaN gradients form.
     """
     tables = wigner_tables(L)
-    t_groups, m_abs, sigma = tables.device_arrays()
+    t_groups, m_onehot, sigma = tables.device_arrays()
     return _rotate_zyz_impl(
         quats,
         jnp.asarray(coeffs),
         t_groups,
-        m_abs,
+        m_onehot,
         sigma,
         L=L,
         bounds=tables.group_bounds,
@@ -553,7 +576,7 @@ def rotate_coefficients_zyz(
 
 @partial(jax.jit, static_argnames=("L", "bounds", "mm_precision"))
 def _rotate_zyz_impl(
-    quats, coeffs, t_groups, m_abs, sigma, L, bounds, mm_precision
+    quats, coeffs, t_groups, m_onehot, sigma, L, bounds, mm_precision
 ):
     """Jitted core of :func:`rotate_coefficients_zyz` with the fixed
     tables as traced arguments (callable from other jitted programs via
@@ -578,15 +601,46 @@ def _rotate_zyz_impl(
 
     c_id = _rotate_variant(
         to_matrix(q_id_safe), coeffs, coeffs_flip, t_groups, bounds,
-        m_abs, sigma, L, precision,
+        m_onehot, sigma, L, precision,
     )
     c_rx = _rotate_variant(
         to_matrix(q_rx_safe), coeffs, coeffs_flip, t_groups, bounds,
-        m_abs, sigma, L, precision,
+        m_onehot, sigma, L, precision,
     )
     # Undo the offset: D(q) = D(Rx90^-1) D(Rx90 q) = T- D(Rx90 q).
     c_rx = _t_apply(c_rx, t_groups, bounds, transpose=True, precision=precision)
     return jnp.where(use_id[:, None], c_id, c_rx)
+
+
+def _rotate_zyz_preselected(
+    quats, use_id, coeffs, t_groups, m_onehot, sigma, L, bounds, mm_precision
+):
+    """``D(q) c`` with the gimbal variant CHOSEN PER POINT UP FRONT
+    (``use_id`` boolean): runs ONE zyz pipeline instead of the general
+    two-variant form of :func:`_rotate_zyz_impl` — the refinement hot
+    path, where the variant is fixed from the start orientation (the
+    trust region bounds how far ``cos(beta)`` can drift, so a selection
+    made with margin at setup stays safe through every LM step)."""
+    from kikuchipy_tpu.geometry.quaternion import multiply, to_matrix
+
+    precision = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "default": jax.lax.Precision.DEFAULT,
+    }[mm_precision]
+    dtype = coeffs.dtype
+    quats = quats.astype(dtype)
+    coeffs_flip = _flip_blocks(coeffs, L)
+    q_eff = jnp.where(
+        use_id[:, None],
+        quats,
+        multiply(jnp.asarray(_RX90, dtype=dtype), quats),
+    )
+    u = _rotate_variant(
+        to_matrix(q_eff), coeffs, coeffs_flip, t_groups, bounds,
+        m_onehot, sigma, L, precision,
+    )
+    u_undone = _t_apply(u, t_groups, bounds, transpose=True, precision=precision)
+    return jnp.where(use_id[:, None], u, u_undone)
 
 
 @dataclasses.dataclass(frozen=True)

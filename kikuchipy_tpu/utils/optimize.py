@@ -297,15 +297,21 @@ def levenberg_marquardt_batched(
     eye = jnp.eye(d, dtype=x0.dtype)
 
     def jac_and_res(x):
-        """Residuals (n, m) and Jacobian (n, m, d) via d JVPs (the
-        primal recomputation is CSE'd by XLA within the jit)."""
-        cols = []
-        r = None
-        for j in range(d):
-            tangent = jnp.broadcast_to(eye[j], (n, d))
-            r, col = jax.jvp(residual_fn, (x,), (tangent,))
-            cols.append(col)
-        return r, jnp.stack(cols, axis=-1)
+        """Residuals (n, m) and Jacobian (n, m, d) via a vmapped JVP
+        over the d basis tangents: the primal chain does not depend on
+        the batched tangent, so it is computed ONCE (unbatched in the
+        jaxpr) while the tangent chain streams with a leading d axis —
+        unlike jax.linearize, nothing holds every primal intermediate
+        live for later tangent calls (which OOMed HBM on the
+        spherical-projector residual at 16k points)."""
+
+        def one(tan):
+            return jax.jvp(
+                residual_fn, (x,), (jnp.broadcast_to(tan, (n, d)),)
+            )
+
+        r, cols = jax.vmap(one, out_axes=(None, 0))(eye)
+        return r, jnp.moveaxis(cols, 0, -1)
 
     def clip_step(step):
         if blocks is None:

@@ -70,10 +70,52 @@ class TestGeneralPositions:
                 key = tuple(m.ravel()) + tuple(np.round(t * 24).astype(int) % 24)
                 assert key in keys
 
-    def test_untabulated_raises_but_flagged(self):
-        assert not has_general_positions(60)  # Pbcn
-        with pytest.raises(NotImplementedError):
-            general_positions(60)
+    def test_all_230_tabulated(self):
+        assert all(has_general_positions(sg) for sg in range(1, 231))
+
+
+class TestAll230AgainstSymbols:
+    """Sweep every space group against its Hermann-Mauguin symbol:
+    general-position multiplicity (= |point group| x centering),
+    rotation-part set = the crystal class, per-direction screw content
+    (ITA printing rule) and glide content (letter membership + mirror
+    parity), centrosymmetry, and the axis-intersection criterion for
+    the symbol-identical pairs I222/I2_12_12_1 and I23/I2_13. The
+    symbol table (sg_symbols.HM_SYMBOLS) is the authored ground truth;
+    everything else is computed from the generator closures (curated +
+    generated tables)."""
+
+    @pytest.mark.parametrize("sg", range(1, 231))
+    def test_group_matches_symbol(self, sg):
+        from kikuchipy_tpu.crystallography.sg_symbols import verify_group
+
+        ops = general_positions(sg)
+        problems = verify_group(ops, sg, centering_translations(sg))
+        assert not problems, (sg, problems)
+
+    def test_multiplicities_sum(self):
+        # Cross-check of the authored class-order table: the general
+        # position multiplicities over all 230 groups have a known sum.
+        from kikuchipy_tpu.crystallography.sg_symbols import (
+            PG_ORDER,
+            point_group,
+        )
+
+        total = sum(
+            PG_ORDER[point_group(sg)]
+            * len(centering_translations(sg))
+            for sg in range(1, 231)
+        )
+        assert total == sum(len(general_positions(sg)) for sg in range(1, 231))
+
+    def test_every_op_is_affine_crystallographic(self):
+        # Matrices are integer with det +-1 and order <= 6; translations
+        # are twelfths.
+        for sg in (29, 56, 70, 110, 142, 161, 205, 220, 228, 230):
+            for m, t in general_positions(sg):
+                assert abs(round(float(np.linalg.det(m)))) == 1
+                t12 = np.asarray(t) * 12
+                np.testing.assert_allclose(t12, np.round(t12), atol=1e-9)
 
 
 class TestExpandAtoms:
@@ -101,13 +143,46 @@ class TestExpandAtoms:
         out = expand_atoms([("Ni", 0, 0, 0, 0.5)], 225)
         assert all(a[4] == 0.5 for a in out)
 
-    def test_centering_only_fallback_warns(self, caplog):
-        with caplog.at_level(
-            "WARNING", logger="kikuchipy_tpu.crystallography.spacegroup"
-        ):
-            out = expand_atoms([("Y", 0, 0, 0)], 60)  # Pbcn untabulated
-        assert len(out) == 1  # P centering
-        assert any("centering" in r.message for r in caplog.records)
+    def test_formerly_untabulated_group_now_expands_fully(self):
+        # Pbcn (60) used to fall back to centering-only with a warning;
+        # with the generated table a general position expands to the
+        # full multiplicity 8.
+        out = expand_atoms([("Y", 0.13, 0.27, 0.41)], 60)
+        assert len(out) == 8
+
+    def test_explicit_centering_only_still_available(self):
+        out = expand_atoms([("Y", 0.13, 0.27, 0.41)], 60, centering_only=True)
+        assert len(out) == 1  # P lattice
+
+
+class TestGeneratedGroupsWyckoffGoldens:
+    """ITA special-position multiplicities for groups covered by the
+    GENERATED table — these pin the ORIGIN embedding, not just the
+    symbol content (a shifted origin inflates a special orbit)."""
+
+    @pytest.mark.parametrize(
+        "atoms, sg, n",
+        [
+            # alpha-PbO2: Pb on Pbcn 4c (0, y, 1/4).
+            ([("Pb", 0.0, 0.178, 0.25)], 60, 4),
+            # Cmca 4a (0, 0, 0), site symmetry 2/m.
+            ([("X", 0.0, 0.0, 0.0)], 64, 4),
+            # PbO/FeSe-type: P4/nmm (origin 2) 2a (3/4, 1/4, 0) and
+            # 2c (1/4, 1/4, z).
+            ([("Fe", 0.75, 0.25, 0.0)], 129, 2),
+            ([("Se", 0.25, 0.25, 0.26)], 129, 2),
+            # Marcasite-adjacent Pbcn general position.
+            ([("Y", 0.13, 0.27, 0.41)], 60, 8),
+            # I4_1md 4a (0, 0, z) (polar axis).
+            ([("Ga", 0.0, 0.0, 0.31)], 109, 4),
+            # Pnnn (origin 2) 2a at (1/4, 1/4, 1/4).
+            ([("X", 0.25, 0.25, 0.25)], 48, 2),
+            # Pban (origin 2) 2a at (1/4, 1/4, 0).
+            ([("X", 0.25, 0.25, 0.0)], 50, 2),
+        ],
+    )
+    def test_multiplicities(self, atoms, sg, n):
+        assert len(expand_atoms(atoms, sg)) == n
 
 
 def _amp(lattice, atoms, sg, hkl, min_d=0.9):
