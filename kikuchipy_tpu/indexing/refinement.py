@@ -36,6 +36,7 @@ from kikuchipy_tpu.projection.master_pattern import (
 )
 from kikuchipy_tpu.utils.optimize import (
     differential_evolution_batched,
+    dual_annealing_batched,
     levenberg_marquardt_batched,
     nelder_mead_batched,
 )
@@ -74,7 +75,11 @@ def _normalize_method(method: str) -> str:
     other scipy global optimizers (``dual_annealing``, ``basinhopping``,
     ``shgo`` — sequential algorithms with no data-parallel equivalent)
     map to the batched DE too, which serves the same role (escape local
-    minima within the trust-region bounds), with a warning.
+    minima within the trust-region bounds), with a warning;
+    ``dual_annealing`` maps to the batched generalized simulated
+    annealing (:func:`~kikuchipy_tpu.utils.optimize.
+    dual_annealing_batched`) followed by the same Nelder-Mead polish as
+    scipy's local-search default.
     """
     m = method.lower()
     if m in ("nm", "minimize", "ln_neldermead", "nelder-mead"):
@@ -85,7 +90,9 @@ def _normalize_method(method: str) -> str:
         return "lm"
     if m in ("de", "differential_evolution"):
         return "de"
-    if m in ("dual_annealing", "basinhopping", "shgo"):
+    if m in ("da", "dual_annealing"):
+        return "da"
+    if m in ("basinhopping", "shgo"):
         import warnings
 
         warnings.warn(
@@ -96,7 +103,7 @@ def _normalize_method(method: str) -> str:
         )
         return "de"
     raise ValueError(
-        f"method must be one of 'nm', 'lm', 'gradient', "
+        f"method must be one of 'nm', 'lm', 'gradient', 'dual_annealing', "
         f"'differential_evolution', got {method!r}"
     )
 
@@ -633,27 +640,39 @@ def refine_orientation(
     n_ev_de = 0
     x_start = jnp.asarray(euler0, dtype=jnp.float32)
     initial_step = np.deg2rad(1.0)
-    if method == "de":
+    if method in ("de", "da"):
         if trust_region is None:
             raise ValueError(
-                "method='differential_evolution' requires trust_region "
-                "(the search bounds), as in the reference "
+                f"method={method!r} requires trust_region (the search "
+                "bounds), as in the reference "
                 "(_refinement.py:get_bound_constraints)"
             )
-        de = differential_evolution_batched(
-            _objective_orientation,
-            lb,
-            ub,
-            x0=x_start,
-            popsize=24,
-            max_iters=max_iters,
-            args=(exp, sq_norm, dc, master),
-            static_args=(npx, npy, scale),
-        )
-        # scipy differential_evolution(polish=True) analogue: a local
-        # polish of the population winner within the same bounds.
-        x_start = de.x
-        n_ev_de = np.asarray(de.n_iter)
+        if method == "de":
+            g = differential_evolution_batched(
+                _objective_orientation,
+                lb,
+                ub,
+                x0=x_start,
+                popsize=24,
+                max_iters=max_iters,
+                args=(exp, sq_norm, dc, master),
+                static_args=(npx, npy, scale),
+            )
+        else:
+            g = dual_annealing_batched(
+                _objective_orientation,
+                lb,
+                ub,
+                x0=x_start,
+                max_iters=max(max_iters, 200),
+                args=(exp, sq_norm, dc, master),
+                static_args=(npx, npy, scale),
+            )
+        # scipy polish analogue (differential_evolution(polish=True),
+        # dual_annealing(no_local_search=False)): a local polish of the
+        # global winner within the same bounds.
+        x_start = g.x
+        n_ev_de = np.asarray(g.n_iter)
         initial_step = np.deg2rad(0.25)
         max_iters = 50
 
@@ -974,23 +993,28 @@ def refine_projection_center(
     n_ev_de = 0
     x_start = jnp.asarray(pc0)
     initial_step = 0.01
-    if method == "de":
+    if method in ("de", "da"):
         if trust_region is None:
             raise ValueError(
-                "method='differential_evolution' requires trust_region "
-                "(the search bounds), as in the reference"
+                f"method={method!r} requires trust_region (the search "
+                "bounds), as in the reference"
             )
-        de = differential_evolution_batched(
+        opt = (
+            differential_evolution_batched
+            if method == "de"
+            else dual_annealing_batched
+        )
+        g = opt(
             _objective_pc,
             lb,
             ub,
             x0=x_start,
-            max_iters=max_iters,
+            max_iters=max_iters if method == "de" else max(max_iters, 200),
             args=pc_args,
             static_args=pc_static,
         )
-        x_start = de.x
-        n_ev_de = np.asarray(de.n_iter)
+        x_start = g.x
+        n_ev_de = np.asarray(g.n_iter)
         initial_step = 0.0025
         max_iters = 50
 
@@ -1164,23 +1188,28 @@ def refine_orientation_projection_center(
     initial_step = jnp.asarray(
         [np.deg2rad(1.0)] * 3 + [0.01] * 3, dtype=jnp.float32
     )
-    if method == "de":
+    if method in ("de", "da"):
         if trust_region is None:
             raise ValueError(
-                "method='differential_evolution' requires trust_region "
-                "(the search bounds), as in the reference"
+                f"method={method!r} requires trust_region (the search "
+                "bounds), as in the reference"
             )
-        de = differential_evolution_batched(
+        opt = (
+            differential_evolution_batched
+            if method == "de"
+            else dual_annealing_batched
+        )
+        g = opt(
             _objective_joint,
             lb,
             ub,
             x0=x_start,
-            max_iters=max_iters,
+            max_iters=max_iters if method == "de" else max(max_iters, 200),
             args=joint_args,
             static_args=joint_static,
         )
-        x_start = de.x
-        n_ev_de = np.asarray(de.n_iter)
+        x_start = g.x
+        n_ev_de = np.asarray(g.n_iter)
         initial_step = jnp.asarray(
             [np.deg2rad(0.25)] * 3 + [0.0025] * 3, dtype=jnp.float32
         )

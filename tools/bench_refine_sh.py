@@ -17,7 +17,8 @@ import numpy as np
 
 
 def bench_refine_sh(
-    n: int = 8192, sh_l: int = 88, verbose: bool = False
+    n: int = 8192, sh_l: int = 88, max_iters: int = 12,
+    verbose: bool = False,
 ) -> float:
     import jax.numpy as jnp
 
@@ -50,12 +51,16 @@ def bench_refine_sh(
     det = dataclasses.replace(
         raw.detector, pc=raw.detector.pc_average.reshape(1, 3)
     )
-    sig = kp.signals.EBSD(data=scan, detector=det)
+    # Device-resident patterns: production refinement re-uses data
+    # already on the chip (preprocess -> DI -> refine); re-uploading
+    # 235 MB through this environment's ~30 MB/s tunnel on every call
+    # would time the tunnel, not the refinement.
+    sig = kp.signals.EBSD(data=jnp.asarray(scan), detector=det)
     xmap0 = CrystalMap(rotations=start_rot, shape=(n,))
     kw = dict(
         xmap=xmap0, detector=det, master_pattern=mp, energy=20,
         method="lm", projector="spherical", sh_L=sh_l,
-        nav_chunk=None, trust_region=[6, 6, 6],
+        max_iters=max_iters, nav_chunk=None, trust_region=[6, 6, 6],
     )
 
     t0 = time.perf_counter()
@@ -71,7 +76,7 @@ def bench_refine_sh(
     ok = float(ang.max()) < 0.8
     if verbose:
         print(
-            f"sh-lm L={sh_l}: {n / dt:8.0f} pps "
+            f"sh-lm L={sh_l} iters<={max_iters}: {n / dt:8.0f} pps "
             f"(first incl compile {n / dt_first:.0f}) "
             f"max {ang.max():.3f} deg mean {ang.mean():.3f} "
             f"iters<= {int(np.max(res.xmap.prop['num_evals']))} "
@@ -86,4 +91,5 @@ if __name__ == "__main__":
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     sh_l = int(sys.argv[2]) if len(sys.argv) > 2 else 88
-    bench_refine_sh(n, sh_l, verbose=True)
+    max_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+    bench_refine_sh(n, sh_l, max_iters, verbose=True)
