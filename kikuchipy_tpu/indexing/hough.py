@@ -36,6 +36,7 @@ __all__ = [
     "radon_transform",
     "detect_bands",
     "detect_bands_refined",
+    "detect_bands_fused",
     "hough_indexing",
     "bands_to_normals",
 ]
@@ -131,6 +132,43 @@ def radon_transform(
         flat, w.T, precision=jax.lax.Precision.HIGHEST
     )
     return out.reshape(lead + (n_rho, n_theta))
+
+
+@lru_cache(maxsize=8)
+def _radon_butterfly_matrix(
+    sy: int, sx: int, n_theta: int, n_rho: int
+) -> np.ndarray:
+    """Butterfly enhancement FOLDED INTO the Radon operator.
+
+    The butterfly convolution (with its rho edge padding and
+    theta-wrap-with-rho-mirror boundary rule, see :func:`_enhance`) is
+    linear in the sinogram, and the sinogram is linear in the pattern —
+    so detection's ``pattern -> enhanced Radon space`` is ONE dense
+    ``(n_rho * n_theta, sy * sx)`` operator: a single MXU matmul
+    replaces matmul + 9x9 convolution + a second full enhancement pass
+    (VERDICT r2 item 7). Built host-side by accumulating each of the 81
+    kernel taps over reindexed rows of the plain Radon matrix; agrees
+    with radon_transform + _enhance to float tolerance (pinned in
+    tests/test_hough.py).
+    """
+    R3 = _radon_matrix(sy, sx, n_theta, n_rho).reshape(n_rho, n_theta, -1)
+    k = _butterfly_kernel()
+    out = np.zeros_like(R3)
+    r_out = np.arange(n_rho)[:, None]
+    t_out = np.arange(n_theta)[None, :]
+    for i in range(9):
+        for j in range(9):
+            wgt = k[i, j]
+            if wgt == 0.0:
+                continue
+            tt = t_out + j - 4
+            wrapped = (tt < 0) | (tt >= n_theta)
+            t_src = tt % n_theta
+            rp = r_out + i  # padded-rho coordinate of this tap
+            rp_eff = np.where(wrapped, n_rho + 7 - rp, rp)
+            r_src = np.clip(rp_eff - 4, 0, n_rho - 1)
+            out += wgt * R3[r_src, t_src]
+    return out.reshape(n_rho * n_theta, -1)
 
 
 def _butterfly_kernel() -> np.ndarray:
@@ -233,6 +271,23 @@ def detect_bands_refined(
     lead = s.shape[:-2]
     n_rho, n_theta = s.shape[-2:]
     enhanced = _enhance(s.reshape((-1, 1, n_rho, n_theta)))
+    rho, theta, top_scores, width, _, _ = _refine_from_enhanced(
+        enhanced, n_bands
+    )
+    shape = lead + (n_bands,)
+    return (
+        rho.reshape(shape),
+        theta.reshape(shape),
+        top_scores.reshape(shape),
+        width.reshape(shape),
+    )
+
+
+def _refine_from_enhanced(enhanced: jnp.ndarray, n_bands: int):
+    """Peak pick + sub-bin refinement + FWHM widths from an already
+    butterfly-enhanced Radon space ``(b, n_rho, n_theta)``. Returns
+    ``(rho, theta, intensity, width, rho_idx, theta_idx)``."""
+    n_rho, n_theta = enhanced.shape[-2:]
     rho_idx, theta_idx, top_scores = _peak_pick(enhanced, n_bands)
     b = enhanced.shape[0]
 
@@ -305,14 +360,43 @@ def detect_bands_refined(
         right.astype(jnp.float32) - _frac(right, -1),
     )
     width = jnp.maximum(right_edge - left_edge, 1.0)
+    return rho, theta, top_scores, width, rho_idx, theta_idx
 
-    shape = lead + (n_bands,)
-    return (
-        rho.reshape(shape),
-        theta.reshape(shape),
-        top_scores.reshape(shape),
-        width.reshape(shape),
+
+@partial(jax.jit, static_argnames=("n_rho", "n_theta", "n_bands"))
+def _detect_all_impl(flat_patterns, rb_matrix, n_rho, n_theta, n_bands):
+    """ONE device program for the whole detection stage: fused
+    Radon-plus-butterfly matmul straight into peak picking and sub-bin
+    refinement — a single dispatch instead of transform + two separate
+    enhancement/detection programs."""
+    enhanced = jnp.matmul(
+        flat_patterns, rb_matrix.T, precision=jax.lax.Precision.HIGHEST
+    ).reshape(flat_patterns.shape[0], n_rho, n_theta)
+    return _refine_from_enhanced(enhanced, n_bands)
+
+
+def detect_bands_fused(
+    patterns: jnp.ndarray,
+    n_theta: int = 180,
+    n_rho: int = 96,
+    n_bands: int = 9,
+):
+    """Detect bands directly from patterns via the fused
+    Radon-butterfly operator (:func:`_radon_butterfly_matrix`).
+
+    Returns ``(rho, theta, intensity, width, rho_idx, theta_idx)``:
+    sub-bin refined coordinates plus the integer peak bins (all
+    ``(..., n_bands)``) — everything :func:`hough_indexing` needs from
+    one device dispatch.
+    """
+    p = jnp.asarray(patterns, dtype=jnp.float32)
+    sy, sx = p.shape[-2:]
+    lead = p.shape[:-2]
+    rb = jnp.asarray(_radon_butterfly_matrix(sy, sx, n_theta, n_rho))
+    out = _detect_all_impl(
+        p.reshape((-1, sy * sx)), rb, n_rho, n_theta, n_bands
     )
+    return tuple(a.reshape(lead + (n_bands,)) for a in out)
 
 
 def bands_to_normals(
@@ -543,7 +627,7 @@ def hough_indexing(
     angle_tol_deg: float = 2.0,
     min_dspacing: float = 1.0,
     voltage_kv: float = 20.0,
-    chunk: int = 256,
+    chunk: int = 1024,
 ) -> CrystalMap:
     """Index a scan by Hough band detection and triplet voting.
 
@@ -624,12 +708,14 @@ def hough_indexing(
         ]
     )
 
-    sino = radon_transform(signal.data, n_theta=n_theta, n_rho=n_rho)
     # Integer peaks drive the (robust) triplet vote; sub-bin refined
     # peaks drive the final orientation polish and the width metrics.
-    rho_idx, theta_idx, intensity = detect_bands(sino, n_bands=n_bands)
-    rho_ref, theta_ref, _, width = detect_bands_refined(
-        sino, n_bands=n_bands
+    # One fused device program: Radon x butterfly matmul -> NMS ->
+    # refinement (the sinogram is never materialized separately).
+    rho_ref, theta_ref, intensity, width, rho_idx, theta_idx = (
+        detect_bands_fused(
+            signal.data, n_theta=n_theta, n_rho=n_rho, n_bands=n_bands
+        )
     )
     rho_idx = np.asarray(rho_idx).reshape(-1, n_bands)
     theta_idx = np.asarray(theta_idx).reshape(-1, n_bands)

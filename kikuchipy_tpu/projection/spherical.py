@@ -668,9 +668,23 @@ class SphericalProjector:
 
     def synthesis_basis(self, dirs: np.ndarray) -> jnp.ndarray:
         """Synthesis matrix ``B = Y(dirs)`` at unit directions
-        ``(npix, 3)`` (host evaluation, float32 on device)."""
-        b = sh_basis(np.asarray(dirs, dtype=np.float64), self.L)
-        return jnp.asarray(b, dtype=jnp.float32)
+        ``(npix, 3)`` (host evaluation, float32 on device).
+
+        Cached per direction set (content hash): the detector geometry
+        is fixed across refinement calls, and rebuilding the ~100 MB
+        basis host-side + re-uploading it dominated per-call time."""
+        import zlib
+
+        dirs = np.ascontiguousarray(np.asarray(dirs, dtype=np.float64))
+        key = (dirs.shape, zlib.crc32(dirs.tobytes()))
+        cache = getattr(self, "_basis_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_basis_cache", cache)
+        if key not in cache:
+            b = sh_basis(dirs, self.L)
+            cache[key] = jnp.asarray(b, dtype=jnp.float32)
+        return cache[key]
 
     def project(
         self,

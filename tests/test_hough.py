@@ -279,3 +279,56 @@ class TestHoughIndexingReferenceKwargs:
         np.testing.assert_allclose(
             np.asarray(xmap2.rotations), np.asarray(xmap.best_rotations)
         )
+
+
+class TestFusedDetection:
+    """The fused Radon x butterfly operator must reproduce the separate
+    radon_transform + _enhance + detect_bands_refined pipeline."""
+
+    def test_fused_operator_matches_separate(self):
+        import jax.numpy as jnp
+        from kikuchipy_tpu.indexing.hough import (
+            _enhance,
+            _radon_butterfly_matrix,
+            radon_transform,
+        )
+
+        rng = np.random.default_rng(7)
+        pats = rng.random((4, 40, 44)).astype(np.float32)
+        sino = radon_transform(pats, n_theta=60, n_rho=48)
+        ref = np.asarray(
+            _enhance(jnp.asarray(sino).reshape(4, 1, 48, 60))
+        )
+        rb = _radon_butterfly_matrix(40, 44, 60, 48)
+        fused = (pats.reshape(4, -1) @ rb.T).reshape(4, 48, 60)
+        np.testing.assert_allclose(fused, ref, atol=2e-4)
+
+    def test_fused_detection_matches_refined(self):
+        from kikuchipy_tpu.indexing.hough import (
+            detect_bands,
+            detect_bands_fused,
+            detect_bands_refined,
+            radon_transform,
+        )
+
+        rng = np.random.default_rng(8)
+        pats = rng.random((3, 40, 40)).astype(np.float32)
+        sino = radon_transform(pats, n_theta=60, n_rho=48)
+        rho_s, theta_s, inten_s, width_s = detect_bands_refined(
+            sino, n_bands=5
+        )
+        ri_s, ti_s, _ = detect_bands(sino, n_bands=5)
+        rho_f, theta_f, inten_f, width_f, ri_f, ti_f = detect_bands_fused(
+            pats, n_theta=60, n_rho=48, n_bands=5
+        )
+        np.testing.assert_array_equal(np.asarray(ri_f), np.asarray(ri_s))
+        np.testing.assert_array_equal(np.asarray(ti_f), np.asarray(ti_s))
+        np.testing.assert_allclose(
+            np.asarray(rho_f), np.asarray(rho_s), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(theta_f), np.asarray(theta_s), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(width_f), np.asarray(width_s), atol=1e-2
+        )
