@@ -5,6 +5,7 @@ the reference's tutorial workflow on TPU-native primitives. Runs on CPU
 or TPU (set JAX_PLATFORMS).
 """
 
+import os
 import sys
 from pathlib import Path
 
@@ -35,7 +36,10 @@ def main() -> None:
         pc=s.detector.pc_average,
         sample_tilt=s.detector.sample_tilt,
     )
-    rotations = sample_fundamental_zone(4.0, "m-3m")
+    # KP_EXAMPLE_RESOLUTION_DEG coarsens the dictionary so the
+    # example doubles as a fast smoke test (tests/test_examples.py).
+    res_deg = float(os.environ.get("KP_EXAMPLE_RESOLUTION_DEG", "4.0"))
+    rotations = sample_fundamental_zone(res_deg, "m-3m")
     print(f"dictionary: {len(rotations)} orientations (virtual)")
 
     # 3. FUSED dictionary indexing with a circular signal mask: the

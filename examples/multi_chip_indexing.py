@@ -9,6 +9,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+import os
+
 import numpy as np
 import jax
 
@@ -31,7 +33,8 @@ def main() -> None:
         shape=s.signal_shape, pc=s.detector.pc_average,
         sample_tilt=s.detector.sample_tilt,
     )
-    rotations = sample_fundamental_zone(6.0, "m-3m")
+    res_deg = float(os.environ.get("KP_EXAMPLE_RESOLUTION_DEG", "6.0"))
+    rotations = sample_fundamental_zone(res_deg, "m-3m")
     dictionary = mp.get_patterns(rotations, det, dtype_out=np.float32)
 
     scores, indices = sharded_dictionary_index(

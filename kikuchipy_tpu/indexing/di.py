@@ -528,6 +528,97 @@ def _index_resident(
     return scores, idx
 
 
+def _index_pallas_int8(
+    exp_prepared: jnp.ndarray,
+    dict_prepared: jnp.ndarray,
+    keep_n: int,
+    dict_q: jnp.ndarray | None = None,
+    dict_scale: jnp.ndarray | None = None,
+    tile_n: int = 512,
+    tile_m: int = 512,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """The low-HBM indexing tier (``precision="pallas-int8"``): the
+    fused Pallas kernel (:func:`kikuchipy_tpu.ops.pallas_di.
+    ncc_match_topk_pallas_v5`) multiplies int8-quantized operands on the
+    MXU and folds each score block into a VMEM-resident running top-k —
+    the ``(n, m)`` score matrix NEVER materializes in HBM (peak HBM =
+    operands + the ``(n, k)`` results, vs ``n*m*2`` bytes for the f16
+    XLA tier: 3.2 GB at 16k x 100k). Selection is int8-approximate;
+    survivors are rescored exactly at f32 ``Precision.HIGHEST``, so
+    final scores are exact for all candidates that survive selection
+    (same contract as ``precision="int8"``). ~35% slower than the XLA
+    f16 tier on-chip (BENCH_NOTES.md round-2: Mosaic extraction stalls
+    the inter-block pipeline) — use it when the score block's HBM
+    footprint, not speed, is the constraint.
+
+    The experimental side is padded to a ``tile_n`` multiple with
+    repeated rows (dropped from the result); a dictionary remainder
+    past the last full ``tile_m`` tile is matched by an exact XLA pass
+    and merged before rescoring.
+    """
+    import jax as _jax
+
+    from kikuchipy_tpu.ops.pallas_di import ncc_match_topk_pallas_v5
+
+    n, d = exp_prepared.shape
+    m = dict_prepared.shape[0]
+    k_carry = min(max(2 * keep_n, keep_n + 8), m)
+    interpret = _jax.default_backend() == "cpu"
+
+    if dict_q is None:
+        dict_q, dict_scale = jax.jit(_quantize_rows_int8)(dict_prepared)
+    exp_q, exp_scale = jax.jit(_quantize_rows_int8)(exp_prepared)
+
+    tile_n = min(tile_n, max(8, -(-n // 8) * 8))
+    n_pad = (-n) % tile_n
+    if n_pad:
+        exp_q = jnp.concatenate(
+            [exp_q, jnp.broadcast_to(exp_q[:1], (n_pad, d))], axis=0
+        )
+
+    # Small dictionaries: shrink the tile so the fused kernel still
+    # covers most rows (int8 sublane tiling wants multiples of 32).
+    if m < tile_m:
+        tile_m = max(32, (m // 32) * 32)
+    m_main = (m // tile_m) * tile_m if m >= 32 else 0
+    cand_s, cand_i = [], []
+    if m_main:
+        k_main = min(k_carry, m_main)
+        s, i = ncc_match_topk_pallas_v5(
+            exp_q,
+            dict_q[:m_main],
+            dict_scale[:m_main],
+            k=k_main,
+            tile_n=tile_n,
+            tile_m=tile_m,
+            interpret=interpret,
+        )
+        # The kernel omits the per-row experimental scale (it is
+        # rank-invariant WITHIN a row); restore it so kernel candidates
+        # merge on the same scale as the exact remainder scores.
+        cand_s.append(s[:n] * exp_scale[:, None])
+        cand_i.append(i[:n])
+    if m - m_main:
+        # Remainder tile via the exact XLA pass (small: < tile_m rows).
+        sim = jnp.matmul(
+            exp_prepared,
+            dict_prepared[m_main:].T,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=exp_prepared.dtype,
+        )
+        s, i = jax.lax.top_k(sim, min(k_carry, m - m_main))
+        cand_s.append(s)
+        cand_i.append((i + m_main).astype(jnp.int32))
+    if len(cand_s) == 1:
+        idx = cand_i[0]
+    else:
+        all_s = jnp.concatenate(cand_s, axis=1)
+        all_i = jnp.concatenate(cand_i, axis=1)
+        _, pos = jax.lax.top_k(all_s, min(k_carry, all_s.shape[1]))
+        idx = jnp.take_along_axis(all_i, pos, axis=1)
+    return _rescore_candidates(exp_prepared, dict_prepared, idx, keep_n)
+
+
 def _rescore_candidates(
     exp_prepared: jnp.ndarray,
     dict_prepared: jnp.ndarray,
@@ -645,9 +736,12 @@ def dictionary_index(
         (f32-class matmul with scores materialized as float16 — exact
         indices, scores within 2.44e-4, roughly half the top-k's HBM
         traffic), "mixed" (bf16 candidate selection + exact f32
-        rescoring of the survivors), or "int8" (quantized selection +
+        rescoring of the survivors), "int8" (quantized selection +
         exact rescoring; pre-quantized once when the dictionary is a
-        :class:`PreparedDictionary`). See :func:`_index_resident`.
+        :class:`PreparedDictionary`), or "pallas-int8" (the fused
+        Pallas kernel: the ``(n, m)`` score block never materializes in
+        HBM — the low-memory option for huge scans x huge dictionaries;
+        see :func:`_index_pallas_int8`). See :func:`_index_resident`.
     progress
         Optional callback ``progress(done, total)`` invoked per
         dictionary tile in the streaming paths (the reference shows a
@@ -710,18 +804,23 @@ def dictionary_index(
                     "different pixels) — scores would be misaligned"
                 )
             dict_prepared = dictionary.prepared
-            if precision == "int8":
+            if precision in ("int8", "pallas-int8"):
                 dict_q, dict_scale = dictionary.quantized_int8()
         else:
             dictionary = jnp.asarray(dictionary)
             dict_prepared = metric.prepare(dictionary, keep_idx)
         m = dict_prepared.shape[0]
         keep_n_eff = min(keep_n, m)
-        tile = min(n_per_iteration or _default_tile(n_exp), m)
-        scores, idx = _index_resident(
-            exp_prepared, dict_prepared, keep_n_eff, tile, precision,
-            approx_topk, dict_q, dict_scale,
-        )
+        if precision == "pallas-int8":
+            scores, idx = _index_pallas_int8(
+                exp_prepared, dict_prepared, keep_n_eff, dict_q, dict_scale
+            )
+        else:
+            tile = min(n_per_iteration or _default_tile(n_exp), m)
+            scores, idx = _index_resident(
+                exp_prepared, dict_prepared, keep_n_eff, tile, precision,
+                approx_topk, dict_q, dict_scale,
+            )
     elif project_fn is not None:
         if rotations is None:
             raise ValueError("project_fn requires rotations")

@@ -127,7 +127,20 @@ def merge_crystal_maps(
         axis=-1,
     )
 
-    best = np.nanmean(combined[:, :mean_n_best], axis=1)  # (M, K)
+    # Mean of the n best scores per (point, map). All-NaN columns
+    # (uncovered points) are computed via a masked sum rather than
+    # np.nanmean, which would emit a "Mean of empty slice"
+    # RuntimeWarning for them; their result stays NaN by construction.
+    window = combined[:, :mean_n_best]  # (M, n, K)
+    valid = ~np.isnan(window)
+    n_valid = valid.sum(axis=1)  # (M, K)
+    summed = np.where(valid, window, 0.0).sum(axis=1)
+    best = np.divide(
+        summed,
+        n_valid,
+        out=np.full(summed.shape, np.nan, dtype=summed.dtype),
+        where=n_valid > 0,
+    )  # (M, K)
     covered = ~np.isnan(best).all(axis=1)
     phase_id = np.full(m, -1, dtype=np.int64)
     if covered.any():

@@ -110,6 +110,12 @@ def signal_mask_to_idx(
         raise ValueError(
             f"signal_mask has {mask.size} elements, expected {sig_size}"
         )
+    if not mask.any():
+        # A keep-everything mask is semantically identical to no mask:
+        # normalize to None so downstream gathers are skipped and mask
+        # provenance checks (PreparedDictionary.mask_hash) agree between
+        # the two spellings.
+        return None
     return np.nonzero(~mask)[0].astype(np.int32)
 
 

@@ -35,10 +35,12 @@ from kikuchipy_tpu.projection.master_pattern import (
     lambert_interpolation_weights,
 )
 from kikuchipy_tpu.utils.optimize import (
+    basinhopping_batched,
     differential_evolution_batched,
     dual_annealing_batched,
     levenberg_marquardt_batched,
     nelder_mead_batched,
+    shgo_batched,
 )
 
 __all__ = [
@@ -71,15 +73,15 @@ def _normalize_method(method: str) -> str:
     optimizers, NLopt ``LN_NELDERMEAD``; ``_refinement/_solvers.py`` and
     ``_refinement/__init__.py:32-66``) to this framework's batched
     solvers. Local derivative-free solvers map to the batched
-    Nelder-Mead; ``differential_evolution`` maps to the batched DE; the
-    other scipy global optimizers (``dual_annealing``, ``basinhopping``,
-    ``shgo`` — sequential algorithms with no data-parallel equivalent)
-    map to the batched DE too, which serves the same role (escape local
-    minima within the trust-region bounds), with a warning;
-    ``dual_annealing`` maps to the batched generalized simulated
-    annealing (:func:`~kikuchipy_tpu.utils.optimize.
-    dual_annealing_batched`) followed by the same Nelder-Mead polish as
-    scipy's local-search default.
+    Nelder-Mead; each scipy global optimizer maps to its own batched
+    implementation in :mod:`kikuchipy_tpu.utils.optimize`:
+    ``differential_evolution`` → :func:`differential_evolution_batched`,
+    ``dual_annealing`` → :func:`dual_annealing_batched` (followed by the
+    same Nelder-Mead polish as scipy's local-search default),
+    ``basinhopping`` → :func:`basinhopping_batched` (hop + batched-NM
+    local minimization + Metropolis accept), and ``shgo`` →
+    :func:`shgo_batched` (low-discrepancy sampling + multistart
+    batched-NM polish, scipy's ``sampling_method='sobol'`` mode).
     """
     m = method.lower()
     if m in ("nm", "minimize", "ln_neldermead", "nelder-mead"):
@@ -92,19 +94,13 @@ def _normalize_method(method: str) -> str:
         return "de"
     if m in ("da", "dual_annealing"):
         return "da"
-    if m in ("basinhopping", "shgo"):
-        import warnings
-
-        warnings.warn(
-            f"Global optimizer {method!r} is inherently sequential; using "
-            "the batched differential evolution (same role: global search "
-            "within the trust region) instead",
-            stacklevel=3,
-        )
-        return "de"
+    if m in ("bh", "basinhopping"):
+        return "bh"
+    if m == "shgo":
+        return "shgo"
     raise ValueError(
         f"method must be one of 'nm', 'lm', 'gradient', 'dual_annealing', "
-        f"'differential_evolution', got {method!r}"
+        f"'differential_evolution', 'basinhopping', 'shgo', got {method!r}"
     )
 
 
@@ -640,6 +636,8 @@ def refine_orientation(
     n_ev_de = 0
     x_start = jnp.asarray(euler0, dtype=jnp.float32)
     initial_step = np.deg2rad(1.0)
+    obj_args = (exp, sq_norm, dc, master)
+    obj_static = (npx, npy, scale)
     if method in ("de", "da"):
         if trust_region is None:
             raise ValueError(
@@ -655,8 +653,8 @@ def refine_orientation(
                 x0=x_start,
                 popsize=24,
                 max_iters=max_iters,
-                args=(exp, sq_norm, dc, master),
-                static_args=(npx, npy, scale),
+                args=obj_args,
+                static_args=obj_static,
             )
         else:
             g = dual_annealing_batched(
@@ -665,8 +663,8 @@ def refine_orientation(
                 ub,
                 x0=x_start,
                 max_iters=max(max_iters, 200),
-                args=(exp, sq_norm, dc, master),
-                static_args=(npx, npy, scale),
+                args=obj_args,
+                static_args=obj_static,
             )
         # scipy polish analogue (differential_evolution(polish=True),
         # dual_annealing(no_local_search=False)): a local polish of the
@@ -676,18 +674,58 @@ def refine_orientation(
         initial_step = np.deg2rad(0.25)
         max_iters = 50
 
-    res = nelder_mead_batched(
-        _objective_orientation,
-        x_start,
-        initial_step=initial_step,
-        max_iters=max_iters,
-        fatol=rtol,
-        xatol=1e-4,
-        lower_bounds=lb,
-        upper_bounds=ub,
-        args=(exp, sq_norm, dc, master),
-        static_args=(npx, npy, scale),
-    )
+    if method == "bh":
+        # Hop scale: half the trust region when given, else 1 degree
+        # (scipy's 0.5-radian default is tuned for unit-scale problems,
+        # not Euler angles refined from dictionary-quality starts).
+        step = (
+            np.deg2rad(float(np.max(trust_region))) / 2.0
+            if trust_region is not None
+            else np.deg2rad(1.0)
+        )
+        res = basinhopping_batched(
+            _objective_orientation,
+            x_start,
+            niter=8,
+            stepsize=step,
+            local_max_iters=min(max_iters, 60),
+            fatol=rtol,
+            xatol=1e-4,
+            lower_bounds=lb,
+            upper_bounds=ub,
+            args=obj_args,
+            static_args=obj_static,
+        )
+    elif method == "shgo":
+        if trust_region is None:
+            raise ValueError(
+                "method='shgo' requires trust_region (shgo needs finite "
+                "bounds, as in scipy)"
+            )
+        res = shgo_batched(
+            _objective_orientation,
+            lb,
+            ub,
+            x0=x_start,
+            local_max_iters=min(max_iters, 60),
+            fatol=rtol,
+            xatol=1e-4,
+            args=obj_args,
+            static_args=obj_static,
+        )
+    else:
+        res = nelder_mead_batched(
+            _objective_orientation,
+            x_start,
+            initial_step=initial_step,
+            max_iters=max_iters,
+            fatol=rtol,
+            xatol=1e-4,
+            lower_bounds=lb,
+            upper_bounds=ub,
+            args=obj_args,
+            static_args=obj_static,
+        )
     f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     refined_rot = np.asarray(quat.from_euler(res.x.astype(f64)))
     scores = 1.0 - np.asarray(res.fun)
@@ -1018,18 +1056,55 @@ def refine_projection_center(
         initial_step = 0.0025
         max_iters = 50
 
-    res = nelder_mead_batched(
-        _objective_pc,
-        x_start,
-        initial_step=initial_step,
-        max_iters=max_iters,
-        fatol=rtol,
-        xatol=1e-5,
-        lower_bounds=lb,
-        upper_bounds=ub,
-        args=pc_args,
-        static_args=pc_static,
-    )
+    if method == "bh":
+        step = (
+            float(np.max(trust_region)) / 2.0
+            if trust_region is not None
+            else 0.01
+        )
+        res = basinhopping_batched(
+            _objective_pc,
+            x_start,
+            niter=8,
+            stepsize=step,
+            local_max_iters=min(max_iters, 60),
+            fatol=rtol,
+            xatol=1e-5,
+            lower_bounds=lb,
+            upper_bounds=ub,
+            args=pc_args,
+            static_args=pc_static,
+        )
+    elif method == "shgo":
+        if trust_region is None:
+            raise ValueError(
+                "method='shgo' requires trust_region (shgo needs finite "
+                "bounds, as in scipy)"
+            )
+        res = shgo_batched(
+            _objective_pc,
+            lb,
+            ub,
+            x0=x_start,
+            local_max_iters=min(max_iters, 60),
+            fatol=rtol,
+            xatol=1e-5,
+            args=pc_args,
+            static_args=pc_static,
+        )
+    else:
+        res = nelder_mead_batched(
+            _objective_pc,
+            x_start,
+            initial_step=initial_step,
+            max_iters=max_iters,
+            fatol=rtol,
+            xatol=1e-5,
+            lower_bounds=lb,
+            upper_bounds=ub,
+            args=pc_args,
+            static_args=pc_static,
+        )
     new_pc = np.asarray(res.x, dtype=np.float64)
     new_detector = dataclasses.replace(
         detector, pc=new_pc.reshape(nav_shape + (3,) if len(nav_shape) == 2 else (-1, 3))
@@ -1215,18 +1290,58 @@ def refine_orientation_projection_center(
         )
         max_iters = 50
 
-    res = nelder_mead_batched(
-        _objective_joint,
-        x_start,
-        initial_step=initial_step,
-        max_iters=max_iters,
-        fatol=rtol,
-        xatol=1e-5,
-        lower_bounds=lb,
-        upper_bounds=ub,
-        args=joint_args,
-        static_args=joint_static,
-    )
+    if method == "bh":
+        if trust_region is not None:
+            tr_bh = np.asarray(trust_region, dtype=np.float64).copy()
+            tr_bh[:3] = np.deg2rad(tr_bh[:3])
+            step = (tr_bh / 2.0).astype(np.float32)
+        else:
+            step = np.asarray(
+                [np.deg2rad(1.0)] * 3 + [0.01] * 3, dtype=np.float32
+            )
+        res = basinhopping_batched(
+            _objective_joint,
+            x_start,
+            niter=8,
+            stepsize=step,
+            local_max_iters=min(max_iters, 60),
+            fatol=rtol,
+            xatol=1e-5,
+            lower_bounds=lb,
+            upper_bounds=ub,
+            args=joint_args,
+            static_args=joint_static,
+        )
+    elif method == "shgo":
+        if trust_region is None:
+            raise ValueError(
+                "method='shgo' requires trust_region (shgo needs finite "
+                "bounds, as in scipy)"
+            )
+        res = shgo_batched(
+            _objective_joint,
+            lb,
+            ub,
+            x0=x_start,
+            local_max_iters=min(max_iters, 60),
+            fatol=rtol,
+            xatol=1e-5,
+            args=joint_args,
+            static_args=joint_static,
+        )
+    else:
+        res = nelder_mead_batched(
+            _objective_joint,
+            x_start,
+            initial_step=initial_step,
+            max_iters=max_iters,
+            fatol=rtol,
+            xatol=1e-5,
+            lower_bounds=lb,
+            upper_bounds=ub,
+            args=joint_args,
+            static_args=joint_static,
+        )
     x = np.asarray(res.x, dtype=np.float64)
     refined_rot = np.asarray(quat.from_euler(jnp.asarray(x[:, :3])))
     new_pc = x[:, 3:]

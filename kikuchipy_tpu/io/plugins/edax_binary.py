@@ -54,9 +54,24 @@ def file_reader(filename: str | Path, lazy: bool = False) -> EBSD:
             dx, dy = np.fromfile(f, "float64", 2)
             metadata.update(step_x=float(dx), step_y=float(dy))
 
-        f.seek(int(pattern_offset))
         count = int(np.prod(nav_shape)) * int(sx) * int(sy)
-        data = np.fromfile(f, dtype, count)
+        if lazy:
+            # Memmap the pattern block: patterns page in on access only
+            # (reference memmaps too, edax_binary/_api.py:188), so a
+            # lazy load touches no pattern bytes.
+            data = np.memmap(
+                filename,
+                dtype=dtype,
+                mode="r",
+                offset=int(pattern_offset),
+                shape=(count,),
+            )
+        else:
+            f.seek(int(pattern_offset))
+            data = np.fromfile(f, dtype, count)
 
     data = data.reshape(nav_shape + (int(sy), int(sx)))
-    return EBSD(data=data, metadata=metadata)
+    signal = EBSD(data=data, metadata=metadata)
+    if lazy:
+        return signal.as_lazy()
+    return signal

@@ -101,8 +101,11 @@ def file_reader(
             nx = int(_scalar(header["n_columns"]))
             sy = int(_scalar(header["pattern_height"]))
             sx = int(_scalar(header["pattern_width"]))
-            patterns = g["Data/patterns"][()]
-            patterns = patterns.reshape((ny, nx, sy, sx))
+            if lazy:
+                patterns = None  # read chunk-at-a-time via H5Source
+            else:
+                patterns = g["Data/patterns"][()]
+                patterns = patterns.reshape((ny, nx, sy, sx))
 
             pc = np.stack(
                 [header["pcx"][()], header["pcy"][()], header["pcz"][()]],
@@ -145,15 +148,32 @@ def file_reader(
                     if k in sem:
                         metadata[k] = _scalar(sem[k])
             xmap = _read_crystal_map(g, (ny, nx))
-            out.append(
-                EBSD(
-                    data=patterns,
-                    detector=detector,
-                    static_background=static_background,
-                    xmap=xmap,
-                    metadata=metadata,
+            if lazy:
+                from kikuchipy_tpu.signals.lazy import H5Source, LazyEBSD
+
+                out.append(
+                    LazyEBSD(
+                        source=H5Source(
+                            filename,
+                            f"{name}/EBSD/Data/patterns",
+                            nav_shape=(ny, nx),
+                        ),
+                        detector=detector,
+                        static_background=static_background,
+                        xmap=xmap,
+                        metadata=metadata,
+                    )
                 )
-            )
+            else:
+                out.append(
+                    EBSD(
+                        data=patterns,
+                        detector=detector,
+                        static_background=static_background,
+                        xmap=xmap,
+                        metadata=metadata,
+                    )
+                )
     if single:
         return out[0]
     return out

@@ -121,14 +121,22 @@ def file_reader(
         nx, ny = scan_size
     sx, sy = pattern_size
 
-    data = np.fromfile(filename, dtype=np.uint8)
     expected = ny * nx * sy * sx
-    if data.size != expected:
-        warnings.warn(
-            "Pattern size and scan size larger than file size! Will attempt "
-            "to load by zero padding incomplete frames."
+    file_size = filename.stat().st_size
+    if lazy and file_size >= expected:
+        # Memmap: patterns page in on access only (the reference's
+        # nordif reader memmaps too, nordif/_api.py).
+        data = np.memmap(
+            filename, dtype=np.uint8, mode="r", shape=(expected,)
         )
-        data = np.pad(data[:expected], (0, max(0, expected - data.size)))
+    else:
+        data = np.fromfile(filename, dtype=np.uint8)
+        if data.size != expected:
+            warnings.warn(
+                "Pattern size and scan size larger than file size! Will "
+                "attempt to load by zero padding incomplete frames."
+            )
+            data = np.pad(data[:expected], (0, max(0, expected - data.size)))
     data = data.reshape((ny, nx, sy, sx))
 
     static_bg = None
@@ -145,12 +153,15 @@ def file_reader(
 
     metadata.update(step_x=step, step_y=step)
     detector = EBSDDetector(**detector_kw) if detector_kw else None
-    return EBSD(
+    signal = EBSD(
         data=data,
         detector=detector,
         static_background=static_bg,
         metadata=metadata,
     )
+    if lazy:
+        return signal.as_lazy()
+    return signal
 
 
 def file_writer(filename: str | Path, signal: EBSD) -> None:

@@ -137,9 +137,11 @@ class _EbspReader:
             shape=(int(self.present.sum()),),
         )
 
-    def read(self) -> EBSD:
+    def read(self, lazy: bool = False) -> EBSD:
         mm = self._memmap()
-        data = np.asarray(mm["pattern"])
+        # ``mm["pattern"]`` is a strided view into the file mapping —
+        # no pattern bytes are read until accessed.
+        data = mm["pattern"] if lazy else np.asarray(mm["pattern"])
         names = [n for n, _ in self.footer_fields]
         has_positions = "beam_x" in names and "beam_y" in names
         all_present = bool(self.present.all())
@@ -176,6 +178,18 @@ class _EbspReader:
                 data = native.reorder_patterns(np.asarray(data), order)
 
         n_expected = int(np.prod(nav_shape))
+        if lazy:
+            # Keep the memmap-backed strided view (n, sy, sx): pattern
+            # bytes page in per accessed chunk only. (Out-of-order
+            # files were already gathered into a real array by
+            # reorder_patterns above — unavoidable copy, as in the
+            # reference's indexed dask gather.)
+            from kikuchipy_tpu.signals.lazy import ArraySource, LazyEBSD
+
+            return LazyEBSD(
+                source=ArraySource(data[:n_expected], nav_shape),
+                metadata=metadata,
+            )
         data = np.array(data[:n_expected]).reshape(nav_shape + self.signal_shape)
         return EBSD(data=data, metadata=metadata)
 
@@ -183,6 +197,6 @@ class _EbspReader:
 def file_reader(filename: str | Path, lazy: bool = False) -> EBSD:
     reader = _EbspReader(Path(filename))
     try:
-        return reader.read()
+        return reader.read(lazy=lazy)
     finally:
         reader.close()

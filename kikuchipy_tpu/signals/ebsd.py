@@ -574,10 +574,28 @@ class EBSD:
                     np.asarray(recon).astype(dtype).reshape(-1, sy, sx)
                 )
 
-    def as_lazy(self) -> "EBSD":
-        """Reference-compat shim: laziness is replaced by jit staging
-        and :mod:`kikuchipy_tpu.io.streaming`; returns ``self``."""
-        return self
+    def as_lazy(self, chunk_size: int = 1024):
+        """Lazy view of this scan: subsequent preprocessing ops are
+        recorded and executed chunk-at-a-time (reference
+        ``EBSD.as_lazy()`` → ``LazyEBSD``, ``signals/ebsd.py:3186``);
+        see :class:`kikuchipy_tpu.signals.lazy.LazyEBSD`. When the data
+        is an ``np.memmap`` (e.g. from the NORDIF/Oxford/EDAX binary
+        readers), chunks are read from disk on demand."""
+        from kikuchipy_tpu.signals.lazy import ArraySource, LazyEBSD
+
+        return LazyEBSD(
+            source=ArraySource(
+                np.asarray(self.data)
+                if not isinstance(self.data, (np.memmap, np.ndarray))
+                else self.data,
+                self.navigation_shape,
+            ),
+            detector=self.detector,
+            static_background=self.static_background,
+            xmap=self.xmap,
+            metadata=dict(self.metadata),
+            chunk_size=chunk_size,
+        )
 
     def compute(self) -> "EBSD":
         """Reference-compat shim (arrays are always concrete);

@@ -416,9 +416,13 @@ class EBSDMasterPattern(KikuchiMasterPattern):
         (``EBSD.refine_orientation(..., projector="spherical")``).
 
         ``L`` is the band limit: features of ~180/L degrees are
-        resolved; L = 88 reproduces the bilinear projector to
-        NCC > 0.99 on the 401 px nickel master
-        (``tests/test_spherical.py``).
+        resolved. Measured agreement with the bilinear projector on the
+        401 px nickel master: NCC ~0.89 at L = 88 and ~0.98 at L = 180
+        (``tests/test_spherical.py``) — the sharp band edges carry real
+        high-frequency power, so band-limited patterns are smoothed,
+        not wrong. The accuracy contract for refinement through this
+        projector is the <0.8 degree orientation criterion (pinned in
+        ``tests/test_refinement.py``), not pattern-level NCC.
         """
         from kikuchipy_tpu.projection.spherical import SphericalProjector
 

@@ -69,7 +69,11 @@ def test_namespace_covers_reference(module):
 
 class TestCompatShims:
     def test_lazy_aliases_are_eager_classes(self):
-        assert kp.signals.LazyEBSD is kp.signals.EBSD
+        # LazyEBSD is a REAL out-of-core class since round 4
+        # (signals/lazy.py); master patterns stay eager aliases.
+        from kikuchipy_tpu.signals.lazy import LazyEBSD
+
+        assert kp.signals.LazyEBSD is LazyEBSD
         assert kp.signals.LazyEBSDMasterPattern is kp.signals.EBSDMasterPattern
 
     def test_pattern_chunk_delegates(self, dummy_patterns):

@@ -174,3 +174,83 @@ class TestV5Int8:
             ncc_match_topk_pallas_v5(
                 eq, dq, ds, 5, tile_n=8, tile_m=32, interpret=True, group=7
             )
+
+
+class TestPallasInt8Tier:
+    """precision="pallas-int8" in dictionary_index: the user-reachable
+    low-HBM tier (VERDICT r3 item 6) — fused kernel selection + exact
+    f32 rescore, remainder tile via XLA, exp padding dropped."""
+
+    def _problem(self, n=20, m=150, d=100, seed=5):
+        rng = np.random.default_rng(seed)
+        exp = rng.normal(size=(n, d)).astype(np.float32)
+        dic = rng.normal(size=(m, d)).astype(np.float32)
+        # Plant clear matches so int8 selection keeps the true top-1.
+        dic[:n] = exp + 0.5 * rng.normal(size=(n, d)).astype(np.float32)
+        return exp, dic
+
+    def test_matches_exact_tier(self):
+        from kikuchipy_tpu.indexing.di import dictionary_index
+
+        exp, dic = self._problem()
+        res_exact = dictionary_index(exp, dic, keep_n=5)
+        res_pallas = dictionary_index(exp, dic, keep_n=5, precision="pallas-int8")
+        np.testing.assert_array_equal(
+            res_pallas.simulation_indices[:, 0],
+            res_exact.simulation_indices[:, 0],
+        )
+        # Rescore makes surviving candidates' scores f32-exact.
+        top1_exact = res_exact.scores[:, 0]
+        top1_pallas = res_pallas.scores[:, 0]
+        np.testing.assert_allclose(top1_pallas, top1_exact, atol=1e-6)
+
+    def test_prepared_dictionary_reuses_quantization(self):
+        from kikuchipy_tpu.indexing.di import (
+            dictionary_index,
+            prepare_dictionary,
+        )
+
+        exp, dic = self._problem(n=12, m=96)
+        prep = prepare_dictionary(dic, quantize=True)
+        res = dictionary_index(exp, prep, keep_n=3, precision="pallas-int8")
+        res_exact = dictionary_index(exp, dic, keep_n=3)
+        np.testing.assert_array_equal(
+            res.simulation_indices[:, 0], res_exact.simulation_indices[:, 0]
+        )
+
+    def test_remainder_only_dictionary(self):
+        # m < 32: everything through the exact XLA remainder pass.
+        from kikuchipy_tpu.indexing.di import dictionary_index
+
+        exp, dic = self._problem(n=6, m=20)
+        res = dictionary_index(exp, dic, keep_n=4, precision="pallas-int8")
+        res_exact = dictionary_index(exp, dic, keep_n=4)
+        np.testing.assert_array_equal(
+            res.simulation_indices, res_exact.simulation_indices
+        )
+        np.testing.assert_allclose(res.scores, res_exact.scores, atol=1e-6)
+
+    def test_best_match_in_remainder_tile(self):
+        # Plant the TRUE best matches past the last full kernel tile
+        # (m=150 -> m_main=128, remainder 129..149): the kernel's
+        # scale-corrected candidates must merge correctly with the
+        # exact remainder pass (regression: uncorrected kernel scores
+        # dominated the merge and dropped remainder winners).
+        from kikuchipy_tpu.indexing.di import dictionary_index
+
+        rng = np.random.default_rng(9)
+        n, m, d = 16, 150, 100
+        exp = rng.normal(size=(n, d)).astype(np.float32)
+        dic = rng.normal(size=(m, d)).astype(np.float32)
+        dic[130 : 130 + n] = exp + 0.3 * rng.normal(size=(n, d)).astype(
+            np.float32
+        )
+        res = dictionary_index(exp, dic, keep_n=5, precision="pallas-int8")
+        res_exact = dictionary_index(exp, dic, keep_n=5)
+        np.testing.assert_array_equal(
+            res.simulation_indices[:, 0], res_exact.simulation_indices[:, 0]
+        )
+        assert (res.simulation_indices[:, 0] == np.arange(130, 130 + n)).all()
+        np.testing.assert_allclose(
+            res.scores[:, 0], res_exact.scores[:, 0], atol=1e-6
+        )

@@ -311,20 +311,6 @@ class TestMethodNameCompat:
         )
         assert "scores" in res.xmap.prop
 
-    def test_global_names_map_to_de(self, nickel_setup):
-        # dual_annealing now has its own batched implementation
-        # (TestDualAnnealing); only the inherently sequential global
-        # optimizers still alias DE with a warning.
-        s, mp = nickel_setup
-        with pytest.warns(UserWarning, match="differential evolution"):
-            res = s.refine_orientation(
-                master_pattern=mp,
-                method="shgo",
-                trust_region=[0.5, 0.5, 0.5],
-                max_iters=5,
-            )
-        assert "scores" in res.xmap.prop
-
     def test_de_requires_trust_region(self, nickel_setup):
         s, mp = nickel_setup
         with pytest.raises(ValueError, match="trust_region"):
@@ -402,13 +388,134 @@ class TestDualAnnealing:
         assert ang_after.max() < 0.8, ang_after
         assert res.xmap.prop["scores"].min() > 0.3
 
-    def test_basinhopping_still_warns_to_de(self, nickel_setup):
-        s, mp = nickel_setup
-        with pytest.warns(UserWarning, match="inherently sequential"):
-            s.refine_orientation(
-                master_pattern=mp, method="basinhopping",
-                trust_region=[1, 1, 1], max_iters=3,
+class TestBasinhopping:
+    """Batched basin-hopping: method='basinhopping' runs its own
+    algorithm (hop + batched-NM local minimization + Metropolis
+    accept), no DE alias (VERDICT r3 item 3); matches the reference's
+    scipy basinhopping role (_refinement/_solvers.py:440-446)."""
+
+    def test_batched_multimodal_escapes_local_minimum(self):
+        from kikuchipy_tpu.utils.optimize import basinhopping_batched
+
+        # Rastrigin-like in 2D: NM alone stays in the x0 basin at
+        # (2, 2); basin hops must reach a lower basin.
+        def f(x):
+            return jnp.sum(
+                x**2 + 5.0 * (1.0 - jnp.cos(2 * np.pi * x)), axis=-1
             )
+
+        x0 = jnp.full((8, 2), 2.0)
+        res = basinhopping_batched(
+            f, x0, niter=20, stepsize=1.5, local_max_iters=60, seed=5
+        )
+        assert np.asarray(res.fun).max() < float(f(x0)[0]) * 0.5
+
+    def test_metropolis_keeps_global_best(self):
+        from kikuchipy_tpu.utils.optimize import basinhopping_batched
+
+        # The returned optimum must be the best-ever point, not the
+        # (possibly uphill-accepted) final chain state.
+        centers = np.array([[1.0, -1.0]] * 4, dtype=np.float32)
+
+        def f(x):
+            return jnp.sum((x - jnp.asarray(centers)) ** 2, axis=-1)
+
+        res = basinhopping_batched(
+            f, jnp.zeros((4, 2)), niter=12, stepsize=0.8,
+            temperature=10.0,  # hot chain: uphill moves often accepted
+            seed=1,
+        )
+        assert np.asarray(res.fun).max() < 1e-3
+
+    def test_no_warning_and_recovers_orientations(self, nickel_setup):
+        import warnings
+
+        s, mp = nickel_setup
+        stored = s.xmap.best_rotations
+        rng = np.random.default_rng(41)
+        axes = rng.normal(size=(9, 3))
+        axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+        dq = np.asarray(quat.from_axis_angle(jnp.asarray(axes), np.deg2rad(2.0)))
+        perturbed = np.asarray(quat.multiply(jnp.asarray(dq), jnp.asarray(stored)))
+        from kikuchipy_tpu.crystallography.crystal_map import CrystalMap
+
+        xmap0 = CrystalMap(rotations=perturbed, shape=(3, 3), phases=s.xmap.phases)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # any warning fails the test
+            res = s.refine_orientation(
+                xmap=xmap0, detector=s.detector, master_pattern=mp,
+                method="basinhopping", trust_region=[3, 3, 3],
+                max_iters=60,
+            )
+        ang_after = np.degrees(
+            disorientation_angle(stored, res.xmap.best_rotations, "m-3m")
+        )
+        assert ang_after.max() < 0.8, ang_after
+        assert res.xmap.prop["scores"].min() > 0.3
+
+    def test_works_without_trust_region(self, nickel_setup):
+        # scipy basinhopping is unbounded (supports_bounds: False in
+        # the reference registry) — no trust_region must be accepted.
+        s, mp = nickel_setup
+        res = s.refine_orientation(
+            master_pattern=mp, method="basinhopping", max_iters=5,
+        )
+        assert "scores" in res.xmap.prop
+
+
+class TestSHGO:
+    """Batched SHGO-style global search: method='shgo' runs its own
+    sampling + multistart algorithm (scipy's sampling_method='sobol'
+    mode), no DE alias (VERDICT r3 item 3)."""
+
+    def test_batched_multimodal_finds_global(self):
+        from kikuchipy_tpu.utils.optimize import shgo_batched
+
+        # Two basins; the global one is offset — sampling must find it.
+        def f(x):
+            a = jnp.sum((x - 2.0) ** 2, axis=-1) + 1.0
+            b = jnp.sum((x + 2.0) ** 2, axis=-1)
+            return jnp.minimum(a, b)
+
+        res = shgo_batched(
+            f,
+            jnp.full((6, 2), -4.0),
+            jnp.full((6, 2), 4.0),
+            x0=jnp.full((6, 2), 2.0),  # start in the WORSE basin
+            n_samples=64,
+            n_starts=4,
+        )
+        assert np.asarray(res.fun).max() < 1e-3  # global basin at -2
+
+    def test_requires_trust_region(self, nickel_setup):
+        s, mp = nickel_setup
+        with pytest.raises(ValueError, match="trust_region"):
+            s.refine_orientation(master_pattern=mp, method="shgo")
+
+    def test_no_warning_and_recovers_orientations(self, nickel_setup):
+        import warnings
+
+        s, mp = nickel_setup
+        stored = s.xmap.best_rotations
+        rng = np.random.default_rng(43)
+        axes = rng.normal(size=(9, 3))
+        axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+        dq = np.asarray(quat.from_axis_angle(jnp.asarray(axes), np.deg2rad(2.0)))
+        perturbed = np.asarray(quat.multiply(jnp.asarray(dq), jnp.asarray(stored)))
+        from kikuchipy_tpu.crystallography.crystal_map import CrystalMap
+
+        xmap0 = CrystalMap(rotations=perturbed, shape=(3, 3), phases=s.xmap.phases)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            res = s.refine_orientation(
+                xmap=xmap0, detector=s.detector, master_pattern=mp,
+                method="shgo", trust_region=[3, 3, 3], max_iters=60,
+            )
+        ang_after = np.degrees(
+            disorientation_angle(stored, res.xmap.best_rotations, "m-3m")
+        )
+        assert ang_after.max() < 0.8, ang_after
+        assert res.xmap.prop["scores"].min() > 0.3
 
 
 class TestSphericalProjectorRefinement:
