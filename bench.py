@@ -1,44 +1,53 @@
 """Benchmark: dictionary-indexing throughput (patterns/sec/chip).
 
 Mirrors BASELINE.json's headline metric: NCC dictionary indexing of
-60x60 patterns against a 100k-entry dictionary, with secondary
-preprocess (MB/s) and refinement (patterns/s) figures. The baseline is
-the reference's CPU execution model (threaded float32 matmul + top-k,
-as in ``/root/reference/src/kikuchipy/indexing/_dictionary_indexing.
-py``) measured on a dictionary subsample — the reference itself is not
-runnable in this image (hyperspy/numba absent).
+60x60 patterns against a 100k-entry dictionary (plus secondary
+preprocess MB/s and refinement patterns/s figures when time allows).
+The baseline is the reference's CPU execution model (threaded float32
+matmul + top-k, as in ``/root/reference/src/kikuchipy/indexing/
+_dictionary_indexing.py:130-139``) measured on a dictionary subsample —
+the reference itself is not runnable in this image (hyperspy/numba
+absent).
 
-Survival design (VERDICT r3 item 1 — the driver captured no number in
-rounds 2-3 because remote compiles through this environment's tunnel
-take ~10 minutes EACH and the bench ran several):
+Survival architecture (VERDICT r3 item 1 — the driver captured no
+number in rounds 2-3; post-mortem in this round found WHY: the axon
+backend ignores the local persistent compilation cache, every compile
+goes to a remote service that on a bad day takes ~6 min for even a
+trivial program, and a signal-based in-process deadline cannot fire
+while the main thread is blocked inside that compile):
 
-1. The primary DI JSON line is printed+flushed IMMEDIATELY after the
-   first successful timing pass; later stages only append to it
-   (same schema, the driver takes the last line).
-2. A ``signal.alarm`` deadline (``KP_BENCH_BUDGET_S``, default 1500 s)
-   prints whatever has been measured and exits 0.
-3. The happy path compiles exactly ONE program (``_index_resident`` at
-   the persisted-winner configuration: f16 materialization + transposed
-   group-top-k). Pattern preparation for both operands runs host-side
-   in NumPy, so no auxiliary device programs exist.
-4. The JAX persistent compilation cache (``.jax_cache/`` next to this
-   file, pre-warmed in-repo) turns every compile into a file load, so a
-   driver run on the warmed machine never waits on the remote compiler.
-5. The preprocess and refinement stages run only while generous wall
-   budget remains, AFTER the primary line is out.
+- PARENT/CHILD split. The parent (this file, default mode) spawns the
+  worker (``--worker``) in its own process group, polls a status file,
+  and at the deadline (``KP_BENCH_BUDGET_S``, default 1020 s) SIGKILLs
+  the group and prints the latest measured JSON line. The parent never
+  touches jax, so nothing can block it; it always exits 0.
+- The worker tries the PRECOMPILED EXECUTABLE first:
+  ``.jax_cache/bench_di_exec.pkl`` (built in-repo by
+  ``tools/warm_bench_exec.py`` via jax.experimental.
+  serialize_executable) loads in seconds and skips the remote compile
+  service entirely. Fallback: AOT-compile in a background thread
+  OVERLAPPED with host preparation + the 1.7 GB operand upload.
+- The primary DI figure is written to the status file immediately
+  after the first successful timing pass; later passes/stages only
+  update it (same schema; the parent prints whatever is newest).
+- Secondary stages (preprocess MB/s, SH refinement) each require
+  another compile, so they run only when the compile environment is
+  demonstrably fast (the DI program loaded from the pickle or
+  compiled quickly) and generous wall budget remains.
 
-Measurement model: production DI indexes a scan as many batches, so the
-steady-state number is *pipelined* throughput — REPS batches enqueued
-back-to-back, results read back once (device execution is in-order).
-This amortizes the ~26-34 ms per-dispatch cost of the tunneled TPU.
+Measurement model: production DI indexes a scan as many batches, so
+the steady-state number is *pipelined* throughput — REPS batches
+enqueued back-to-back, results read back once (device execution is
+in-order). This amortizes the ~26-34 ms per-dispatch tunnel cost.
 
-Prints ONE JSON line (re-printed with more fields as stages finish):
+Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "patterns/s", "vs_baseline": N}``
 """
 
 import json
 import os
 import signal
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -46,120 +55,200 @@ from pathlib import Path
 import numpy as np
 
 _T0 = time.monotonic()
-_BUDGET_S = float(os.environ.get("KP_BENCH_BUDGET_S", "1500"))
+_BUDGET_S = float(os.environ.get("KP_BENCH_BUDGET_S", "1020"))
+_REPO = Path(__file__).resolve().parent
+_EXEC_PKL = _REPO / ".jax_cache" / "bench_di_exec.pkl"
 
-_state = {
-    "pps": 0.0,
-    "vs_baseline": 0.0,
-    "config": "",
-    "pre_mbps": 0.0,
-    "refine_pps": 0.0,
-    "printed": False,
-}
+# Benchmark configuration (shared by tools/warm_bench_exec.py so the
+# serialized executable matches exactly).
+N = int(os.environ.get("KP_BENCH_N", 16384))    # patterns per batch
+M = int(os.environ.get("KP_BENCH_M", 100_000))  # dictionary entries
+SY = SX = 60
+D = SY * SX
+KEEP_N = 20
+TILE = M          # single tile: one matmul + one selection
+REPS = 4          # pipelined batches per timing pass
+N_GATE = min(256, N)
+PRECISION, APPROX = "f16", True  # persisted winner (BENCH_NOTES r2)
 
 
 def _log(msg: str) -> None:
     print(f"[bench {time.monotonic() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
-def _remaining() -> float:
-    return _BUDGET_S - (time.monotonic() - _T0)
+# --------------------------------------------------------------------
+# Parent: deadline supervisor. No jax imports here.
+# --------------------------------------------------------------------
 
-
-def _emit() -> None:
-    if _state["pps"] <= 0:
-        return
-    extras = ""
-    if _state["pre_mbps"]:
-        extras += f"; preprocess {_state['pre_mbps']:.0f} MB/s/chip uint8 static+dynamic bg"
-    if _state["refine_pps"]:
-        extras += (
-            f"; refinement {_state['refine_pps']:.0f} patterns/s/chip "
-            "LM spherical-harmonic <0.8deg"
-        )
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"dictionary-indexing patterns/s/chip "
-                    f"(NCC, 100000-entry 60x60 dict, keep_n=20, "
-                    f"{_state['config']}, pipelined x4{extras})"
-                ),
-                "value": round(_state["pps"], 2),
-                "unit": "patterns/s",
-                "vs_baseline": round(_state["vs_baseline"], 2),
-            }
-        ),
-        flush=True,
+def supervise() -> None:
+    status = _REPO / ".bench_status.json"
+    try:
+        status.unlink()
+    except FileNotFoundError:
+        pass
+    child = subprocess.Popen(
+        [sys.executable, str(Path(__file__).resolve()), "--worker", str(status)],
+        start_new_session=True,
     )
-    _state["printed"] = True
+    deadline = _T0 + _BUDGET_S
+    while True:
+        done = child.poll() is not None
+        if done or time.monotonic() >= deadline:
+            if not done:
+                _log("deadline reached; killing worker process group")
+                try:
+                    os.killpg(child.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
+                child.wait()
+            break
+        time.sleep(2.0)
+    try:
+        line = json.loads(status.read_text())
+    except (FileNotFoundError, json.JSONDecodeError):
+        _log("no figure was measured before the deadline")
+        return
+    print(json.dumps(line), flush=True)
 
 
-def _on_alarm(signum, frame):
-    _log("wall budget reached; emitting best-so-far and exiting")
-    _emit()
-    os._exit(0)
+# --------------------------------------------------------------------
+# Worker: measurement. Written defensively — any exception after the
+# first status write still leaves a valid figure for the parent.
+# --------------------------------------------------------------------
 
-
-signal.signal(signal.SIGALRM, _on_alarm)
-signal.alarm(max(int(_BUDGET_S), 1))
-
-
-def _baseline_cpu_pps(d: int, keep_n: int, m_total: int) -> float:
+def _baseline_cpu_pps() -> float:
     """Reference-style CPU DI throughput (patterns/s) via NumPy BLAS on
-    a dictionary subsample, scaled to the full dictionary size. Median
-    of three passes after warmup."""
+    a dictionary subsample, scaled to the full dictionary size."""
     rng = np.random.default_rng(0)
     n, m_sub = 256, 8192
-    exp = rng.standard_normal((n, d), dtype=np.float32)
-    dic = rng.standard_normal((m_sub, d), dtype=np.float32)
+    exp = rng.standard_normal((n, D), dtype=np.float32)
+    dic = rng.standard_normal((m_sub, D), dtype=np.float32)
 
     def one_pass():
         t0 = time.perf_counter()
         scores = exp @ dic.T
-        part = np.argpartition(-scores, keep_n, axis=1)[:, :keep_n]
+        part = np.argpartition(-scores, KEEP_N, axis=1)[:, :KEEP_N]
         np.take_along_axis(scores, part, axis=1)
         return time.perf_counter() - t0
 
     one_pass()
     dts = sorted(one_pass() for _ in range(3))
-    comparisons_per_s = n * m_sub / dts[1]
-    return comparisons_per_s / m_total
+    return n * m_sub / dts[1] / M
 
 
 def _prep_np(x: np.ndarray) -> np.ndarray:
     """Host NCC preparation (zero-mean, L2-normalized rows), matching
     ``indexing/metrics.py:SimilarityMetric.prepare`` — done in NumPy so
-    the bench compiles zero preparation programs."""
+    the worker compiles no auxiliary device programs."""
     x = x - x.mean(axis=1, keepdims=True)
     return x / np.linalg.norm(x, axis=1, keepdims=True)
 
 
-def main() -> None:
-    # Persistent compilation cache: every program compiled on this
-    # machine (including by the in-repo warmup) is reused from disk, so
-    # the driver's run waits on NO remote compiles.
-    cache_dir = str(Path(__file__).resolve().parent / ".jax_cache")
+class _Status:
+    def __init__(self, path: Path):
+        self.path = path
+        self.state = {
+            "pps": 0.0, "vs_baseline": 0.0, "config": "",
+            "pre_mbps": 0.0, "refine_pps": 0.0,
+        }
+
+    def write(self) -> None:
+        s = self.state
+        if s["pps"] <= 0:
+            return
+        extras = ""
+        if s["pre_mbps"]:
+            extras += (
+                f"; preprocess {s['pre_mbps']:.0f} MB/s/chip uint8 "
+                "static+dynamic bg"
+            )
+        if s["refine_pps"]:
+            extras += (
+                f"; refinement {s['refine_pps']:.0f} patterns/s/chip "
+                "LM spherical-harmonic <0.8deg"
+            )
+        line = {
+            "metric": (
+                f"dictionary-indexing patterns/s/chip "
+                f"(NCC, {M}-entry 60x60 dict, keep_n={KEEP_N}, "
+                f"{s['config']}, pipelined x{REPS}{extras})"
+            ),
+            "value": round(s["pps"], 2),
+            "unit": "patterns/s",
+            "vs_baseline": round(s["vs_baseline"], 2),
+        }
+        tmp = self.path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(line))
+        tmp.replace(self.path)
+
+
+def _load_precompiled():
+    """Deserialize the committed production executable; None if absent
+    or incompatible (different jax/device/shape — metadata checked)."""
+    import pickle
+
     import jax
+    from jax.experimental import serialize_executable as se
 
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    meta_path = _EXEC_PKL.with_suffix(".meta.json")
+    try:
+        meta = json.loads(meta_path.read_text())
+        expect = {
+            "jax": jax.__version__,
+            "device": jax.devices()[0].device_kind,
+            "shape": [N, M, D, KEEP_N, TILE, PRECISION, APPROX],
+        }
+        if meta != expect:
+            _log(f"precompiled executable metadata mismatch: {meta} != {expect}")
+            return None
+        t = time.monotonic()
+        compiled = se.deserialize_and_load(*pickle.loads(_EXEC_PKL.read_bytes()))
+        _log(f"precompiled executable loaded in {time.monotonic() - t:.1f}s")
+        return compiled
+    except FileNotFoundError:
+        return None
+    except Exception as exc:
+        _log(f"precompiled executable load failed: {type(exc).__name__}: {exc}")
+        return None
 
+
+def work(status_path: Path) -> None:
+    status = _Status(status_path)
+
+    import jax
     import jax.numpy as jnp
 
     from kikuchipy_tpu.indexing.di import _index_resident
 
-    _log(f"devices: {jax.devices()}; cache: {cache_dir}")
+    _log(f"devices: {jax.devices()}")
 
-    N = int(os.environ.get("KP_BENCH_N", 16384))   # patterns per batch
-    M = int(os.environ.get("KP_BENCH_M", 100_000))  # dictionary entries
-    SY = SX = 60
-    D = SY * SX
-    KEEP_N = 20
-    TILE = M        # single tile: one matmul + one selection
-    REPS = 4        # pipelined batches per timing pass
-    N_GATE = min(256, N)
+    # Start from the committed executable if valid; otherwise kick the
+    # AOT compile off in a thread so it overlaps host prep + upload.
+    compiled = _load_precompiled()
+    compile_box = {"compiled": compiled, "seconds": 0.0, "error": None}
+    if compiled is None:
+        import threading
+
+        def _compile():
+            t = time.monotonic()
+            try:
+                lowered = _index_resident.lower(
+                    jax.ShapeDtypeStruct((N, D), jnp.float32),
+                    jax.ShapeDtypeStruct((M, D), jnp.float32),
+                    keep_n=KEEP_N, tile=TILE,
+                    precision=PRECISION, approx=APPROX,
+                )
+                compile_box["compiled"] = lowered.compile()
+            except Exception as exc:  # surfaced after join
+                compile_box["error"] = exc
+            compile_box["seconds"] = time.monotonic() - t
+            _log(f"AOT compile finished in {compile_box['seconds']:.1f}s")
+
+        th = threading.Thread(target=_compile, daemon=True)
+        th.start()
+        _log("AOT compile dispatched (remote service); overlapping host work")
+    else:
+        th = None
 
     rng = np.random.default_rng(0)
     exp_np = rng.standard_normal((N, D), dtype=np.float32)
@@ -171,11 +260,10 @@ def main() -> None:
     dic_np[:: M // N_GATE][:N_GATE] = exp_np[
         :N_GATE
     ] + 0.7 * rng.standard_normal((N_GATE, D), dtype=np.float32)
-    _log("host arrays made")
 
     exp_prep_np = _prep_np(exp_np)
     dict_prep_np = _prep_np(dic_np)
-    _log("host NCC preparation done")
+    _log("host arrays prepared")
 
     # Exact host reference for the gate rows.
     gate_scores = exp_prep_np[:N_GATE] @ dict_prep_np.T
@@ -185,45 +273,50 @@ def main() -> None:
     ref_scores = np.take_along_axis(gate_scores, ref_idx, axis=1)
     _log("host gate reference done")
 
-    exp_prepared = jnp.asarray(exp_prep_np)
-    dict_prepared = jnp.asarray(dict_prep_np)
-    # Force the transfers now so compile time is measured separately.
+    base_pps = _baseline_cpu_pps()
+    _log(f"CPU baseline: {base_pps:.1f} patterns/s")
+
+    exp_prepared = jax.device_put(jnp.asarray(exp_prep_np))
+    dict_prepared = jax.device_put(jnp.asarray(dict_prep_np))
     np.asarray(jax.device_get(exp_prepared[:1]))
     _log("operands on device (1.7 GB transferred)")
 
-    def run_once(precision: str, approx: bool):
-        s, i = _index_resident(
-            exp_prepared, dict_prepared, KEEP_N, TILE, precision, approx
-        )
+    if th is not None:
+        th.join()
+        if compile_box["error"] is not None:
+            raise compile_box["error"]
+    run = compile_box["compiled"]
+
+    def run_once():
+        s, i = run(exp_prepared, dict_prepared)
         return np.asarray(s), np.asarray(i)
 
-    def gate_ok(s: np.ndarray, i: np.ndarray) -> bool:
-        """Exact top-1 index agreement + keep_n scores within 1e-3 of
-        the exact host reference on the gate rows (f16 rounding is
-        bounded by 2.44e-4 on NCC scores in [-1, 1])."""
-        s, i = s[:N_GATE], i[:N_GATE]
-        return bool(
-            (i[:, 0] == ref_idx[:, 0]).all()
-            and np.abs(s - ref_scores).max() < 1e-3
-        )
+    s, i = run_once()
+    gate = bool(
+        (i[:N_GATE, 0] == ref_idx[:, 0]).all()
+        and np.abs(s[:N_GATE] - ref_scores).max() < 1e-3
+    )
+    _log(f"gate ({PRECISION}+approx vs exact host reference): {'OK' if gate else 'FAILED'}")
+    if not gate:
+        # Exact-tier fallback costs another remote compile; prefer a
+        # correct number late over a wrong number early.
+        _log("falling back to exact highest tier (one more compile)")
 
-    base_pps = _baseline_cpu_pps(D, KEEP_N, M)
-    _log(f"CPU baseline: {base_pps:.1f} patterns/s")
+        def run_exact(e, d):
+            return _index_resident(e, d, keep_n=KEEP_N, tile=TILE,
+                                   precision="highest", approx=False)
 
-    # Persisted winner (BENCH_NOTES round 2: f16 + transposed
-    # group-top-k); the exact tier compiles only if the gate fails.
-    t_c = time.monotonic()
-    precision, approx = "f16", True
-    s, i = run_once(precision, approx)
-    compile_s = time.monotonic() - t_c
-    _log(f"gate pass compile+run: {compile_s:.1f}s")
-    if not gate_ok(s, i):
-        _log("f16 gate FAILED; falling back to exact highest tier")
-        precision, approx = "highest", False
-        s, i = run_once(precision, approx)
-        if not gate_ok(s, i):
+        run = run_exact
+        s, i = run_once()
+        if not (
+            (i[:N_GATE, 0] == ref_idx[:, 0]).all()
+            and np.abs(s[:N_GATE] - ref_scores).max() < 1e-3
+        ):
             _log("exact tier failed the gate too — aborting")
             return
+        config = "precision=highest, approx_topk=False"
+    else:
+        config = f"precision={PRECISION}, approx_topk={APPROX}"
 
     def timed_pps() -> float:
         """Steady-state pipelined throughput: enqueue REPS batches,
@@ -231,27 +324,26 @@ def main() -> None:
         in-order, so that readback bounds all batches; full-result
         readback would time the ~28 MB/s tunnel, not the chip)."""
         t0 = time.perf_counter()
-        outs = [
-            _index_resident(
-                exp_prepared, dict_prepared, KEEP_N, TILE, precision, approx
-            )
-            for _ in range(REPS)
-        ]
+        outs = [run(exp_prepared, dict_prepared) for _ in range(REPS)]
         np.asarray(outs[-1][0])
         np.asarray(outs[-1][1])
         return REPS * N / (time.perf_counter() - t0)
 
-    pps = max(timed_pps() for _ in range(3))
-    _state["pps"] = pps
-    _state["vs_baseline"] = pps / base_pps
-    _state["config"] = f"precision={precision}, approx_topk={approx}"
-    _emit()  # PRIMARY LINE OUT — everything below only improves it
-    _log(f"primary DI figure: {pps:.0f} patterns/s ({pps / base_pps:.0f}x baseline)")
+    status.state["config"] = config
+    best = 0.0
+    for _ in range(3):
+        best = max(best, timed_pps())
+        status.state["pps"] = best
+        status.state["vs_baseline"] = best / base_pps
+        status.write()  # figure is durable from the FIRST pass on
+    _log(f"primary DI figure: {best:.0f} patterns/s ({best / base_pps:.0f}x baseline)")
 
-    # Secondary: preprocess MB/s (one extra compile; needs either a
-    # warm cache or plenty of budget).
-    need = 120 if compile_s < 60 else 700
-    if _remaining() > need:
+    # Secondary stages: each costs a fresh remote compile, so they run
+    # only when compiles are demonstrably cheap today (the DI program
+    # came from the pickle or compiled fast) — a slow compile here
+    # would be killed by the parent's deadline anyway, losing nothing.
+    compile_cheap = compile_box["seconds"] < 120.0
+    if compile_cheap or os.environ.get("KP_BENCH_FULL"):
         try:
             from kikuchipy_tpu.ops import pattern as _ops
 
@@ -277,29 +369,29 @@ def main() -> None:
             preprocess_pass()  # compile
             _log("preprocess compiled")
             pre_dt = min(preprocess_pass() for _ in range(3))
-            _state["pre_mbps"] = REPS * raw.size / pre_dt / 1e6
-            _emit()
-            _log(f"preprocess: {_state['pre_mbps']:.0f} MB/s")
-        except Exception as exc:  # a secondary figure must never kill the bench
+            status.state["pre_mbps"] = REPS * raw.size / pre_dt / 1e6
+            status.write()
+            _log(f"preprocess: {status.state['pre_mbps']:.0f} MB/s")
+        except Exception as exc:  # secondary must never kill the bench
             _log(f"preprocess stage skipped: {type(exc).__name__}: {exc}")
 
-    # Secondary: SH-projector LM refinement patterns/s at the <0.8 deg
-    # criterion (VERDICT r3 item 2). Several programs — only with a warm
-    # cache or a very generous budget.
-    need = 300 if compile_s < 60 else 2500
-    if _remaining() > need:
         try:
             from tools.bench_refine_sh import bench_refine_sh
 
-            _state["refine_pps"] = bench_refine_sh()
-            _emit()
-            _log(f"refinement: {_state['refine_pps']:.0f} patterns/s")
+            status.state["refine_pps"] = bench_refine_sh()
+            status.write()
+            _log(f"refinement: {status.state['refine_pps']:.0f} patterns/s")
         except Exception as exc:
             _log(f"refinement stage skipped: {type(exc).__name__}: {exc}")
 
-    if not _state["printed"]:
-        _emit()
-    _log("done")
+    _log("worker done")
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        work(Path(sys.argv[2]))
+    else:
+        supervise()
 
 
 if __name__ == "__main__":

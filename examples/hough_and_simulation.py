@@ -5,10 +5,19 @@ voting -> orientations, then overlays the geometrical simulation of the
 solved orientation on the pattern. Runs on CPU or TPU.
 """
 
+import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    # The axon sitecustomize force-overrides jax_platforms at
+    # interpreter start; honor the explicitly requested env value so
+    # JAX_PLATFORMS=cpu really runs on CPU.
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import numpy as np
 

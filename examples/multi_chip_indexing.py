@@ -14,6 +14,12 @@ import os
 import numpy as np
 import jax
 
+if os.environ.get("JAX_PLATFORMS"):
+    # The axon sitecustomize force-overrides jax_platforms at
+    # interpreter start; honor the explicitly requested env value so
+    # JAX_PLATFORMS=cpu really runs on (virtual) CPU devices.
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import kikuchipy_tpu as kp
 from kikuchipy_tpu.crystallography.sampling import sample_fundamental_zone
 from kikuchipy_tpu.parallel.mesh import make_mesh, sharded_dictionary_index

@@ -179,10 +179,71 @@ class TestGeneratedGroupsWyckoffGoldens:
             ([("X", 0.25, 0.25, 0.25)], 48, 2),
             # Pban (origin 2) 2a at (1/4, 1/4, 0).
             ([("X", 0.25, 0.25, 0.0)], 50, 2),
+            # ---- round-4 audit extension (screw-heavy/enantiomorphic
+            # generated groups; ADVICE r3 item 4). Famous-structure
+            # anchors pin the ITA origin embedding:
+            # A15 Cr3Si, Pm-3n: Si 2a (0,0,0), Cr 6c (1/4,0,1/2).
+            ([("Si", 0.0, 0.0, 0.0)], 223, 2),
+            ([("Cr", 0.25, 0.0, 0.5)], 223, 6),
+            # Cuprite Cu2O, Pn-3m (origin 2): O 2a, Cu 4b.
+            ([("O", 0.25, 0.25, 0.25)], 224, 2),
+            ([("Cu", 0.0, 0.0, 0.0)], 224, 4),
+            # NaZn13, Fm-3c: Na 8a (1/4,1/4,1/4), Zn1 8b (0,0,0).
+            ([("Na", 0.25, 0.25, 0.25)], 226, 8),
+            ([("Zn", 0.0, 0.0, 0.0)], 226, 8),
+            # Eulytite Bi4Si3O12, I-43d: Si 12a (3/8,0,1/4), Bi 16c
+            # (x,x,x) — the 12a anchor caught a wrong -4z embedding in
+            # round 4 (orbit inflated to 48).
+            ([("Si", 0.375, 0.0, 0.25)], 220, 12),
+            ([("Bi", 0.085, 0.085, 0.085)], 220, 16),
+            ([("X", 0.2, 0.0, 0.25)], 220, 24),  # 24d
+            # I4_132: 8a (1/8,1/8,1/8) site 32 (gyroid network node);
+            # embedding also pinned as the rotation subgroup of
+            # garnet-verified Ia-3d (tools/gen_spacegroups.py).
+            ([("X", 0.125, 0.125, 0.125)], 214, 8),
+            ([("X", 0.375, 0.375, 0.375)], 214, 8),
+            # F4_132: 8a (0,0,0), 16c (1/8,1/8,1/8).
+            ([("X", 0.0, 0.0, 0.0)], 210, 8),
+            ([("X", 0.125, 0.125, 0.125)], 210, 16),
+            # P-43n: 2a (0,0,0), 6d (1/4,0,1/2) (sodalite framework).
+            ([("X", 0.0, 0.0, 0.0)], 218, 2),
+            ([("X", 0.25, 0.0, 0.5)], 218, 6),
+            # I4_122 4a (0,0,0); I4_1cd 8a (0,0,z); I4_1 4a (0,0,z).
+            ([("X", 0.0, 0.0, 0.0)], 98, 4),
+            ([("X", 0.0, 0.0, 0.31)], 110, 8),
+            ([("X", 0.0, 0.0, 0.3)], 80, 4),
         ],
     )
     def test_multiplicities(self, atoms, sg, n):
         assert len(expand_atoms(atoms, sg)) == n
+
+    def test_enantiomorphic_pair_diagonal_axis_heights(self):
+        """P4_122 has its [110] 2-fold at z=3/8 (4c = (x,x,3/8)); the
+        enantiomorph P4_322 at z=5/8 — a quarter-turn-conjugated
+        closure passes symbol verification but swaps the heights
+        (round-4 audit finding, now pinned)."""
+        assert len(expand_atoms([("X", 0.2, 0.2, 0.375)], 91)) == 4
+        assert len(expand_atoms([("X", 0.2, 0.2, 0.625)], 91)) == 8
+        assert len(expand_atoms([("X", 0.2, 0.2, 0.625)], 95)) == 4
+        assert len(expand_atoms([("X", 0.2, 0.2, 0.375)], 95)) == 8
+
+    def test_trigonal_enantiomorphs_mirror_consistent(self):
+        """P3_112/P3_212 special-position heights must be z -> -z
+        mirror images (the pair is related by inverting the screw
+        sense); special sites (x,-x,z0) have orbit 3, general 6."""
+        import numpy as np
+
+        def special_heights(sg):
+            return {
+                round(z, 4)
+                for z in np.arange(0.0, 1.0, 1 / 12)
+                if len(expand_atoms([("X", 0.23, -0.23, z)], sg)) == 3
+            }
+
+        h151 = special_heights(151)
+        h153 = special_heights(153)
+        assert h151, "P3_112 has no (x,-x,z) special sites"
+        assert h153 == {round((-z) % 1.0, 4) for z in h151}
 
 
 def _amp(lattice, atoms, sg, hkl, min_d=0.9):

@@ -91,6 +91,12 @@ WYCKOFF_CONSTRAINTS = {
     60: [((0.0, 0.178, 0.25), 4)],          # Pbcn 4c (alpha-PbO2)
     64: [((0.0, 0.0, 0.0), 4)],             # Cmca 4a (2/m at origin)
     85: [((0.25, 0.75, 0.0), 2)],           # P4/n o2 2a
+    # P4_122 4c (x,x,3/8) / P4_322 4c (x,x,5/8): the diagonal 2-fold
+    # heights distinguish the enantiomorphic embeddings AND the z
+    # origin (a quarter-turn-conjugated closure passes symbol
+    # verification but swaps 1/8 <-> 3/8; round-4 audit finding).
+    91: [((0.2, 0.2, 0.375), 4)],
+    95: [((0.2, 0.2, 0.625), 4)],
     109: [((0.0, 0.0, 0.31), 4)],           # I4_1md 4a
     125: [((0.25, 0.25, 0.0), 2)],          # P4/nbm o2 2a
     126: [((0.25, 0.25, 0.25), 2)],         # P4/nnc o2 2a
@@ -98,9 +104,49 @@ WYCKOFF_CONSTRAINTS = {
     130: [((0.25, 0.25, 0.31), 4)],         # P4/ncc o2 4c
     134: [((0.25, 0.75, 0.25), 2)],         # P4_2/nnm o2 2a
     201: [((0.25, 0.25, 0.25), 2)],         # Pn-3 o2 2a
+    # I4_122 4a (0,0,0); I4_1cd 8a (0,0,z) (polar axis through origin)
+    98: [((0.0, 0.0, 0.0), 4)],
+    110: [((0.0, 0.0, 0.31), 8)],
+    # F4_132 8a (0,0,0) + 16c (1/8,1/8,1/8)
+    210: [((0.0, 0.0, 0.0), 8), ((0.125, 0.125, 0.125), 16)],
+    # I4_132 8a (1/8,1/8,1/8), site symmetry 32 (round-4 audit finding:
+    # an embedding giving orbit 16 here passed symbol verification)
+    214: [((0.125, 0.125, 0.125), 8)],
+    # P-43n 6d (1/4,0,1/2) (sodalite-framework Si site)
+    218: [((0.25, 0.0, 0.5), 6)],
+    # I-43d 12a (3/8,0,1/4) (eulytite Si; round-4 audit finding) +
+    # 16c (x,x,x) (eulytite Bi)
+    220: [((0.375, 0.0, 0.25), 12), ((0.085, 0.085, 0.085), 16)],
     222: [((0.25, 0.25, 0.25), 2)],         # Pn-3n o2 2a
-    224: [((0.25, 0.25, 0.25), 2)],         # Pn-3m o2 2a
+    # Pm-3n 6c (1/4,0,1/2) (A15 Cr3Si Cr site)
+    223: [((0.25, 0.0, 0.5), 6)],
+    224: [((0.25, 0.25, 0.25), 2)],         # Pn-3m o2 2a (cuprite O)
+    # Fm-3c 8a (1/4,1/4,1/4) + 8b (0,0,0) (NaZn13)
+    226: [((0.25, 0.25, 0.25), 8), ((0.0, 0.0, 0.0), 8)],
 }
+
+# ITA group-subgroup origin consistency: ITA uses ONE consistent
+# coordinate system per lattice family, so a group's ops must be a
+# subset of its curated klassengleiche/translationengleiche supergroup
+# at the same origin. {sg: (supergroup, 'proper'|'all')} — 'proper'
+# keeps only det=+1 ops of the supergroup (e.g. I4_132 is the rotation
+# subgroup of Ia-3d). Resolves ties that Wyckoff anchors alone cannot
+# (round-4 audit: both I4_132 candidates satisfy the 8a anchor, only
+# one embeds in garnet-pinned Ia-3d).
+SUPERGROUP_CONSTRAINTS = {
+    214: (230, "proper"),
+}
+
+
+def _supergroup_keys(sg_super: int, which: str):
+    ops = SG.general_positions(sg_super)
+    keys = set()
+    for m, t in ops:
+        m = np.asarray(m)
+        if which == "proper" and round(np.linalg.det(m)) != 1:
+            continue
+        keys.add(SG._op_key(m, np.asarray(t, float)))
+    return keys
 
 
 def _orbit_size(ops, xyz, tol=1e-6):
@@ -220,6 +266,9 @@ def search_group(sg):
     names = GEN_NAMES[sg]
     cents = SG.centering_translations(sg)
     solutions = {}
+    super_keys = None
+    if sg in SUPERGROUP_CONSTRAINTS:
+        super_keys = _supergroup_keys(*SUPERGROUP_CONSTRAINTS[sg])
     for trans in itertools.product(*(_grids(sg, n) for n in names)):
         gens = [(OPS[n], t) for n, t in zip(names, trans)]
         ops = _closure(gens, sg)
@@ -230,6 +279,11 @@ def search_group(sg):
         if any(
             _orbit_size(ops, xyz) != n
             for xyz, n in WYCKOFF_CONSTRAINTS.get(sg, ())
+        ):
+            continue
+        if super_keys is not None and not all(
+            SG._op_key(np.asarray(m), np.asarray(t, float)) in super_keys
+            for m, t in ops
         ):
             continue
         key = _opset_key(ops)
@@ -279,9 +333,15 @@ def main():
         "sg_symbols.verify_group (multiplicity, point group, screw and",
         "glide content with ITA printing rules, centrosymmetry), with",
         "inversion centres pinned at the origin (ITA origin choice 2)",
-        "and cubic 3-folds through the origin. See that module for the",
-        "verification semantics; tests/test_spacegroup.py re-verifies",
-        "all 230 groups on every run.",
+        "and cubic 3-folds through the origin. ITA-origin EMBEDDING is",
+        "additionally pinned by WYCKOFF_CONSTRAINTS (famous-structure",
+        "special-position orbit sizes; symbol content alone cannot fix",
+        "the origin, and for enantiomorphic tetragonal groups a",
+        "quarter-turn-conjugated closure even passes symbol checks) and",
+        "SUPERGROUP_CONSTRAINTS (op-subset of a curated supergroup at",
+        "the same origin). See that module for the verification",
+        "semantics; tests/test_spacegroup.py re-verifies all 230 groups",
+        "and the Wyckoff goldens on every run.",
         '"""',
         "",
         "GENERATED_GENERATORS = {",
