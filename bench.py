@@ -344,6 +344,17 @@ def work(status_path: Path) -> None:
     # would be killed by the parent's deadline anyway, losing nothing.
     compile_cheap = compile_box["seconds"] < 120.0
     if compile_cheap or os.environ.get("KP_BENCH_FULL"):
+        # Refinement first: the driver-verified SH-refinement figure is
+        # the VERDICT-priority secondary (r3 item 2); preprocess last.
+        try:
+            from tools.bench_refine_sh import bench_refine_sh
+
+            status.state["refine_pps"] = bench_refine_sh()
+            status.write()
+            _log(f"refinement: {status.state['refine_pps']:.0f} patterns/s")
+        except Exception as exc:  # secondary must never kill the bench
+            _log(f"refinement stage skipped: {type(exc).__name__}: {exc}")
+
         try:
             from kikuchipy_tpu.ops import pattern as _ops
 
@@ -372,17 +383,8 @@ def work(status_path: Path) -> None:
             status.state["pre_mbps"] = REPS * raw.size / pre_dt / 1e6
             status.write()
             _log(f"preprocess: {status.state['pre_mbps']:.0f} MB/s")
-        except Exception as exc:  # secondary must never kill the bench
-            _log(f"preprocess stage skipped: {type(exc).__name__}: {exc}")
-
-        try:
-            from tools.bench_refine_sh import bench_refine_sh
-
-            status.state["refine_pps"] = bench_refine_sh()
-            status.write()
-            _log(f"refinement: {status.state['refine_pps']:.0f} patterns/s")
         except Exception as exc:
-            _log(f"refinement stage skipped: {type(exc).__name__}: {exc}")
+            _log(f"preprocess stage skipped: {type(exc).__name__}: {exc}")
 
     _log("worker done")
 

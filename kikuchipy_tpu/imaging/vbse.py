@@ -185,15 +185,17 @@ class VirtualBSEImager:
     def plot_grid(
         self,
         pattern_idx: tuple[int, ...] | None = None,
-        rgb_channels: dict | None = None,
+        rgb_channels: list | dict | None = None,
         visible_indices: bool = True,
         return_figure: bool = False,
     ):
         """Plot a pattern with the tile grid overlaid (reference
         ``imaging/vbse.py:320``); tiles used for R/G/B channels can be
-        highlighted via ``rgb_channels={"r": (0, 0), ...}``.
-        ``visible_indices`` labels each tile with its (row, column)
-        grid index (reference default True)."""
+        highlighted. ``rgb_channels`` takes the reference's ordered
+        list form ``[r_tile, g_tile, b_tile]`` (each a ``(row, col)``
+        tuple, a list of tuples, or None) or a ``{"r": (0, 0), ...}``
+        mapping. ``visible_indices`` labels each tile with its
+        (row, column) grid index (reference default True)."""
         import matplotlib.pyplot as plt
 
         data = np.asarray(self._signal.data)
@@ -217,7 +219,16 @@ class VirtualBSEImager:
                         ha="left", va="top", fontsize=7,
                     )
         colors = {"r": "red", "g": "green", "b": "blue"}
-        for chan, idx in (rgb_channels or {}).items():
+        if isinstance(rgb_channels, dict):
+            chan_tiles = list(rgb_channels.items())
+        else:
+            chan_tiles = []
+            for chan, idx in zip("rgb", rgb_channels or []):
+                if idx is None:
+                    continue
+                tiles = idx if isinstance(idx, list) else [idx]
+                chan_tiles.extend((chan, t) for t in tiles)
+        for chan, idx in chan_tiles:
             r0, r1, c0, c1 = self.roi_from_grid(idx)
             ax.add_patch(
                 plt.Rectangle(

@@ -18,13 +18,17 @@ __all__ = ["pca", "pca_reconstruct"]
 
 
 def pca(
-    patterns: jnp.ndarray, components: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    patterns: jnp.ndarray, components: int, return_variance: bool = False
+):
     """PCA of a pattern batch.
 
     Returns ``(factors, loadings, mean)``: ``factors (components, d)``
     are the principal pattern components, ``loadings (n, components)``
-    the per-pattern weights, and ``mean (d,)`` the mean pattern.
+    the per-pattern weights, and ``mean (d,)`` the mean pattern. With
+    ``return_variance``, appends ``(explained_variance,
+    explained_variance_ratio)`` over the kept components (matching the
+    reference/HyperSpy learning-results fields: singular values squared
+    over ``n - 1``, ratio over the TOTAL variance).
     """
     p = jnp.asarray(patterns, dtype=jnp.float32)
     lead = p.shape[:-2]
@@ -37,7 +41,14 @@ def pca(
     k = min(components, s.shape[0])
     factors = vt[:k]
     loadings = u[:, :k] * s[:k]
-    return np.asarray(factors), np.asarray(loadings), np.asarray(mean)
+    out = (np.asarray(factors), np.asarray(loadings), np.asarray(mean))
+    if return_variance:
+        s_np = np.asarray(s)
+        var = s_np**2 / max(n - 1, 1)
+        total = float(var.sum())
+        ratio = var / total if total > 0 else np.zeros_like(var)
+        out = out + (var[:k], ratio[:k])
+    return out
 
 
 def pca_reconstruct(

