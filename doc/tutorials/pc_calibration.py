@@ -105,4 +105,54 @@ tilt = det_fit.estimate_xtilt(degrees=True)
 print("estimated x-tilt (deg):", round(float(tilt), 2))
 assert np.isfinite(tilt)
 
+# %% Orientation dependence of the PC error (the reference's
+# ``pc_orientation_dependence.ipynb``, in miniature with synthetic
+# data): PCs refined by pattern matching carry an orientation-
+# dependent bias, so a good average PC must pool patterns from many
+# DIFFERENT grains. Here: project patterns at several orientations
+# with a known true PC, refine the PC from a deliberately shifted
+# start, and watch the per-orientation estimates scatter around truth.
+import dataclasses
+
+from kikuchipy_tpu.crystallography.crystal_map import CrystalMap
+from kikuchipy_tpu.crystallography.sampling import (
+    reduce_to_fundamental_zone,
+    super_fibonacci,
+)
+
+mp = kp.data.nickel_ebsd_master_pattern_small(
+    projection="lambert", hemisphere="both"
+)
+pc_truth = (0.42, 0.22, 0.50)
+det_t = kp.detectors.EBSDDetector(
+    shape=(48, 48), pc=pc_truth, sample_tilt=70
+)
+rots = reduce_to_fundamental_zone(super_fibonacci(12), "m-3m")
+sim = mp.get_patterns(rots, det_t, dtype_out=np.float32)
+# Real detectors add noise; noise is what makes the refined PC err,
+# and the error direction depends on the band layout — i.e. the
+# orientation.
+pats = np.asarray(sim.data)
+pats = pats + rng.normal(scale=0.35 * pats.std(), size=pats.shape)
+sig = kp.signals.EBSD(data=pats.astype(np.float32), detector=det_t)
+
+det_start = dataclasses.replace(
+    det_t, pc=np.asarray(pc_truth) + [0.01, -0.01, 0.008]
+)
+res = sig.refine_projection_center(
+    xmap=CrystalMap(rotations=rots, shape=(len(rots),)),
+    detector=det_start, master_pattern=mp, energy=20,
+    trust_region=[0.03, 0.03, 0.03], max_iters=40,
+)
+pcs = np.asarray(res.detector.pc).reshape(-1, 3)
+spread = pcs.std(axis=0)
+bias = np.abs(pcs.mean(axis=0) - pc_truth)
+print("per-orientation PC spread:", np.round(spread, 4))
+print("pooled-PC bias:", np.round(bias, 4))
+# Individual estimates scatter with orientation, but POOLING across
+# orientations recovers the true PC much better than typical single-
+# orientation errors — the tutorial's point.
+assert bias.max() < np.abs(pcs - pc_truth).max()
+assert bias.max() < 0.01
+
 print("pc_calibration tutorial OK")

@@ -1,15 +1,22 @@
-"""Pre-compile bench.py's production DI program and serialize the
-executable to ``.jax_cache/bench_di_exec.pkl`` (committed to the repo).
+"""Pre-compile bench.py's three device programs and serialize the
+executables to ``.jax_cache/bench_{gen,gate,main}_exec.pkl``
+(committed to the repo, shared metadata in ``bench_exec.meta.json``).
 
 The axon backend ignores the local persistent compilation cache (every
 compile goes to a remote service: ~6 min even for trivial programs on
-a bad day), so shipping the serialized executable is the only reliable
+a bad day), so shipping serialized executables is the only reliable
 way for the driver's ``bench.py`` run to measure without waiting on
-the compile service. ``bench.py --worker`` validates the stored
-metadata (jax version, device kind, benchmark shape) and falls back to
-a live AOT compile on mismatch.
+the compile service. The three programs (see ``bench._def_programs``):
 
-Run on the target machine: ``python tools/warm_bench_exec.py``.
+- ``gen``  — on-device operand generation + NCC preparation (the
+  tunnel has been measured as low as ~2 MB/s, so the 1.7 GB operand
+  upload had to go);
+- ``gate`` — exact f32-HIGHEST reference scores for the gate rows;
+- ``main`` — the production f16 + transposed-group-top-k DI program.
+
+``bench.py --worker`` validates the stored metadata (jax version,
+device kind, benchmark shape) and falls back to live compiles on
+mismatch. Run on the target machine: ``python tools/warm_bench_exec.py``.
 """
 
 import json
@@ -21,56 +28,45 @@ from pathlib import Path
 _REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(_REPO))
 
+import numpy as np
+
 import jax
-import jax.numpy as jnp
 from jax.experimental import serialize_executable as se
 
 import bench
-from kikuchipy_tpu.indexing.di import _index_resident
 
 
 def main() -> None:
-    out = bench._EXEC_PKL
-    out.parent.mkdir(exist_ok=True)
+    out_dir = _REPO / ".jax_cache"
+    out_dir.mkdir(exist_ok=True)
     print(f"devices: {jax.devices()}", flush=True)
-    t = time.monotonic()
-    lowered = _index_resident.lower(
-        jax.ShapeDtypeStruct((bench.N, bench.D), jnp.float32),
-        jax.ShapeDtypeStruct((bench.M, bench.D), jnp.float32),
-        keep_n=bench.KEEP_N, tile=bench.TILE,
-        precision=bench.PRECISION, approx=bench.APPROX,
-    )
-    compiled = lowered.compile()
-    print(f"compile() returned in {time.monotonic() - t:.1f}s", flush=True)
+
+    make_operands, gate_exact, main_fn, combined = bench._def_programs()
+
     # compile() can return before the remote service has produced the
-    # binary (observed: trivial program "compiled" in 0.5 s but its
-    # first execution took 323 s); force one execution so the
-    # serialized payload definitely contains the final executable.
-    import numpy as np
+    # binary (observed: "compiled" in 0.5 s, first execution 323 s);
+    # executing each program before serializing guarantees the payload
+    # contains the final executable — and chains naturally: combined's
+    # operand outputs feed gate.
+    t = time.monotonic()
+    c_comb = combined.lower(jax.ShapeDtypeStruct((), np.int32)).compile()
+    acc, s, i, exp, dic = c_comb(np.int32(0))
+    float(np.asarray(acc))
+    print(f"combined compiled+run in {time.monotonic() - t:.1f}s", flush=True)
 
     t = time.monotonic()
-    ze = jax.device_put(np.zeros((bench.N, bench.D), np.float32))
-    zd = jax.device_put(np.zeros((bench.M, bench.D), np.float32))
-    print(f"zero operands uploaded in {time.monotonic() - t:.1f}s", flush=True)
-    t = time.monotonic()
-    s, i = compiled(ze, zd)
+    c_gate = gate_exact.lower(exp, dic).compile()
+    s, i = c_gate(exp, dic)
     np.asarray(s)
-    print(f"first execution in {time.monotonic() - t:.1f}s", flush=True)
-    payload = se.serialize(compiled)  # (bytes, in_tree, out_tree)
-    out.write_bytes(pickle.dumps(payload))
-    meta = {
-        "jax": jax.__version__,
-        "device": jax.devices()[0].device_kind,
-        "shape": [
-            bench.N, bench.M, bench.D, bench.KEEP_N, bench.TILE,
-            bench.PRECISION, bench.APPROX,
-        ],
-    }
-    out.with_suffix(".meta.json").write_text(json.dumps(meta))
-    print(
-        f"wrote {out} ({out.stat().st_size / 1e6:.2f} MB) + metadata {meta}",
-        flush=True,
-    )
+    print(f"gate compiled+run in {time.monotonic() - t:.1f}s", flush=True)
+
+    for name, compiled in (("combined", c_comb), ("gate", c_gate)):
+        pkl = out_dir / f"bench_{name}_exec.pkl"
+        pkl.write_bytes(pickle.dumps(se.serialize(compiled)))
+        print(f"wrote {pkl} ({pkl.stat().st_size / 1e6:.2f} MB)", flush=True)
+    meta = bench._expected_meta()
+    (out_dir / "bench_exec.meta.json").write_text(json.dumps(meta))
+    print(f"metadata: {meta}", flush=True)
 
 
 if __name__ == "__main__":
