@@ -101,25 +101,51 @@ def supervise() -> None:
         [sys.executable, str(Path(__file__).resolve()), "--worker", str(status)],
         start_new_session=True,
     )
+
+    last_printed = [None]
+
+    def print_newest() -> None:
+        """Print the newest figure the moment it exists (re-printed on
+        every update; the driver takes the LAST line) — so the figure
+        survives even an external timeout shorter than our deadline."""
+        try:
+            text = status.read_text()
+            line = json.loads(text)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return
+        if text != last_printed[0]:
+            last_printed[0] = text
+            print(json.dumps(line), flush=True)
+
+    def reap(signum=None, frame=None) -> None:
+        try:
+            os.killpg(child.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        child.wait()
+        print_newest()
+        if last_printed[0] is None:
+            _log("no figure was measured")
+        os._exit(0)
+
+    # An external `timeout` TERMs only this parent; flush the figure
+    # and clean up the worker before dying.
+    signal.signal(signal.SIGTERM, reap)
+    signal.signal(signal.SIGINT, reap)
+
     deadline = _T0 + _BUDGET_S
     while True:
         done = child.poll() is not None
-        if done or time.monotonic() >= deadline:
-            if not done:
-                _log("deadline reached; killing worker process group")
-                try:
-                    os.killpg(child.pid, signal.SIGKILL)
-                except ProcessLookupError:
-                    pass
-                child.wait()
+        print_newest()
+        if done:
             break
+        if time.monotonic() >= deadline:
+            _log("deadline reached; killing worker process group")
+            reap()
         time.sleep(2.0)
-    try:
-        line = json.loads(status.read_text())
-    except (FileNotFoundError, json.JSONDecodeError):
+    print_newest()
+    if last_printed[0] is None:
         _log("no figure was measured before the deadline")
-        return
-    print(json.dumps(line), flush=True)
 
 
 # --------------------------------------------------------------------
