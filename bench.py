@@ -1,20 +1,21 @@
-"""Benchmark: dictionary-indexing throughput (patterns/sec/chip).
+"""Benchmark: the three BASELINE figures on one chip, driver-capturable.
 
-Mirrors BASELINE.json's headline metric: NCC dictionary indexing of
-60x60 patterns against a 100k-entry dictionary (plus secondary
-preprocess MB/s and refinement patterns/s figures when time allows).
+Mirrors BASELINE.json's metric ("DI patterns/s/chip; preprocess
+MB/s/chip") plus the refinement figure the round-3 verdict demanded:
+
+1. dictionary indexing patterns/s/chip — NCC, 16384 x 100k x 3600,
+   keep_n=20 (reference reporting: ``/root/reference/src/kikuchipy/
+   indexing/_dictionary_indexing.py:130-139``);
+2. preprocess MB/s/chip — uint8 static + dynamic background removal
+   (reference ``benchmarks/preprocessing``);
+3. SH-LM refinement patterns/s/chip at the <0.8 deg criterion
+   (reference ``benchmarks/indexing/test_refinement.py:74-85``).
+
 The baseline is the reference's CPU execution model (threaded float32
-matmul + top-k, as in ``/root/reference/src/kikuchipy/indexing/
-_dictionary_indexing.py:130-139``) measured on a dictionary subsample —
-the reference itself is not runnable in this image (hyperspy/numba
-absent).
+matmul + top-k) measured on a dictionary subsample — the reference
+itself is not runnable in this image (hyperspy/numba absent).
 
-Survival architecture (VERDICT r3 item 1 — the driver captured no
-number in rounds 2-3; post-mortem in this round found WHY: the axon
-backend ignores the local persistent compilation cache, every compile
-goes to a remote service that on a bad day takes ~6 min for even a
-trivial program, and a signal-based in-process deadline cannot fire
-while the main thread is blocked inside that compile):
+Survival architecture (rounds 2-4 post-mortems, BENCH_NOTES.md):
 
 - PARENT/CHILD split. The parent (this file, default mode) spawns the
   worker (``--worker``) in its own process group, polls a status file,
@@ -22,28 +23,28 @@ while the main thread is blocked inside that compile):
   the group and prints the latest measured JSON line. The parent never
   touches jax, so nothing can block it; it always exits 0.
 - PRECOMPILED EXECUTABLES: the worker loads the committed programs
-  (``.jax_cache/bench_{combined,gate}_exec.pkl``, built in-repo by
-  ``tools/warm_bench_exec.py`` via
+  (``.jax_cache/bench_{combined,gate,refine,preprocess}_exec.pkl``,
+  built in-repo by ``tools/warm_bench_exec.py`` via
   jax.experimental.serialize_executable, content-hash-validated).
   Fallback on mismatch: live compiles, bounded by the parent deadline.
-- ONE program on the critical path: even a deserialized executable
-  pays a first-execution cost proportional to its size (the runtime
-  ships the binary at tunnel speed; the compile-service cache goes
-  cold in ~10 min, so pre-warming cannot span the driver boundary).
-  The ``combined`` program is generation + REPS_DEVICE chained DI
-  passes in one executable.
-- TRANSFER-FREE measurement: operands are GENERATED ON DEVICE (the
-  tunnel has been measured as low as ~0.5-2.4 MB/s — the former
-  1.7 GB operand upload took 12 minutes on a bad day); completion is
-  an 8-byte checksum readback. The figure is validated by a host
-  mini-gate on real readbacks (planted-match top-1 + scores vs host
-  dot products) before it is written, then by the exact f32-HIGHEST
-  on-device gate over all keep_n ranks.
+- SMALL BINARIES: a deserialized executable's first execution ships the
+  binary server-side at tunnel speed (161 MB -> 244-953 s measured).
+  Round 4's 165 MB combined program was the group-top-k's major-axis
+  reduce scalarizing (~3 KB of code PER OUTPUT TILE); the streaming
+  fold in ``indexing/di.py:_group_topk_T`` brings the whole combined
+  program to a few MB (tools/probe_codesize{,2,3}.py), so ALL stages
+  fit in the budget.
+- TRANSFER-FREE DI measurement: operands are GENERATED ON DEVICE (the
+  tunnel has been measured as low as ~0.5-2.4 MB/s); completion is an
+  8-byte checksum readback. The figure is validated by a host
+  mini-gate on real readbacks of the gate-row slices the program
+  itself returns (no host-side slicing programs), then by the exact
+  f32-HIGHEST on-device gate over all keep_n ranks.
 - The primary DI figure is durable from the first timing pass;
-  later passes/stages only update it (the parent prints the newest).
-- Secondary stages (SH refinement, preprocess MB/s) are always
-  attempted after the figure is durable; a slow compile there is cut
-  off by the parent deadline, losing only the extras.
+  later passes/stages only add to it (the parent prints the newest).
+- Secondary stages (SH refinement, preprocess) run AFTER the DI figure
+  is durable, from their own committed executables; each validates
+  against an independent host/CPU oracle before its figure is added.
 
 Measurement model: production DI indexes a scan as many batches, so
 the steady-state number is pipelined batch throughput — 3 pipelined
@@ -52,7 +53,9 @@ completion readback (device execution is in-order). Generation,
 dispatch, and the readback RTT are all inside the measured wall.
 
 Prints ONE JSON line:
-``{"metric": ..., "value": N, "unit": "patterns/s", "vs_baseline": N}``
+``{"metric": ..., "value": N, "unit": "patterns/s", "vs_baseline": N,
+"preprocess_mbps": N, "refine_pps": N}`` (the last two appear once
+measured).
 """
 
 import json
@@ -70,7 +73,7 @@ _BUDGET_S = float(os.environ.get("KP_BENCH_BUDGET_S", "1020"))
 _REPO = Path(__file__).resolve().parent
 
 # Benchmark configuration (shared by tools/warm_bench_exec.py so the
-# serialized executable matches exactly).
+# serialized executables match exactly).
 N = int(os.environ.get("KP_BENCH_N", 16384))    # patterns per batch
 M = int(os.environ.get("KP_BENCH_M", 100_000))  # dictionary entries
 SY = SX = 60
@@ -81,6 +84,28 @@ REPS = 4          # pipelined batches per host-dispatched timing pass
 REPS_DEVICE = 16  # chained DI passes inside the combined program
 N_GATE = min(256, N)
 PRECISION, APPROX = "f16", True  # persisted winner (BENCH_NOTES r2)
+
+# Refinement stage (SH-LM, round-4 sweep winner with accuracy margin).
+N_REF = int(os.environ.get("KP_BENCH_N_REF", 16384))
+SH_L = 80
+REFINE_ITERS = 9
+REFINE_TR_DEG = 6.0
+PERTURB_DEG = 2.0
+
+# Preprocess stage (uint8 static+dynamic background).
+N_PRE = int(os.environ.get("KP_BENCH_N_PRE", 16384))
+REPS_PRE = 16
+
+
+def _config_tuple():
+    """EVERY value the device programs close over: a change to any of
+    these must invalidate the committed executables (advisor r4: a
+    REPS_DEVICE change silently mis-scaled the figure otherwise)."""
+    return [
+        N, M, D, KEEP_N, TILE, PRECISION, APPROX, N_GATE, REPS_DEVICE,
+        N_REF, SH_L, REFINE_ITERS, REFINE_TR_DEG, PERTURB_DEG,
+        N_PRE, REPS_PRE,
+    ]
 
 
 def _log(msg: str) -> None:
@@ -207,6 +232,10 @@ class _Status:
             "unit": "patterns/s",
             "vs_baseline": round(s["vs_baseline"], 2),
         }
+        if s["pre_mbps"]:
+            line["preprocess_mbps"] = round(s["pre_mbps"], 1)
+        if s["refine_pps"]:
+            line["refine_pps"] = round(s["refine_pps"], 1)
         tmp = self.path.with_suffix(".tmp")
         tmp.write_text(json.dumps(line))
         tmp.replace(self.path)
@@ -221,18 +250,26 @@ class _Status:
 
 def _program_hash() -> str:
     """Content hash tying the serialized executables to the EXACT
-    program sources: this file's program definitions and the
-    production DI kernel module. A changed kernel invalidates the
-    pickles (live compiles instead), so the bench can never silently
-    measure a stale executable of an old production path."""
+    program sources: this file's program definitions and every
+    production module the programs trace through. A changed kernel
+    invalidates the pickles (live compiles instead), so the bench can
+    never silently measure a stale executable of an old production
+    path."""
     import hashlib
     import inspect
 
     import kikuchipy_tpu.indexing.di as di
+    import kikuchipy_tpu.indexing.refinement as refinement
+    import kikuchipy_tpu.ops.fft_barnes as fft_barnes
+    import kikuchipy_tpu.ops.pattern as ops_pattern
+    import kikuchipy_tpu.projection.spherical as spherical
+    import kikuchipy_tpu.utils.optimize as optimize
 
     h = hashlib.md5()
-    h.update(inspect.getsource(_def_programs).encode())
-    h.update(Path(di.__file__).read_bytes())
+    for fn in (_def_programs, _def_refine_program, _def_preprocess_program):
+        h.update(inspect.getsource(fn).encode())
+    for mod in (di, refinement, spherical, optimize, ops_pattern, fft_barnes):
+        h.update(Path(mod.__file__).read_bytes())
     return h.hexdigest()
 
 
@@ -242,15 +279,15 @@ def _expected_meta():
     return {
         "jax": jax.__version__,
         "device": jax.devices()[0].device_kind,
-        "shape": [N, M, D, KEEP_N, TILE, PRECISION, APPROX, N_GATE],
+        "shape": _config_tuple(),
         "programs": _program_hash(),
     }
 
 
 def _load_precompiled(name: str):
     """Deserialize a committed executable (``.jax_cache/bench_<name>_
-    exec.pkl``); None if absent or incompatible (jax/device/shape
-    metadata checked, shared across the three bench programs)."""
+    exec.pkl``); None if absent or incompatible (jax/device/config
+    metadata checked, shared across the bench programs)."""
     import pickle
 
     from jax.experimental import serialize_executable as se
@@ -276,13 +313,12 @@ def _load_precompiled(name: str):
 
 
 # --------------------------------------------------------------------
-# The three device programs (also AOT-compiled + serialized by
-# tools/warm_bench_exec.py). Operands are GENERATED ON DEVICE: the
-# tunnel in this environment has been measured as low as ~2 MB/s, so
-# uploading the 1.7 GB operands could alone exceed the driver's
-# budget; generation + an on-device exact gate reference make the
-# bench transfer-free (only keep_n results and two 3.7 MB validation
-# slices ever cross the link).
+# Device programs (AOT-compiled + serialized by tools/warm_bench_exec.
+# py). Operands are GENERATED ON DEVICE: the tunnel in this environment
+# has been measured as low as ~2 MB/s, so uploading the 1.7 GB DI
+# operands could alone exceed the driver's budget; generation + an
+# on-device exact gate reference make the DI bench transfer-free (only
+# keep_n results and the two 3.7 MB gate-row slices cross the link).
 # --------------------------------------------------------------------
 
 def _planted_indices() -> np.ndarray:
@@ -298,17 +334,13 @@ def _def_programs():
 
     from kikuchipy_tpu.indexing.di import _index_resident
 
-    def _uniform(base: int, seed, shape):
-        """Counter-hash uniforms in [-1, 1) (murmur3-style finalizer
-        over DISJOINT counter ranges per array — an offset-overlapping
-        stream would plant phantom shifted-copy correlations between
-        the operands). Chosen over jax.random's threefry NOT for speed
-        of execution (threefry runs this size in ~0.1 s) but for
+    def _hash_u32(base: int, seed, n: int):
+        """murmur3-style finalizer over DISJOINT counter ranges per
+        array — an offset-overlapping stream would plant phantom
+        shifted-copy correlations between the operands. Chosen over
+        jax.random's threefry NOT for speed of execution but for
         COMPILE cost: the remote compile service charges by HLO
-        complexity, and this is a handful of fused elementwise ops.
-        Statistical quality beyond decorrelation is irrelevant to a
-        matmul benchmark."""
-        n = int(np.prod(shape))
+        complexity, and this is a handful of fused elementwise ops."""
         seed_u = jnp.asarray(seed).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
         x = jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(base)
         x = x ^ seed_u
@@ -318,6 +350,13 @@ def _def_programs():
         x = x ^ (x >> 15)
         x = x * jnp.uint32(0x846CA68B)
         x = x ^ (x >> 16)
+        return x
+
+    def _uniform(base: int, seed, shape):
+        """Counter-hash uniforms in [-1, 1). Statistical quality beyond
+        stream decorrelation is irrelevant to a matmul benchmark."""
+        n = int(np.prod(shape))
+        x = _hash_u32(base, seed, n)
         return (x.astype(jnp.float32) / jnp.float32(2**31) - 1.0).reshape(
             shape
         )
@@ -341,14 +380,19 @@ def _def_programs():
         return prep(exp), prep(dic)
 
     @jax.jit
-    def gate_exact(exp_prepared, dict_prepared):
+    def gate_exact(seed):
         """Exact (f32 HIGHEST + exact top-k) reference scores for the
-        gate rows — the on-device stand-in for the old host reference
-        (itself cross-checked against a host readback, see work())."""
-        return _index_resident(
-            exp_prepared[:N_GATE], dict_prepared, KEEP_N, TILE,
-            "highest", False,
+        gate rows. REGENERATES the operands from the seed (bit-identical
+        elementwise integer program), so the combined program need not
+        return the 1.7 GB operand buffers; the host cross-checks the
+        regenerated stream against the combined program's own gate-row
+        readbacks (planted scores to 1e-4) before trusting it."""
+        exp, dic = make_operands(seed)
+        s, i = _index_resident(
+            exp[:N_GATE], dic, KEEP_N, TILE, "highest", False,
         )
+        planted = jnp.asarray(_planted_indices())
+        return s, i, exp[:N_GATE], dic[planted]
 
     @jax.jit
     def main(exp_prepared, dict_prepared):
@@ -358,21 +402,14 @@ def _def_programs():
 
     @jax.jit
     def combined(seed):
-        """The whole primary measurement as ONE program — the remote
-        compile service charges a large, size-independent cost PER
-        PROGRAM (measured 230-900 s regardless of complexity, even
-        for a deserialized executable whose server-side cache entry
-        has gone cold), so the critical path to a figure must compile
-        exactly once. Generates operands, then runs REPS_DEVICE
-        chained DI passes; each pass's input gets an index-dependent
-        1e-7 tweak and contributes to a checksum so XLA can neither
-        hoist the passes as loop-invariant nor dead-code the
-        non-final ones. Returns (checksum, last scores/indices,
-        operands) — everything except the scalar checksum stays on
-        device; the host times the call end-to-end by reading the
-        checksum (8 bytes, tunnel-proof) and divides by
-        REPS_DEVICE * N (conservative: the wall includes generation,
-        dispatch, and the readback)."""
+        """The whole primary measurement as ONE program: generates
+        operands, then runs REPS_DEVICE chained DI passes; each pass's
+        input gets an index-dependent 1e-7 tweak and contributes to a
+        checksum so XLA can neither hoist the passes as loop-invariant
+        nor dead-code the non-final ones. Returns (checksum, last
+        scores/indices, exp gate rows, planted dict rows) — the gate
+        slices are program OUTPUTS so the host mini-gate needs no
+        fresh slicing programs (each would be a remote compile)."""
         exp, dic = make_operands(seed)
 
         def body(carry, k):
@@ -382,11 +419,7 @@ def _def_programs():
             return (acc + s[0, 0].astype(jnp.float32), s, i), None
 
         # Zeros-init with the DI pass's exact output structure
-        # (eval_shape: abstract, no second compiled copy of the pass —
-        # an unrolled init pass doubled the executable, and the
-        # first-execution cost of a DESERIALIZED executable is
-        # proportional to its size: the runtime ships the binary to
-        # the server at ~tunnel speed).
+        # (eval_shape: abstract, no second compiled copy of the pass).
         s_shape, i_shape = jax.eval_shape(
             lambda e, d: _index_resident(
                 e, d, KEEP_N, TILE, PRECISION, APPROX
@@ -401,9 +434,156 @@ def _def_programs():
         (acc, s, i), _ = jax.lax.scan(
             body, init, jnp.arange(REPS_DEVICE, dtype=jnp.float32)
         )
-        return acc, s, i, exp, dic
+        planted = jnp.asarray(_planted_indices())
+        return acc, s, i, exp[:N_GATE], dic[planted]
 
     return make_operands, gate_exact, main, combined
+
+
+def _def_refine_program():
+    """SH-LM orientation refinement as one serializable program.
+
+    Matches the production path (``indexing/refinement.py:
+    _refine_orientation_spherical``, method="lm"): same residual, same
+    solver, same L/iteration budget as the round-4 sweep winner. The
+    heavy inputs stay tiny: the 9 real nickel base patterns tile to
+    N_REF ON DEVICE; only the SH coefficients, Wigner tables, and the
+    synthesis basis (~95 MB, uploaded once per worker run) cross the
+    tunnel. Returns (checksum, refined quaternions) — the host gates
+    the figure on the reference's <0.8 deg criterion
+    (``/root/reference/benchmarks/indexing/test_refinement.py:74-85``)
+    against the stored-truth orientations.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from kikuchipy_tpu.geometry import quaternion as quat
+    from kikuchipy_tpu.indexing.refinement import (
+        _exp_map,
+        _prepare_experimental,
+        _residual_orientation_delta_sh,
+        _unit_rows,
+    )
+    from kikuchipy_tpu.projection.spherical import wigner_tables
+    from kikuchipy_tpu.utils.optimize import levenberg_marquardt_batched
+
+    tables = wigner_tables(SH_L)
+    bounds = tables.group_bounds
+    max_norm = float(np.deg2rad(REFINE_TR_DEG))
+
+    @jax.jit
+    def refine(base9, truth9, dq, coeffs, t_groups, m_onehot, sigma, basis):
+        reps = -(-N_REF // base9.shape[0])
+        pats = jnp.tile(base9, (reps, 1))[:N_REF]
+        truth = jnp.tile(truth9, (reps, 1))[:N_REF]
+        exp, _ = _prepare_experimental(pats[:, None, :], None)
+        q0 = quat.multiply(dq, truth).astype(jnp.float32)
+        mat00 = quat.to_matrix(quat.conjugate(q0))
+        use_id = jnp.abs(mat00[..., 2, 2]) <= 0.65
+        res = levenberg_marquardt_batched(
+            _residual_orientation_delta_sh,
+            jnp.zeros((N_REF, 3), dtype=jnp.float32),
+            max_iters=REFINE_ITERS,
+            ftol=1e-5,
+            blocks=((3, max_norm),),
+            args=(
+                q0, use_id, _unit_rows(exp), coeffs, t_groups, m_onehot,
+                sigma, basis,
+            ),
+            static_args=(SH_L, bounds, "default"),
+        )
+        q_ref = quat.multiply(q0, _exp_map(res.x))
+        return jnp.sum(res.x), q_ref
+
+    return refine
+
+
+def _refine_inputs():
+    """Host-side refine-stage inputs (all small except the basis)."""
+    import jax.numpy as jnp
+
+    import kikuchipy_tpu as kp
+    from kikuchipy_tpu.geometry import quaternion as quat
+    from kikuchipy_tpu.projection.spherical import wigner_tables
+
+    raw = kp.data.nickel_ebsd_small()
+    s0 = raw.remove_static_background().remove_dynamic_background()
+    base9 = np.asarray(s0.data).reshape(9, D).astype(np.float32)
+    truth9 = np.asarray(raw.xmap.best_rotations).astype(np.float32)
+
+    rng = np.random.default_rng(0)
+    axes = rng.normal(size=(N_REF, 3))
+    axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+    dq = np.asarray(
+        quat.from_axis_angle(jnp.asarray(axes), np.deg2rad(PERTURB_DEG))
+    ).astype(np.float32)
+
+    mp = kp.data.nickel_ebsd_master_pattern_small(
+        projection="lambert", hemisphere="both"
+    )
+    proj = mp.spherical_projector(energy=20, L=SH_L)
+    det = raw.detector
+    import dataclasses
+
+    from kikuchipy_tpu.projection.master_pattern import (
+        direction_cosines_from_detector,
+    )
+
+    det1 = dataclasses.replace(det, pc=det.pc_average.reshape(1, 3))
+    dc = np.asarray(direction_cosines_from_detector(det1))
+    basis = np.asarray(proj.synthesis_basis(dc))
+    tables = wigner_tables(SH_L)
+    t_groups, m_onehot, sigma = tables.device_arrays()
+    # t_groups is a PYTREE (tuple of per-group matrices with different
+    # shapes); keep the structure — jit/AOT handle pytree args.
+    t_groups = tuple(np.asarray(g) for g in t_groups)
+    coeffs = np.asarray(proj.coeffs)
+    return (
+        base9, truth9, dq, coeffs, t_groups,
+        np.asarray(m_onehot), np.asarray(sigma), basis,
+    )
+
+
+def _def_preprocess_program():
+    """uint8 static+dynamic background removal as one serializable
+    program: generates a raw uint8 batch on device, chains REPS_PRE
+    passes (input tweaked per pass; every pass feeds the checksum), and
+    returns sample rows for an independent CPU-oracle equality gate."""
+    import jax
+    import jax.numpy as jnp
+
+    from kikuchipy_tpu.ops import pattern as _ops
+
+    @jax.jit
+    def preprocess(seed):
+        seed_u = jnp.asarray(seed).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+        x = jnp.arange(N_PRE * D + D, dtype=jnp.uint32) ^ seed_u
+        x = x * jnp.uint32(2654435761)
+        x = x ^ (x >> 16)
+        x = x * jnp.uint32(0x7FEB352D)
+        x = x ^ (x >> 15)
+        raw = (x[: N_PRE * D] % 254 + 1).astype(jnp.uint8).reshape(
+            N_PRE, SY, SX
+        )
+        static_bg = (x[N_PRE * D :] % 254 + 1).astype(jnp.uint8).reshape(
+            SY, SX
+        )
+
+        def one(r):
+            y = _ops.remove_static_background(r, static_bg)
+            return _ops.remove_dynamic_background(y)
+
+        def body(acc, k):
+            r = raw + k.astype(jnp.uint8)
+            y = one(r)
+            return acc + y[0, 0, 0].astype(jnp.float32), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.float32(0.0), jnp.arange(REPS_PRE, dtype=jnp.uint32)
+        )
+        return acc, raw[:8], one(raw)[:8], static_bg
+
+    return preprocess
 
 
 def work(status_path: Path) -> None:
@@ -423,27 +603,17 @@ def work(status_path: Path) -> None:
     base_pps = _baseline_cpu_pps()
     _log(f"CPU baseline: {base_pps:.1f} patterns/s")
 
-    # Critical path = ONE program (see combined in _def_programs):
-    # even a deserialized executable pays one server-side step at its
-    # first execution when the compile service's cache has gone cold
-    # (measured: 434 s cold, 0.1 s warm, size-independent), so the
-    # first figure depends on exactly one such step. The exact-gate
-    # program (keep_n-depth validation) runs AFTER the figure is
-    # durable; the figure itself is validated by a host-side top-1
-    # gate on real readbacks.
+    # Critical path = ONE program (see combined in _def_programs).
     seed = np.int32(0)
 
     def combined_call(k_pipelined: int = 1):
         """Enqueue k back-to-back executions (the device queue is
         in-order) and read the LAST checksum: one tunnel round-trip
-        amortized over k * REPS_DEVICE passes — the RTT alone is
-        0.1-1 s when the tunnel degrades, which would otherwise
-        pollute a ~2 s measurement."""
+        amortized over k * REPS_DEVICE passes."""
         t0 = time.perf_counter()
         outs = [run_combined(seed) for _ in range(k_pipelined)]
         float(np.asarray(outs[-1][0]))  # 8-byte completion readback
-        acc, s, i, exp, dic = outs[-1]
-        return time.perf_counter() - t0, (s, i, exp, dic)
+        return time.perf_counter() - t0, outs[-1][1:]
 
     dt, outs = combined_call()
     _log(f"combined program's first execution: {dt:.1f}s")
@@ -451,20 +621,21 @@ def work(status_path: Path) -> None:
     for _ in range(3):
         dt, outs = combined_call(k_pipelined=3)
         best_dt = min(best_dt, dt)
-    s_dev, i_dev, exp_prepared, dict_prepared = outs
+    s_dev, i_dev, exp_gate_dev, dic_gate_dev = outs
     best = 3 * REPS_DEVICE * N / best_dt
     _log(f"steady-state: {best:.0f} patterns/s "
          f"(3x{REPS_DEVICE} on-device passes, incl. generation+dispatch)")
 
     # Host mini-gate on REAL readbacks: the planted rows must win
     # top-1 and their scores must match host dot products of the
-    # actual prepared operands (bounds generation + preparation + the
-    # selection matmul; 1e-3 covers the f16 materialization, 2.44e-4).
+    # gate-row slices the program returned (bounds generation +
+    # preparation + the selection matmul; 1e-3 covers the f16
+    # materialization, 2.44e-4).
     planted = _planted_indices()
-    s = np.asarray(s_dev[:N_GATE])
-    i = np.asarray(i_dev[:N_GATE])
-    exp_g = np.asarray(exp_prepared[:N_GATE])
-    dic_g = np.asarray(dict_prepared[planted])
+    s = np.asarray(s_dev)[:N_GATE]
+    i = np.asarray(i_dev)[:N_GATE]
+    exp_g = np.asarray(exp_gate_dev)
+    dic_g = np.asarray(dic_gate_dev)
     host_planted = np.einsum("ij,ij->i", exp_g, dic_g)
     norms_ok = (
         np.abs(np.linalg.norm(exp_g, axis=1) - 1).max() < 1e-5
@@ -477,15 +648,6 @@ def work(status_path: Path) -> None:
     )
     _log(f"host mini-gate (top-1 + planted scores): {'OK' if mini_ok else 'FAILED'}")
 
-    def timed_pps() -> float:
-        """Exact-tier fallback timing: REPS host-pipelined batches,
-        completion via the last (small) result readback."""
-        t0 = time.perf_counter()
-        outs = [run(exp_prepared, dict_prepared) for _ in range(REPS)]
-        np.asarray(outs[-1][0])
-        np.asarray(outs[-1][1])
-        return REPS * N / (time.perf_counter() - t0)
-
     config = f"precision={PRECISION}, approx_topk={APPROX}"
     if mini_ok:
         status.state["config"] = config
@@ -497,53 +659,74 @@ def work(status_path: Path) -> None:
             f"({best / base_pps:.0f}x baseline)"
         )
 
-    # Full exact gate (f32-HIGHEST + exact top-k on device, itself
-    # cross-checked against the host planted scores): validates all
-    # keep_n ranks. One more first-execution; the figure above stays
-    # durable even if the parent's deadline lands here.
-    ref_scores, ref_idx = (np.asarray(x) for x in
-                           gate_fn(exp_prepared, dict_prepared))
+    # Full exact gate (f32-HIGHEST + exact top-k on device, operands
+    # regenerated from the seed and cross-checked against the combined
+    # program's own gate-row readbacks): validates all keep_n ranks.
+    ref_scores, ref_idx, ref_exp_g, ref_dic_g = (
+        np.asarray(x) for x in gate_fn(seed)
+    )
+    regen_ok = (
+        np.abs(ref_exp_g - exp_g).max() < 1e-6
+        and np.abs(ref_dic_g - dic_g).max() < 1e-6
+    )
     err_ref = np.abs(host_planted - ref_scores[:, 0]).max()
-    if not ((ref_idx[:, 0] == planted).all() and err_ref < 1e-4):
-        _log("exact gate reference inconsistent with host — "
-             "keeping the mini-gated figure, skipping extras")
-        return
+    if not (regen_ok and (ref_idx[:, 0] == planted).all() and err_ref < 1e-4):
+        if mini_ok:
+            _log("exact gate reference inconsistent with host — keeping "
+                 "the mini-gated figure, skipping the exact gate")
+        else:
+            _log("exact gate reference inconsistent with host and the "
+                 "mini-gate FAILED — no figure was written")
+            return
+        gate = True  # mini-gate stands on its own
+    else:
+        def gate_ok(s_chk, i_chk):
+            return bool(
+                (i_chk[:N_GATE, 0] == ref_idx[:, 0]).all()
+                and np.abs(s_chk[:N_GATE] - ref_scores).max() < 1e-3
+            )
 
-    def gate_ok(s, i):
-        return bool(
-            (i[:N_GATE, 0] == ref_idx[:, 0]).all()
-            and np.abs(s[:N_GATE] - ref_scores).max() < 1e-3
-        )
+        gate = gate_ok(s, i)
+        _log(f"exact gate ({PRECISION}+approx, all {KEEP_N} ranks): "
+             f"{'OK' if gate else 'FAILED'}")
+        if gate and not mini_ok:
+            # The mini-gate was too strict (e.g. a readback hiccup) but
+            # the full exact gate vouches for the run.
+            status.state["config"] = config
+            status.state["pps"] = best
+            status.state["vs_baseline"] = best / base_pps
+            status.write()
+            _log(f"primary DI figure (post exact gate): {best:.0f} patterns/s")
 
-    gate = gate_ok(s, i)
-    _log(f"exact gate ({PRECISION}+approx, all {KEEP_N} ranks): "
-         f"{'OK' if gate else 'FAILED'}")
-    if gate and not mini_ok:
-        # The mini-gate was too strict (e.g. a readback hiccup) but
-        # the full exact gate vouches for the run: write the already-
-        # measured figure now.
-        status.state["config"] = config
-        status.state["pps"] = best
-        status.state["vs_baseline"] = best / base_pps
-        status.write()
-        _log(f"primary DI figure (post exact gate): {best:.0f} patterns/s")
     if not gate:
         # Exact-tier fallback: time the production "highest" tier
         # instead and overwrite the figure (correct beats fast).
         _log("falling back to the exact highest tier (one more compile)")
         from kikuchipy_tpu.indexing.di import _index_resident
 
+        import jax.numpy as jnp
+
+        exp_prepared, dict_prepared = make_operands(seed)
+
         def run(e, d):
             return _index_resident(e, d, keep_n=KEEP_N, tile=TILE,
                                    precision="highest", approx=False)
 
-        s, i = (np.asarray(x)[:N_GATE]
-                for x in run(exp_prepared, dict_prepared))
-        if not gate_ok(s, i):
+        s2, i2 = (np.asarray(x)[:N_GATE]
+                  for x in run(exp_prepared, dict_prepared))
+        if not gate_ok(s2, i2):
             _log("exact tier failed the gate too — clearing the figure")
             status.clear()
             return
         status.state["config"] = "precision=highest, approx_topk=False"
+
+        def timed_pps() -> float:
+            t0 = time.perf_counter()
+            outs = [run(exp_prepared, dict_prepared) for _ in range(REPS)]
+            np.asarray(outs[-1][0])
+            np.asarray(outs[-1][1])
+            return REPS * N / (time.perf_counter() - t0)
+
         best = 0.0
         for _ in range(3):
             best = max(best, timed_pps())
@@ -552,58 +735,101 @@ def work(status_path: Path) -> None:
             status.write()
         _log(f"exact-tier DI figure: {best:.0f} patterns/s")
 
-    # Secondary stages: each costs a fresh remote compile. ALWAYS
-    # attempt them — the primary figure is already durable, so a slow
-    # compile here is simply cut off by the parent's deadline, losing
-    # nothing but the extras.
-    if True:
-        # Refinement first: the driver-verified SH-refinement figure is
-        # the VERDICT-priority secondary (r3 item 2); preprocess last.
-        try:
-            from tools.bench_refine_sh import bench_refine_sh
+    # ---------------- Secondary stages (figure already durable) ------
+    try:
+        _refine_stage(status)
+    except Exception as exc:  # secondary must never kill the bench
+        _log(f"refinement stage skipped: {type(exc).__name__}: {exc}")
 
-            status.state["refine_pps"] = bench_refine_sh()
-            status.write()
-            _log(f"refinement: {status.state['refine_pps']:.0f} patterns/s")
-        except Exception as exc:  # secondary must never kill the bench
-            _log(f"refinement stage skipped: {type(exc).__name__}: {exc}")
-
-        try:
-            import jax.numpy as jnp
-
-            from kikuchipy_tpu.ops import pattern as _ops
-
-            rng = np.random.default_rng(0)
-
-            raw = jnp.asarray(
-                rng.integers(1, 255, size=(N, SY, SX), dtype=np.uint8)
-            )
-            static_bg = jnp.asarray(
-                rng.integers(1, 255, size=(SY, SX), dtype=np.uint8)
-            )
-
-            @jax.jit
-            def preprocess(x):
-                x = _ops.remove_static_background(x, static_bg)
-                x = _ops.remove_dynamic_background(x)
-                return x, jnp.sum(x.astype(jnp.float32))
-
-            def preprocess_pass():
-                t0 = time.perf_counter()
-                outs = [preprocess(raw) for _ in range(REPS)]
-                np.asarray(outs[-1][1])
-                return time.perf_counter() - t0
-
-            preprocess_pass()  # compile
-            _log("preprocess compiled")
-            pre_dt = min(preprocess_pass() for _ in range(3))
-            status.state["pre_mbps"] = REPS * raw.size / pre_dt / 1e6
-            status.write()
-            _log(f"preprocess: {status.state['pre_mbps']:.0f} MB/s")
-        except Exception as exc:
-            _log(f"preprocess stage skipped: {type(exc).__name__}: {exc}")
+    try:
+        _preprocess_stage(status)
+    except Exception as exc:
+        _log(f"preprocess stage skipped: {type(exc).__name__}: {exc}")
 
     _log("worker done")
+
+
+def _refine_stage(status: _Status) -> None:
+    import jax
+
+    refine = _load_precompiled("refine") or _def_refine_program()
+    t0 = time.monotonic()
+    inputs = _refine_inputs()
+    _log(f"refine inputs built in {time.monotonic() - t0:.1f}s "
+         f"(basis {inputs[-1].nbytes / 1e6:.0f} MB)")
+
+    def call(k_pipelined=1):
+        t0 = time.perf_counter()
+        outs = [refine(*inputs) for _ in range(k_pipelined)]
+        float(np.asarray(outs[-1][0]))
+        return time.perf_counter() - t0, outs[-1][1]
+
+    dt, q_ref = call()
+    _log(f"refine first execution: {dt:.1f}s")
+    best_dt = min(call(k_pipelined=2)[0] for _ in range(2))
+    pps = 2 * N_REF / best_dt
+
+    # Accuracy gate on the CPU backend (an axon dispatch would be a
+    # fresh remote compile): <0.8 deg max disorientation vs truth.
+    base9, truth9 = inputs[0], inputs[1]
+    reps = -(-N_REF // 9)
+    truth = np.tile(truth9, (reps, 1))[:N_REF]
+    q_np = np.asarray(q_ref)
+    with jax.default_device(jax.devices("cpu")[0]):
+        from kikuchipy_tpu.crystallography.sampling import (
+            disorientation_angle,
+        )
+
+        ang = np.degrees(
+            np.asarray(disorientation_angle(truth, q_np, "m-3m"))
+        )
+    ok = float(ang.max()) < 0.8
+    _log(f"refinement: {pps:.0f} patterns/s, max {ang.max():.3f} deg "
+         f"(<0.8 criterion {'OK' if ok else 'FAILED'})")
+    if ok:
+        status.state["refine_pps"] = pps
+        status.write()
+
+
+def _preprocess_stage(status: _Status) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    pre = _load_precompiled("preprocess") or _def_preprocess_program()
+    seed = np.int32(1)
+
+    def call(k_pipelined=1):
+        t0 = time.perf_counter()
+        outs = [pre(seed) for _ in range(k_pipelined)]
+        float(np.asarray(outs[-1][0]))
+        return time.perf_counter() - t0, outs[-1][1:]
+
+    dt, outs = call()
+    _log(f"preprocess first execution: {dt:.1f}s")
+    best_dt = min(call(k_pipelined=3)[0] for _ in range(3))
+    mbps = 3 * REPS_PRE * N_PRE * D / best_dt / 1e6
+
+    # CPU-oracle gate: the same ops on the returned raw rows must
+    # reproduce the returned processed rows (+-1 gray level at exact
+    # integer rounding boundaries, the documented fastmath tolerance).
+    raw8, out8, bg = (np.asarray(x) for x in outs)
+    with jax.default_device(jax.devices("cpu")[0]):
+        from kikuchipy_tpu.ops import pattern as _ops
+
+        expect = np.asarray(
+            _ops.remove_dynamic_background(
+                _ops.remove_static_background(
+                    jnp.asarray(raw8), jnp.asarray(bg)
+                )
+            )
+        )
+    diff = np.abs(expect.astype(int) - out8.astype(int))
+    ok = diff.max() <= 1 and (diff > 0).mean() < 0.05
+    _log(f"preprocess: {mbps:.0f} MB/s (CPU oracle {'OK' if ok else 'FAILED'}"
+         f", max diff {diff.max()}, frac {float((diff > 0).mean()):.4f})")
+    if ok:
+        status.state["pre_mbps"] = mbps
+        status.write()
 
 
 def main() -> None:

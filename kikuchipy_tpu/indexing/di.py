@@ -199,16 +199,31 @@ def _group_topk_T(simT: jnp.ndarray, k: int, group: int = 32):
     # (probability ~(k/n_groups)^2 per rank — negligible), against
     # ~k/n_groups for top-1-only compression, whose deep-rank drops
     # measurably perturbed keep_n scores on noise-dense data.
-    # Reshape-and-reduce over the leading (group) axis — this is XLA,
-    # not Mosaic, so the 3D view is free and the reductions vectorize
-    # over the (G, n) minor axes.
-    sim3 = simT[: G * group].reshape(group, G, n)
-    j1 = jnp.argmax(sim3, axis=0).astype(jnp.int32)
-    m1 = jnp.max(sim3, axis=0)
-    gid = jnp.arange(group, dtype=jnp.int32)[:, None, None]
-    masked = jnp.where(gid == j1[None], jnp.asarray(-jnp.inf, simT.dtype), sim3)
-    j2 = jnp.argmax(masked, axis=0).astype(jnp.int32)
-    m2 = jnp.max(masked, axis=0)
+    #
+    # Computed as a STREAMING elementwise fold over the `group` static
+    # contiguous row blocks (group g of the interleaved grouping IS the
+    # contiguous block simT[g*G:(g+1)*G]) instead of a reduce over the
+    # major axis of a (group, G, n) view: any major-axis reduce of that
+    # view — even a plain max — scalarizes in the TPU backend into
+    # ~3 KB of code PER OUTPUT TILE, ballooning the binary to ~160 MB
+    # at n=16384 (and binaries ship server-side at tunnel speed on this
+    # stack: 953 s first execution in BENCH_r04). The fold is pure
+    # maximum/select chains that fuse with the matmul epilogue: 5.3 MB,
+    # same semantics incl. first-match tie order
+    # (tools/probe_codesize{,2,3}.py).
+    neg = jnp.asarray(-jnp.inf, simT.dtype)
+    m1 = jnp.full((G, n), neg, simT.dtype)
+    m2 = m1
+    j1 = jnp.zeros((G, n), jnp.int32)
+    j2 = j1
+    for g in range(group):
+        blk = simT[g * G : (g + 1) * G]
+        b1 = blk > m1
+        b2 = ~b1 & (blk > m2)
+        m2 = jnp.where(b1, m1, jnp.where(b2, blk, m2))
+        j2 = jnp.where(b1, j1, jnp.where(b2, g, j2))
+        m1 = jnp.where(b1, blk, m1)
+        j1 = jnp.where(b1, g, j1)
     lane = jnp.arange(G, dtype=jnp.int32)[None, :]
     cand_s = jnp.concatenate(
         [m1.T.astype(jnp.float32), m2.T.astype(jnp.float32)], axis=1

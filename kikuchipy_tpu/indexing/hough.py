@@ -617,53 +617,16 @@ def _refit_orientations(
     return R_out, err, n_in
 
 
-def hough_indexing(
-    signal,
-    phase_list: PhaseList | Phase | None = None,
-    reflectors=None,
-    n_bands: int = 9,
-    n_theta: int = 180,
-    n_rho: int = 96,
-    angle_tol_deg: float = 2.0,
-    min_dspacing: float = 1.0,
-    voltage_kv: float = 20.0,
-    chunk: int = 1024,
-) -> CrystalMap:
-    """Index a scan by Hough band detection and triplet voting.
-
-    Parameters
-    ----------
-    signal
-        :class:`EBSD` signal (preprocessed patterns work best).
-    phase_list
-        Phase (with lattice + space/point group) to index against.
-    reflectors
-        Optional :class:`ReciprocalLatticeVectors`; computed from the
-        phase's lattice when not given.
-
-    Returns
-    -------
-    CrystalMap with rotations, ``fit`` (mean inlier angle error, deg),
-    ``nbands`` (inlier band count), ``band_intensity``, ``band_width``
-    (mean band FWHM in gnomonic units) and ``band_theta`` (per-band
-    first-order Bragg-angle estimates, radians) properties. Band
-    positions are sub-bin refined (:func:`detect_bands_refined`).
-    """
+def _poles_and_lut(
+    phase, reflectors, min_dspacing: float, voltage_kv: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Unique unit reciprocal-lattice poles (``+-g`` collapsed) and the
+    interplanar-angle LUT used by triplet voting; computed from the
+    phase's lattice when ``reflectors`` is not given."""
     from kikuchipy_tpu.crystallography.reciprocal import (
         Lattice,
         ReciprocalLatticeVectors,
     )
-
-    if isinstance(phase_list, Phase):
-        phase = phase_list
-    elif isinstance(phase_list, PhaseList):
-        phase = phase_list[phase_list.ids[0]]
-    else:
-        phase = signal.xmap.phases[0] if signal.xmap else None
-    if phase is None or phase.lattice is None:
-        raise ValueError(
-            "Hough indexing requires a phase with lattice parameters"
-        )
 
     if reflectors is None:
         lattice = phase.lattice
@@ -706,6 +669,55 @@ def hough_indexing(
             np.arccos(np.clip(abs(g_unit[a] @ g_unit[b]), 0, 1))
             for a, b in pairs
         ]
+    )
+    return g_unit, lut_angles, lut_pairs
+
+
+def hough_indexing(
+    signal,
+    phase_list: PhaseList | Phase | None = None,
+    reflectors=None,
+    n_bands: int = 9,
+    n_theta: int = 180,
+    n_rho: int = 96,
+    angle_tol_deg: float = 2.0,
+    min_dspacing: float = 1.0,
+    voltage_kv: float = 20.0,
+    chunk: int = 1024,
+) -> CrystalMap:
+    """Index a scan by Hough band detection and triplet voting.
+
+    Parameters
+    ----------
+    signal
+        :class:`EBSD` signal (preprocessed patterns work best).
+    phase_list
+        Phase (with lattice + space/point group) to index against.
+    reflectors
+        Optional :class:`ReciprocalLatticeVectors`; computed from the
+        phase's lattice when not given.
+
+    Returns
+    -------
+    CrystalMap with rotations, ``fit`` (mean inlier angle error, deg),
+    ``nbands`` (inlier band count), ``band_intensity``, ``band_width``
+    (mean band FWHM in gnomonic units) and ``band_theta`` (per-band
+    first-order Bragg-angle estimates, radians) properties. Band
+    positions are sub-bin refined (:func:`detect_bands_refined`).
+    """
+    if isinstance(phase_list, Phase):
+        phase = phase_list
+    elif isinstance(phase_list, PhaseList):
+        phase = phase_list[phase_list.ids[0]]
+    else:
+        phase = signal.xmap.phases[0] if signal.xmap else None
+    if phase is None or phase.lattice is None:
+        raise ValueError(
+            "Hough indexing requires a phase with lattice parameters"
+        )
+
+    g_unit, lut_angles, lut_pairs = _poles_and_lut(
+        phase, reflectors, min_dspacing, voltage_kv
     )
 
     # Integer peaks drive the (robust) triplet vote; sub-bin refined
@@ -800,6 +812,252 @@ def hough_indexing(
         },
         phases=PhaseList(phase),
     )
+
+
+def _pc_band_misfit(
+    pc_b, cos_t, sin_t, rho_px, targets, w, d2s, sy, sx
+):
+    """Batched per-pattern PC objective: weighted mean angular misfit
+    (radians) between the band normals implied by each pattern's PC and
+    its fixed, assignment-frozen pole directions (sample frame).
+
+    Module-level so :func:`nelder_mead_batched` caches one compilation
+    (chunk data rides in ``args``; ``(sy, sx)`` in ``static_args``).
+    The geometry is :func:`bands_to_normals` re-expressed in jnp with
+    the PC as a traced ``(n, 3)`` operand.
+    """
+    cy, cx = (sy - 1) / 2.0, (sx - 1) / 2.0
+    px = pc_b[:, 0:1] * sx - 0.5
+    py = pc_b[:, 1:2] * sy - 0.5
+    d_px = rho_px - ((px - cx) * cos_t + (py - cy) * sin_t)
+    rho_g = d_px / (pc_b[:, 2:3] * sy)
+    n_det = jnp.stack([cos_t, -sin_t, -rho_g], axis=-1)  # (n, nb, 3)
+    n_det = n_det / jnp.linalg.norm(n_det, axis=-1, keepdims=True)
+    normals = n_det @ d2s.T
+    c = jnp.clip(jnp.abs(jnp.sum(normals * targets, axis=-1)), 0.0, 1.0)
+    ang = jnp.arccos(c)  # (n, nb)
+    return jnp.sum(ang * w, axis=-1) / jnp.maximum(
+        jnp.sum(w, axis=-1), 1e-9
+    )
+
+
+def _normals_at_pcs(
+    rho_ref, theta_ref, pc_b, detector, n_theta: int, n_rho: int
+) -> np.ndarray:
+    """:func:`bands_to_normals` with one PC PER PATTERN (``pc_b``
+    ``(n, 3)``); same geometry, vectorized over the leading axis."""
+    sy, sx = detector.shape
+    cy, cx = (sy - 1) / 2.0, (sx - 1) / 2.0
+    radius = min(cy, cx)
+    thetas = np.asarray(theta_ref) * (np.pi / n_theta)
+    rhos = np.asarray(rho_ref) / (n_rho - 1) * 2 * radius - radius
+    pc_b = np.asarray(pc_b, dtype=np.float64)
+    px = pc_b[:, 0:1] * sx - 0.5
+    py = pc_b[:, 1:2] * sy - 0.5
+    d_px = rhos - ((px - cx) * np.cos(thetas) + (py - cy) * np.sin(thetas))
+    rho_g = d_px / (pc_b[:, 2:3] * sy)
+    n_det = np.stack([np.cos(thetas), -np.sin(thetas), -rho_g], axis=-1)
+    n_det /= np.linalg.norm(n_det, axis=-1, keepdims=True)
+    return n_det @ np.asarray(detector.detector_to_sample).T
+
+
+def _optimize_pc_from_bands(
+    rho_ref: np.ndarray,
+    theta_ref: np.ndarray,
+    R: np.ndarray,
+    g_unit: np.ndarray,
+    detector,
+    pc0: np.ndarray,
+    n_theta: int = 180,
+    n_rho: int = 96,
+    angle_tol_deg: float = 2.0,
+    trust_region=(0.05, 0.05, 0.05),
+    max_iters: int = 80,
+    bounds: tuple[np.ndarray, np.ndarray] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-pattern PC optimization core: freeze each detected band's
+    pole assignment under the indexed orientation ``R`` at ``pc0``, then
+    run one lockstep batched Nelder-Mead over all patterns' PCs on the
+    (smooth) band-to-pole angular misfit.
+
+    ``bounds`` optionally fixes the search box (``(lo, hi)`` arrays)
+    independently of the start point — used by the alternating driver
+    so re-starts from the current PC stay anchored to the original box.
+
+    Returns ``(pc (n, 3), misfit (n,) radians)``.
+    """
+    from kikuchipy_tpu.utils.optimize import nelder_mead_batched
+
+    sy, sx = detector.shape
+    cy, cx = (sy - 1) / 2.0, (sx - 1) / 2.0
+    radius = min(cy, cx)
+    tol = np.deg2rad(angle_tol_deg)
+    pc0 = np.broadcast_to(
+        np.asarray(pc0, dtype=np.float64).reshape(-1, 3),
+        (rho_ref.shape[0], 3),
+    )
+
+    # PC-independent band line parameters (pixel coordinates).
+    thetas = np.asarray(theta_ref) * (np.pi / n_theta)
+    rho_px = np.asarray(rho_ref) / (n_rho - 1) * 2 * radius - radius
+
+    # Assignments frozen at pc0: band i of pattern j maps to pole
+    # argmax |g . (R n_i(pc0))| with its sign; outliers (outside the
+    # voting tolerance) get zero weight.
+    normals0 = _normals_at_pcs(
+        rho_ref, theta_ref, pc0, detector, n_theta, n_rho
+    )
+    mapped = np.einsum("nab,nqb->nqa", R, normals0)
+    dots = np.einsum("nqa,ga->nqg", mapped, g_unit)
+    j = np.argmax(np.abs(dots), axis=-1)  # (n, nb)
+    d_best = np.take_along_axis(dots, j[..., None], axis=-1)[..., 0]
+    sign = np.where(d_best >= 0, 1.0, -1.0)
+    w = (np.abs(d_best) > np.cos(tol)).astype(np.float32)
+    # Fixed sample-frame targets: s_i = R^T (sign * g[j]).
+    targets = np.einsum(
+        "nba,nqb->nqa", R, sign[..., None] * g_unit[j]
+    )
+
+    tr = np.asarray(trust_region, dtype=np.float64)
+    lo, hi = bounds if bounds is not None else (pc0 - tr, pc0 + tr)
+    res = nelder_mead_batched(
+        _pc_band_misfit,
+        jnp.asarray(pc0, jnp.float32),
+        initial_step=jnp.asarray(np.minimum(tr / 4.0, 0.01), jnp.float32),
+        max_iters=max_iters,
+        fatol=1e-7,
+        xatol=1e-5,
+        lower_bounds=jnp.asarray(lo, jnp.float32),
+        upper_bounds=jnp.asarray(hi, jnp.float32),
+        args=(
+            jnp.asarray(np.cos(thetas), jnp.float32),
+            jnp.asarray(np.sin(thetas), jnp.float32),
+            jnp.asarray(rho_px, jnp.float32),
+            jnp.asarray(targets, jnp.float32),
+            jnp.asarray(w),
+            jnp.asarray(detector.detector_to_sample, jnp.float32),
+        ),
+        static_args=(sy, sx),
+    )
+    return np.asarray(res.x, dtype=np.float64), np.asarray(res.fun)
+
+
+def optimize_pc_batched(
+    signal,
+    pc0=None,
+    phase_list=None,
+    reflectors=None,
+    trust_region=(0.05, 0.05, 0.05),
+    max_iters: int = 80,
+    n_bands: int = 9,
+    n_theta: int = 180,
+    n_rho: int = 96,
+    angle_tol_deg: float = 2.0,
+    min_dspacing: float = 1.0,
+    voltage_kv: float = 20.0,
+    chunk: int = 1024,
+) -> np.ndarray:
+    """Optimize one projection center PER PATTERN from Hough bands
+    (the reference's ``hough_indexing_optimize_pc(..., batch=True)``,
+    ``/root/reference/src/kikuchipy/signals/ebsd.py:1725,1815``, which
+    delegates to PyEBSDIndex's PSOOpt per pattern; here every pattern's
+    3-parameter search runs in lockstep on device).
+
+    Pipeline: detect bands once (band positions in pixel space are
+    PC-independent), vote + polish orientations at ``pc0``, freeze each
+    band's pole assignment, then batched Nelder-Mead over all patterns'
+    ``(PCx, PCy, PCz)`` on the band-to-pole angular misfit.
+
+    Returns ``(n_patterns, 3)`` optimized PCs.
+    """
+    if isinstance(phase_list, Phase):
+        phase = phase_list
+    elif isinstance(phase_list, PhaseList):
+        phase = phase_list[phase_list.ids[0]]
+    else:
+        phase = signal.xmap.phases[0] if signal.xmap else None
+    if phase is None or phase.lattice is None:
+        raise ValueError(
+            "Per-pattern PC optimization requires a phase with lattice "
+            "parameters"
+        )
+    detector = signal.detector
+    if pc0 is None:
+        pc0 = detector.pc_average
+    pc0 = np.asarray(pc0, dtype=np.float64)
+    det0 = dataclasses.replace(detector, pc=pc0.reshape(-1, 3)[:1])
+
+    g_unit, lut_angles, lut_pairs = _poles_and_lut(
+        phase, reflectors, min_dspacing, voltage_kv
+    )
+
+    rho_ref, theta_ref, _, _, rho_idx, theta_idx = detect_bands_fused(
+        signal.data, n_theta=n_theta, n_rho=n_rho, n_bands=n_bands
+    )
+    rho_ref = np.asarray(rho_ref).reshape(-1, n_bands)
+    theta_ref = np.asarray(theta_ref).reshape(-1, n_bands)
+    rho_idx = np.asarray(rho_idx).reshape(-1, n_bands)
+    theta_idx = np.asarray(theta_idx).reshape(-1, n_bands)
+    n = rho_ref.shape[0]
+
+    # Vote + polish at pc0 (same pipeline as hough_indexing).
+    normals = bands_to_normals(
+        rho_idx, theta_idx, det0, n_theta=n_theta, n_rho=n_rho
+    )
+    normals_ref = bands_to_normals(
+        rho_ref, theta_ref, det0, n_theta=n_theta, n_rho=n_rho
+    )
+    tol = np.deg2rad(angle_tol_deg)
+    pair_idx = np.asarray(
+        list(combinations(range(min(n_bands, 6)), 2)), dtype=np.int32
+    )
+    g_j = jnp.asarray(g_unit, jnp.float32)
+    la_j = jnp.asarray(lut_angles, jnp.float32)
+    lp_j = jnp.asarray(lut_pairs, jnp.int32)
+    pi_j = jnp.asarray(pair_idx)
+    normals_j = jnp.asarray(normals, jnp.float32)
+    R_parts = []
+    for start in range(0, n, chunk):
+        block = normals_j[start : start + chunk]
+        if block.shape[0] < chunk and n > chunk:
+            pad = chunk - block.shape[0]
+            block = jnp.concatenate([block, block[:1].repeat(pad, 0)], axis=0)
+            R_b, _, _ = _vote_orientations(block, g_j, la_j, lp_j, pi_j, tol)
+            R_b = R_b[:-pad]
+        else:
+            R_b, _, _ = _vote_orientations(block, g_j, la_j, lp_j, pi_j, tol)
+        R_parts.append(R_b)
+    R_all = jnp.concatenate(R_parts, axis=0)
+    normals_ref_j = jnp.asarray(normals_ref, jnp.float32)
+    for _ in range(3):
+        R_all, _, _ = _refit_orientations(R_all, normals_ref_j, g_j, tol)
+
+    # Alternating block-coordinate descent: the voted R best-fits the
+    # band normals computed AT pc0, so a single PC pass from frozen
+    # (R, assignments) is pulled back toward pc0 (the targets are
+    # circularly consistent with it). Iterating
+    #   PC <- NM at fixed (R, assignments);  R <- Kabsch refit at the
+    #   new per-pattern PCs
+    # descends the shared band-to-pole misfit and untangles the
+    # PC/orientation trade-off (the gnomonic nonlinearity across the
+    # detector makes the pair identifiable; convergence in 3-4 rounds).
+    tr = np.asarray(trust_region, dtype=np.float64)
+    pc_flat = np.broadcast_to(pc0.reshape(-1, 3), (n, 3))
+    box = (pc_flat - tr, pc_flat + tr)
+    pc = pc_flat
+    for _ in range(4):
+        pc, _ = _optimize_pc_from_bands(
+            rho_ref, theta_ref, np.asarray(R_all), g_unit, det0, pc,
+            n_theta=n_theta, n_rho=n_rho, angle_tol_deg=angle_tol_deg,
+            trust_region=trust_region, max_iters=max_iters, bounds=box,
+        )
+        normals_pc = jnp.asarray(
+            _normals_at_pcs(rho_ref, theta_ref, pc, det0, n_theta, n_rho),
+            jnp.float32,
+        )
+        for _ in range(2):
+            R_all, _, _ = _refit_orientations(R_all, normals_pc, g_j, tol)
+    return pc
 
 
 @dataclasses.dataclass

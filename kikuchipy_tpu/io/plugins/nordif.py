@@ -166,10 +166,24 @@ def file_reader(
 
 def file_writer(filename: str | Path, signal: EBSD) -> None:
     """Write patterns to a raw NORDIF ``.dat`` file (uint8, pattern by
-    pattern; reference ``nordif/_api.py:435``)."""
+    pattern; reference ``nordif/_api.py:435``). NORDIF scans live in a
+    folder alongside ``Background acquisition pattern.bmp``; when the
+    signal carries a static background it is written too, so a NORDIF
+    round trip reads back warning-free with the background intact."""
+    filename = Path(filename)
     data = np.asarray(signal.data)
     if data.dtype != np.uint8:
         from kikuchipy_tpu.ops.pattern import rescale_intensity
 
         data = np.asarray(rescale_intensity(data, dtype_out=np.uint8))
     data.tofile(filename)
+    bg = getattr(signal, "static_background", None)
+    if bg is not None:
+        from PIL import Image
+
+        bg = np.asarray(bg)
+        if bg.dtype != np.uint8:
+            bg = np.clip(np.round(bg), 0, 255).astype(np.uint8)
+        Image.fromarray(bg, mode="L").save(
+            filename.parent / "Background acquisition pattern.bmp"
+        )

@@ -36,6 +36,7 @@ __all__ = [
     "host_navigation_slice",
     "multihost_mesh",
     "multihost_dictionary_index",
+    "multihost_refine_orientation",
 ]
 
 
@@ -95,6 +96,101 @@ def multihost_mesh(n_dict_local: int | None = None) -> Mesh:
         n_proc * n_scan_local, n_dict_local
     )
     return Mesh(dev, axis_names=("scan", "dict"))
+
+
+def multihost_refine_orientation(
+    local_signal,
+    xmap=None,
+    detector=None,
+    master_pattern=None,
+    energy: float | None = None,
+    n_total: int | None = None,
+    gather_results: bool = False,
+    **kwargs,
+):
+    """Refine a host-distributed scan's orientations (VERDICT r4 item 5;
+    SURVEY §2.12 multi-host plan).
+
+    The refinement objective is ELEMENTWISE over map points — solver
+    state (simplexes / LM damping) is per point — so the correct
+    multihost layout is the same host-major data parallelism as
+    :func:`multihost_dictionary_index` taken to its limit: each host
+    refines only its own :func:`host_navigation_slice` block, sharded
+    over its local devices
+    (:func:`kikuchipy_tpu.parallel.refine.sharded_refine_orientation`),
+    with ZERO cross-host traffic in the optimization. The only DCN
+    communication is the optional final ``process_allgather`` of the
+    compact results (quaternions + scores, ~24 bytes/point).
+
+    Parameters
+    ----------
+    local_signal
+        THIS host's :class:`EBSD` block (the
+        :func:`host_navigation_slice` rows of the global scan).
+    xmap
+        This host's start orientations (same slice).
+    n_total
+        Global number of map points (required with
+        ``gather_results=True`` when host blocks are unequal).
+    gather_results
+        If True, every host returns the full-map refined rotations and
+        scores (assembled host-major); otherwise each host returns its
+        own block's :class:`RefinementResult`.
+    **kwargs
+        Forwarded to :func:`~kikuchipy_tpu.indexing.refinement.
+        refine_orientation` (method, projector, trust_region, ...).
+
+    Returns
+    -------
+    RefinementResult
+        This host's block — plus, with ``gather_results=True``, the
+        tuple ``(result, rotations (n_total, 4), scores (n_total,))``.
+    """
+    from kikuchipy_tpu.parallel.refine import sharded_refine_orientation
+
+    # Per-host mesh: the scan axis spans only this host's devices, so
+    # the partitioned refinement program never emits a DCN collective.
+    local_mesh = Mesh(
+        np.asarray(jax.local_devices()).reshape(-1, 1),
+        axis_names=("scan", "dict"),
+    )
+    res = sharded_refine_orientation(
+        local_signal,
+        xmap=xmap,
+        detector=detector,
+        master_pattern=master_pattern,
+        energy=energy,
+        mesh=local_mesh,
+        **kwargs,
+    )
+    if not gather_results or jax.process_count() == 1:
+        return res
+
+    from jax.experimental import multihost_utils
+
+    n_proc = jax.process_count()
+    n_local = local_signal.navigation_size
+    if n_total is None:
+        n_total = n_local * n_proc
+    per_host = -(-n_total // n_proc)
+
+    rot = np.asarray(res.xmap.best_rotations).reshape(-1, 4)
+    scores = np.asarray(res.xmap.prop["scores"]).reshape(-1)
+    pad = per_host - rot.shape[0]
+    if pad:
+        rot = np.concatenate([rot, np.zeros((pad, 4), rot.dtype)])
+        scores = np.concatenate([scores, np.zeros(pad, scores.dtype)])
+    rot_all, scores_all = multihost_utils.process_allgather(
+        (rot, scores), tiled=False
+    )
+    rot_all = np.asarray(rot_all).reshape(n_proc, per_host, 4)
+    scores_all = np.asarray(scores_all).reshape(n_proc, per_host)
+    parts_r, parts_s = [], []
+    for p in range(n_proc):
+        sl = host_navigation_slice(n_total, p, n_proc)
+        parts_r.append(rot_all[p][: sl.stop - sl.start])
+        parts_s.append(scores_all[p][: sl.stop - sl.start])
+    return res, np.concatenate(parts_r), np.concatenate(parts_s)
 
 
 def multihost_dictionary_index(

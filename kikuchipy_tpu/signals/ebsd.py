@@ -288,9 +288,15 @@ class EBSD:
             the reference's two supported optimizers (``ebsd.py:63-68``
             of the method body).
         batch
-            Reserved for per-pattern PCs (the reference returns one PC
-            per pattern with ``batch=True``); only ``False`` is
-            supported.
+            With ``True``, one PC is optimized PER PATTERN (reference
+            ``ebsd.py:1725,1815``): bands are detected once, the scan is
+            indexed at ``pc0``, each band's pole assignment is frozen,
+            and every pattern's 3-parameter search runs as one lockstep
+            batched Nelder-Mead on device
+            (:func:`kikuchipy_tpu.indexing.hough.optimize_pc_batched`).
+            The returned detector's ``pc`` then has the navigation
+            shape. ``method`` applies to the ``batch=False`` scalar
+            search only.
 
         Returns a new :class:`EBSDDetector` with the optimized PC.
         """
@@ -301,11 +307,28 @@ class EBSD:
         from kikuchipy_tpu.indexing import hough as _hough
 
         if batch:
-            raise NotImplementedError(
-                "batch=True (per-pattern PC optimization) is not supported; "
-                "optimize the average PC, then EBSDDetector.fit_pc / "
-                "extrapolate_pc interpolates per-point PCs"
+            det0 = self.detector
+            if indexer is not None:
+                if phase_list is None:
+                    phase_list = getattr(indexer, "phase_list", None)
+                for key, value in getattr(indexer, "kwargs", {}).items():
+                    hough_kwargs.setdefault(key, value)
+                det0 = getattr(indexer, "detector", None) or det0
+            if pc0 is None:
+                pc0 = det0.pc_average
+            sig = dataclasses.replace(self, detector=det0)
+            pc = _hough.optimize_pc_batched(
+                sig,
+                pc0=pc0,
+                phase_list=phase_list,
+                trust_region=trust_region,
+                max_iters=max_iters,
+                **hough_kwargs,
             )
+            nav_shape = self.navigation_shape
+            if len(nav_shape) == 2:
+                pc = pc.reshape(nav_shape + (3,))
+            return dataclasses.replace(det0, pc=pc)
         supported = ("nelder-mead", "pso")
         method = method.lower()
         if method not in supported:

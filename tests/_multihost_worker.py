@@ -102,6 +102,87 @@ def main() -> None:
     np.savez(
         os.path.join(outdir, f"gathered_{pid}.npz"), scores=s_all, idx=i_all
     )
+
+    # ---- Multihost refinement leg (VERDICT r4 item 5) ----
+    # Host-major DP: each host refines its host_navigation_slice block
+    # on its own local devices (zero DCN in the optimization); pid 0
+    # additionally recomputes BOTH blocks locally with the identical
+    # program/mesh so the parent can assert bit-identity.
+    import dataclasses
+
+    import kikuchipy_tpu as kp
+    from kikuchipy_tpu.crystallography.crystal_map import CrystalMap
+    from kikuchipy_tpu.geometry import quaternion as quat
+    from kikuchipy_tpu.parallel.multihost import multihost_refine_orientation
+    from kikuchipy_tpu.parallel.refine import sharded_refine_orientation
+    from kikuchipy_tpu.signals.ebsd import EBSD
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    raw = kp.data.nickel_ebsd_small()
+    s0 = raw.remove_static_background().remove_dynamic_background()
+    base = np.asarray(s0.data).reshape(9, 60, 60)
+    stored = np.asarray(raw.xmap.best_rotations)
+    n_ref_total = 13  # not divisible by 2: exercises unequal blocks
+    scan = np.tile(base, (2, 1, 1))[:n_ref_total]
+    truth = np.tile(stored, (2, 1))[:n_ref_total]
+    rng2 = np.random.default_rng(1)
+    axes = rng2.normal(size=(n_ref_total, 3))
+    axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+    dq = np.asarray(quat.from_axis_angle(jnp.asarray(axes), np.deg2rad(1.5)))
+    starts = np.asarray(quat.multiply(jnp.asarray(dq), jnp.asarray(truth)))
+
+    mp_pat = kp.data.nickel_ebsd_master_pattern_small(
+        projection="lambert", hemisphere="both"
+    )
+    det = dataclasses.replace(
+        raw.detector, pc=raw.detector.pc_average.reshape(1, 3)
+    )
+    kw = dict(
+        master_pattern=mp_pat, energy=20, method="lm", max_iters=5,
+        trust_region=[4, 4, 4], nav_chunk=None,
+    )
+
+    sl_r = host_navigation_slice(n_ref_total)
+    sig_local = EBSD(data=scan[sl_r], detector=det)
+    xmap_local = CrystalMap(
+        rotations=starts[sl_r], shape=(sl_r.stop - sl_r.start,)
+    )
+    res = multihost_refine_orientation(
+        sig_local, xmap=xmap_local, detector=det, n_total=n_ref_total, **kw
+    )
+    np.savez(
+        os.path.join(outdir, f"refine_{pid}.npz"),
+        rot=np.asarray(res.xmap.best_rotations),
+        scores=np.asarray(res.xmap.prop["scores"]),
+        start=sl_r.start,
+        stop=sl_r.stop,
+    )
+
+    if pid == 0:
+        # Expected: the same per-block program on this host's devices.
+        local_mesh = Mesh(
+            np.asarray(jax.local_devices()).reshape(-1, 1),
+            axis_names=("scan", "dict"),
+        )
+        rots, scs = [], []
+        for p in range(nproc):
+            sl_p = host_navigation_slice(n_ref_total, p, nproc)
+            sig_p = EBSD(data=scan[sl_p], detector=det)
+            xmap_p = CrystalMap(
+                rotations=starts[sl_p], shape=(sl_p.stop - sl_p.start,)
+            )
+            r = sharded_refine_orientation(
+                sig_p, xmap=xmap_p, detector=det, mesh=local_mesh, **kw
+            )
+            rots.append(np.asarray(r.xmap.best_rotations))
+            scs.append(np.asarray(r.xmap.prop["scores"]))
+        np.savez(
+            os.path.join(outdir, "refine_expected.npz"),
+            rot=np.concatenate(rots),
+            scores=np.concatenate(scs),
+        )
+
     jax.distributed.shutdown()
 
 

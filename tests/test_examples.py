@@ -17,6 +17,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full-pipeline tests; default run skips (run with -m "")
+
 _ROOT = Path(__file__).resolve().parents[1]
 EXAMPLES = sorted((_ROOT / "examples").glob("*.py"))
 TUTORIALS = sorted((_ROOT / "doc" / "tutorials").glob("*.py"))

@@ -198,6 +198,13 @@ class TestMemmapReaders:
         data = rng.integers(0, 255, size=(2, 3, 4, 5), dtype=np.uint8)
         raw = tmp_path / "Pattern.dat"
         data.tofile(raw)
+        # A NORDIF folder carries the acquisition background; provide
+        # one so the reader loads warning-free.
+        from PIL import Image
+
+        Image.fromarray(
+            np.full((4, 5), 7, np.uint8), mode="L"
+        ).save(tmp_path / "Background acquisition pattern.bmp")
         lazy = kp.load(
             str(raw), scan_size=(3, 2), pattern_size=(5, 4), lazy=True
         )

@@ -428,11 +428,14 @@ class TestOptimizePCMethodArg:
         with pytest.raises(ValueError, match="must be one of"):
             s.hough_indexing_optimize_pc(method="simplex")
 
-    def test_batch_not_supported(self, dummy_patterns):
+    def test_batch_requires_phase(self, dummy_patterns):
+        # batch=True is implemented (per-pattern PCs, see
+        # tests/test_hough.py::TestBatchedPCOptimization); without a
+        # phase there are no reflectors to fit bands against.
         from kikuchipy_tpu.signals.ebsd import EBSD
 
         s = EBSD(data=dummy_patterns)
-        with pytest.raises(NotImplementedError, match="batch"):
+        with pytest.raises(ValueError, match="lattice|phase"):
             s.hough_indexing_optimize_pc(batch=True)
 
 

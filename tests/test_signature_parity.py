@@ -34,11 +34,10 @@ ALLOWED_MISSING = {
 }
 
 # Methods that are HyperSpy-runtime plumbing with no analogue here.
+# (EBSD.as_lazy/compute USED to be listed; both exist since round 4's
+# LazyEBSD — the allowlist must match reality, VERDICT r4 item 8.)
 ALLOWED_MISSING_METHODS = {
-    "EBSD.compute",  # no lazy signals
-    "EBSD.rechunk",
-    "EBSD.as_lazy",
-    "KikuchipySignal2D.as_lazy",
+    "EBSD.rechunk",  # chunking is jit/sharding-internal, no dask chunks
 }
 
 

@@ -136,6 +136,7 @@ class TestRotationRecursion:
             np.testing.assert_allclose(lhs, rhs, atol=5e-5)
 
 
+@pytest.mark.slow
 class TestZyz:
     @pytest.mark.parametrize("L", [6, 21])
     def test_matches_recursion_random(self, L):

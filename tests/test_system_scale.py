@@ -16,6 +16,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-pipeline tests; default run skips (run with -m "")
+
 import kikuchipy_tpu as kp
 from kikuchipy_tpu.crystallography.sampling import (
     disorientation_angle,

@@ -7,6 +7,8 @@ against a dictionary, and verify orientation recovery + refinement.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-pipeline tests; default run skips (run with -m "")
+
 import jax.numpy as jnp
 
 import kikuchipy_tpu as kp

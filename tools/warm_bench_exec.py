@@ -1,22 +1,25 @@
-"""Pre-compile bench.py's three device programs and serialize the
-executables to ``.jax_cache/bench_{gen,gate,main}_exec.pkl``
+"""Pre-compile bench.py's device programs and serialize the executables
+to ``.jax_cache/bench_{combined,gate,refine,preprocess}_exec.pkl``
 (committed to the repo, shared metadata in ``bench_exec.meta.json``).
 
 The axon backend ignores the local persistent compilation cache (every
 compile goes to a remote service: ~6 min even for trivial programs on
 a bad day), so shipping serialized executables is the only reliable
 way for the driver's ``bench.py`` run to measure without waiting on
-the compile service. The three programs (see ``bench._def_programs``):
+the compile service. The programs (see ``bench.py``):
 
-- ``gen``  — on-device operand generation + NCC preparation (the
-  tunnel has been measured as low as ~2 MB/s, so the 1.7 GB operand
-  upload had to go);
-- ``gate`` — exact f32-HIGHEST reference scores for the gate rows;
-- ``main`` — the production f16 + transposed-group-top-k DI program.
+- ``combined``   — operand generation + REPS_DEVICE chained DI passes
+  (the primary patterns/s figure; checksum + gate-row slices out);
+- ``gate``       — exact f32-HIGHEST reference for the gate rows,
+  operands regenerated from the seed;
+- ``refine``     — SH-LM orientation refinement at the <0.8 deg
+  criterion (N_REF points, L=SH_L);
+- ``preprocess`` — uint8 static+dynamic background chain (MB/s).
 
 ``bench.py --worker`` validates the stored metadata (jax version,
-device kind, benchmark shape) and falls back to live compiles on
-mismatch. Run on the target machine: ``python tools/warm_bench_exec.py``.
+device kind, full benchmark config, program-source hash) and falls
+back to live compiles on mismatch. Run on the target machine:
+``python tools/warm_bench_exec.py``.
 """
 
 import json
@@ -36,6 +39,20 @@ from jax.experimental import serialize_executable as se
 import bench
 
 
+def _save(name: str, compiled, out_dir: Path) -> None:
+    pkl = out_dir / f"bench_{name}_exec.pkl"
+    pkl.write_bytes(pickle.dumps(se.serialize(compiled)))
+    try:
+        code = compiled.memory_analysis().generated_code_size_in_bytes / 1e6
+    except Exception:
+        code = float("nan")
+    print(
+        f"wrote {pkl} ({pkl.stat().st_size / 1e6:.2f} MB pickle, "
+        f"{code:.2f} MB code)",
+        flush=True,
+    )
+
+
 def main() -> None:
     out_dir = _REPO / ".jax_cache"
     out_dir.mkdir(exist_ok=True)
@@ -46,24 +63,46 @@ def main() -> None:
     # compile() can return before the remote service has produced the
     # binary (observed: "compiled" in 0.5 s, first execution 323 s);
     # executing each program before serializing guarantees the payload
-    # contains the final executable — and chains naturally: combined's
-    # operand outputs feed gate.
+    # contains the final executable.
     t = time.monotonic()
-    c_comb = combined.lower(jax.ShapeDtypeStruct((), np.int32)).compile()
-    acc, s, i, exp, dic = c_comb(np.int32(0))
+    seed_aval = jax.ShapeDtypeStruct((), np.int32)
+    c_comb = combined.lower(seed_aval).compile()
+    acc, *_ = c_comb(np.int32(0))
     float(np.asarray(acc))
     print(f"combined compiled+run in {time.monotonic() - t:.1f}s", flush=True)
 
     t = time.monotonic()
-    c_gate = gate_exact.lower(exp, dic).compile()
-    s, i = c_gate(exp, dic)
-    np.asarray(s)
+    c_gate = gate_exact.lower(seed_aval).compile()
+    sg, *_ = c_gate(np.int32(0))
+    np.asarray(sg)
     print(f"gate compiled+run in {time.monotonic() - t:.1f}s", flush=True)
 
-    for name, compiled in (("combined", c_comb), ("gate", c_gate)):
-        pkl = out_dir / f"bench_{name}_exec.pkl"
-        pkl.write_bytes(pickle.dumps(se.serialize(compiled)))
-        print(f"wrote {pkl} ({pkl.stat().st_size / 1e6:.2f} MB)", flush=True)
+    t = time.monotonic()
+    refine = bench._def_refine_program()
+    inputs = bench._refine_inputs()
+    avals = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        inputs,
+    )
+    c_ref = refine.lower(*avals).compile()
+    acc_r, q_r = c_ref(*inputs)
+    float(np.asarray(acc_r))
+    print(f"refine compiled+run in {time.monotonic() - t:.1f}s", flush=True)
+
+    t = time.monotonic()
+    pre = bench._def_preprocess_program()
+    c_pre = pre.lower(seed_aval).compile()
+    acc_p, *_ = c_pre(np.int32(1))
+    float(np.asarray(acc_p))
+    print(f"preprocess compiled+run in {time.monotonic() - t:.1f}s", flush=True)
+
+    for name, compiled in (
+        ("combined", c_comb),
+        ("gate", c_gate),
+        ("refine", c_ref),
+        ("preprocess", c_pre),
+    ):
+        _save(name, compiled, out_dir)
     meta = bench._expected_meta()
     (out_dir / "bench_exec.meta.json").write_text(json.dumps(meta))
     print(f"metadata: {meta}", flush=True)
