@@ -472,7 +472,7 @@ def _def_refine_program():
     max_norm = float(np.deg2rad(REFINE_TR_DEG))
 
     @jax.jit
-    def refine(base9, truth9, dq, coeffs, t_groups, m_onehot, sigma, basis):
+    def refine(base9, truth9, dq, coeffs, t_stack, onehot_pad, p_signed, basis):
         reps = -(-N_REF // base9.shape[0])
         pats = jnp.tile(base9, (reps, 1))[:N_REF]
         truth = jnp.tile(truth9, (reps, 1))[:N_REF]
@@ -487,8 +487,8 @@ def _def_refine_program():
             ftol=1e-5,
             blocks=((3, max_norm),),
             args=(
-                q0, use_id, _unit_rows(exp), coeffs, t_groups, m_onehot,
-                sigma, basis,
+                q0, use_id, _unit_rows(exp), coeffs, t_stack, onehot_pad,
+                p_signed, basis,
             ),
             static_args=(SH_L, bounds, "default"),
         )
@@ -533,14 +533,11 @@ def _refine_inputs():
     dc = np.asarray(direction_cosines_from_detector(det1))
     basis = np.asarray(proj.synthesis_basis(dc))
     tables = wigner_tables(SH_L)
-    t_groups, m_onehot, sigma = tables.device_arrays()
-    # t_groups is a PYTREE (tuple of per-group matrices with different
-    # shapes); keep the structure — jit/AOT handle pytree args.
-    t_groups = tuple(np.asarray(g) for g in t_groups)
+    t_stack, onehot_pad, p_signed = tables.device_arrays()
     coeffs = np.asarray(proj.coeffs)
     return (
-        base9, truth9, dq, coeffs, t_groups,
-        np.asarray(m_onehot), np.asarray(sigma), basis,
+        base9, truth9, dq, coeffs, np.asarray(t_stack),
+        np.asarray(onehot_pad), np.asarray(p_signed), basis,
     )
 
 

@@ -227,19 +227,30 @@ def _sim_unit(sim: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sh_project_delta(
-    delta, q0, use_id, coeffs, t_groups, m_onehot, sigma, basis,
+    delta, q0, use_id, coeffs, t_stack, onehot_pad, p_signed, basis,
     L, bounds, mm_precision,
 ):
     """Simulated patterns at ``q0 * exp(delta)`` via the spherical-
     harmonic projector (matmul-only; no gathers). Matches the gather
     projector's sampling (``projection/spherical.py`` conventions).
     ``use_id`` is the per-point gimbal-variant mask chosen at setup
-    from ``q0`` (one zyz pipeline per eval instead of two)."""
-    from kikuchipy_tpu.projection.spherical import _rotate_zyz_preselected
+    from ``q0`` (one zyz pipeline per eval instead of two).
+
+    Runs the PADDED-STACK pipeline end to end (the (G, n, W)
+    coefficient stack feeds straight into the batched synthesis
+    einsum, no full-width concatenate): ragged/odd-offset forms
+    scalarize in the TPU backend and ballooned the LM refinement
+    binary to 123-385 MB (see projection/spherical.py padded-stack
+    notes).
+    """
+    from kikuchipy_tpu.projection.spherical import (
+        _rotate_zyz_preselected_stack,
+        _synth_stack,
+    )
 
     q = quat.multiply(q0, _exp_map(delta)).astype(jnp.float32)
-    c = _rotate_zyz_preselected(
-        quat.conjugate(q), use_id, coeffs, t_groups, m_onehot, sigma,
+    cst = _rotate_zyz_preselected_stack(
+        quat.conjugate(q), use_id, coeffs, t_stack, onehot_pad, p_signed,
         L, bounds, mm_precision,
     )
     precision = (
@@ -247,26 +258,26 @@ def _sh_project_delta(
         if mm_precision == "highest"
         else jax.lax.Precision.DEFAULT
     )
-    return jnp.matmul(c, basis.T, precision=precision)
+    return _synth_stack(cst, basis, bounds, precision)
 
 
 def _residual_orientation_delta_sh(
-    delta, q0, use_id, exp_unit, coeffs, t_groups, m_onehot, sigma, basis,
+    delta, q0, use_id, exp_unit, coeffs, t_stack, onehot_pad, p_signed, basis,
     L, bounds, mm_precision,
 ):
     sim = _sh_project_delta(
-        delta, q0, use_id, coeffs, t_groups, m_onehot, sigma, basis,
+        delta, q0, use_id, coeffs, t_stack, onehot_pad, p_signed, basis,
         L, bounds, mm_precision,
     )
     return _sim_unit(sim) - exp_unit
 
 
 def _objective_orientation_delta_sh(
-    delta, q0, use_id, exp, sq_norm, coeffs, t_groups, m_onehot, sigma,
+    delta, q0, use_id, exp, sq_norm, coeffs, t_stack, onehot_pad, p_signed,
     basis, L, bounds, mm_precision,
 ):
     sim = _sh_project_delta(
-        delta, q0, use_id, coeffs, t_groups, m_onehot, sigma, basis,
+        delta, q0, use_id, coeffs, t_stack, onehot_pad, p_signed, basis,
         L, bounds, mm_precision,
     )
     return 1.0 - _ncc_centered(exp, sq_norm, sim)
@@ -309,53 +320,76 @@ def _objective_pc_delta_sh(dpc, c0, exp, sq_norm, bcat, dpix, mm_precision):
     return 1.0 - _ncc_centered(exp, sq_norm, sim)
 
 
+def _sh_project_pc_delta_stack(cst, dpc, bcat, bounds, mm_precision, dpix):
+    """Stack-form :func:`_sh_project_pc_delta`: one batched einsum of
+    the (G, n, W) coefficient stack against the padded [B; dB/dPC]
+    basis stack (no full-width concatenate — TPU binary-size
+    discipline, see projection/spherical.py padded-stack notes)."""
+    from kikuchipy_tpu.projection.spherical import _synth_stack
+
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if mm_precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+    sim4 = _synth_stack(cst, bcat, bounds, precision)
+    sim4 = sim4.reshape(sim4.shape[0], 4, dpix)
+    return sim4[:, 0] + jnp.sum(dpc[:, :, None] * sim4[:, 1:], axis=1)
+
+
 def _residual_joint_delta_sh(
-    x_b, q0, use_id, exp_unit, coeffs, t_groups, m_onehot, sigma, bcat,
+    x_b, q0, use_id, exp_unit, coeffs, t_stack, onehot_pad, p_signed, bcat,
     L, bounds, mm_precision, dpix,
 ):
     """LM residual for SH joint refinement over ``(rotation vector,
     PC shift)``: Wigner coefficient rotation (matmuls) + the
     PC-linearized synthesis matmul — the whole Jacobian rides the MXU."""
-    from kikuchipy_tpu.projection.spherical import _rotate_zyz_preselected
+    from kikuchipy_tpu.projection.spherical import (
+        _rotate_zyz_preselected_stack,
+    )
 
     q = quat.multiply(q0, _exp_map(x_b[:, :3])).astype(jnp.float32)
-    c = _rotate_zyz_preselected(
-        quat.conjugate(q), use_id, coeffs, t_groups, m_onehot, sigma,
+    cst = _rotate_zyz_preselected_stack(
+        quat.conjugate(q), use_id, coeffs, t_stack, onehot_pad, p_signed,
         L, bounds, mm_precision,
     )
-    sim = _sh_project_pc_delta(c, x_b[:, 3:], bcat, mm_precision, dpix)
+    sim = _sh_project_pc_delta_stack(cst, x_b[:, 3:], bcat, bounds, mm_precision, dpix)
     return _sim_unit(sim) - exp_unit
 
 
 def _residual_orientation_at_pc_sh(
-    delta, q0, use_id, dpc_fix, exp_unit, coeffs, t_groups, m_onehot,
-    sigma, bcat, L, bounds, mm_precision, dpix,
+    delta, q0, use_id, dpc_fix, exp_unit, coeffs, t_stack, onehot_pad,
+    p_signed, bcat, L, bounds, mm_precision, dpix,
 ):
     """Orientation residual with the PC FROZEN at ``dpc_fix`` (one
     block of the joint alternation in :func:`_refine_joint_spherical`)."""
-    from kikuchipy_tpu.projection.spherical import _rotate_zyz_preselected
+    from kikuchipy_tpu.projection.spherical import (
+        _rotate_zyz_preselected_stack,
+    )
 
     q = quat.multiply(q0, _exp_map(delta)).astype(jnp.float32)
-    c = _rotate_zyz_preselected(
-        quat.conjugate(q), use_id, coeffs, t_groups, m_onehot, sigma,
+    cst = _rotate_zyz_preselected_stack(
+        quat.conjugate(q), use_id, coeffs, t_stack, onehot_pad, p_signed,
         L, bounds, mm_precision,
     )
-    sim = _sh_project_pc_delta(c, dpc_fix, bcat, mm_precision, dpix)
+    sim = _sh_project_pc_delta_stack(cst, dpc_fix, bcat, bounds, mm_precision, dpix)
     return _sim_unit(sim) - exp_unit
 
 
 def _objective_joint_delta_sh(
-    x_b, q0, use_id, exp, sq_norm, coeffs, t_groups, m_onehot, sigma,
+    x_b, q0, use_id, exp, sq_norm, coeffs, t_stack, onehot_pad, p_signed,
     bcat, L, bounds, mm_precision, dpix,
 ):
-    from kikuchipy_tpu.projection.spherical import _rotate_zyz_preselected
+    from kikuchipy_tpu.projection.spherical import (
+        _rotate_zyz_preselected_stack,
+    )
 
     q = quat.multiply(q0, _exp_map(x_b[:, :3])).astype(jnp.float32)
-    c = _rotate_zyz_preselected(
-        quat.conjugate(q), use_id, coeffs, t_groups, m_onehot, sigma,
+    cst = _rotate_zyz_preselected_stack(
+        quat.conjugate(q), use_id, coeffs, t_stack, onehot_pad, p_signed,
         L, bounds, mm_precision,
     )
-    sim = _sh_project_pc_delta(c, x_b[:, 3:], bcat, mm_precision, dpix)
+    sim = _sh_project_pc_delta_stack(cst, x_b[:, 3:], bcat, bounds, mm_precision, dpix)
     return 1.0 - _ncc_centered(exp, sq_norm, sim)
 
 
@@ -849,7 +883,7 @@ def _refine_orientation_spherical(
 
     proj = master_pattern.spherical_projector(energy=energy, L=sh_L)
     tables = wigner_tables(sh_L)
-    t_groups, m_onehot, sigma = tables.device_arrays()
+    t_stack, onehot_pad, p_signed = tables.device_arrays()
     basis = proj.synthesis_basis(np.asarray(dc))
 
     q0 = jnp.asarray(xmap.best_rotations, dtype=jnp.float32)
@@ -888,8 +922,8 @@ def _refine_orientation_spherical(
             ftol=rtol * 1e-1,
             blocks=((3, max_norm),),
             args=(
-                q0, use_id, _unit_rows(exp), proj.coeffs, t_groups,
-                m_onehot, sigma, basis,
+                q0, use_id, _unit_rows(exp), proj.coeffs, t_stack,
+                onehot_pad, p_signed, basis,
             ),
             static_args=sh_static,
         )
@@ -901,7 +935,7 @@ def _refine_orientation_spherical(
             lr=np.deg2rad(0.25),
             iters=max_iters,
             blocks=((3, max_norm),),
-            args=(q0, use_id, exp, sq_norm, proj.coeffs, t_groups, m_onehot, sigma, basis),
+            args=(q0, use_id, exp, sq_norm, proj.coeffs, t_stack, onehot_pad, p_signed, basis),
             static_args=sh_static,
         )
         n_iter = np.full(n, max_iters)
@@ -915,7 +949,7 @@ def _refine_orientation_spherical(
             xatol=1e-4,
             lower_bounds=jnp.full((3,), -max_norm, dtype=jnp.float32),
             upper_bounds=jnp.full((3,), max_norm, dtype=jnp.float32),
-            args=(q0, use_id, exp, sq_norm, proj.coeffs, t_groups, m_onehot, sigma, basis),
+            args=(q0, use_id, exp, sq_norm, proj.coeffs, t_stack, onehot_pad, p_signed, basis),
             static_args=sh_static,
         )
         d_best, f_best, n_iter = res.x, res.fun, np.asarray(res.n_iter)
@@ -1131,7 +1165,7 @@ def _refine_joint_spherical(
         master_pattern, energy, detector, mask_idx, sh_L
     )
     tables = wigner_tables(sh_L)
-    t_groups, m_onehot, sigma = tables.device_arrays()
+    t_stack, onehot_pad, p_signed = tables.device_arrays()
     dpix = exp.shape[1]
 
     q0 = jnp.asarray(xmap.best_rotations, dtype=jnp.float32)
@@ -1188,7 +1222,7 @@ def _refine_joint_spherical(
                 blocks=((3, rot_norm),),
                 args=(
                     q_cur, use_id, dpc, _unit_rows(exp), proj.coeffs,
-                    t_groups, m_onehot, sigma, bcat,
+                    t_stack, onehot_pad, p_signed, bcat,
                 ),
                 static_args=sh_static,
             )
@@ -1230,7 +1264,7 @@ def _refine_joint_spherical(
             iters=max_iters,
             blocks=((3, rot_norm), (3, pc_norm)),
             args=sh_args
-            + (exp, sq_norm, proj.coeffs, t_groups, m_onehot, sigma, bcat),
+            + (exp, sq_norm, proj.coeffs, t_stack, onehot_pad, p_signed, bcat),
             static_args=sh_static,
         )
         n_iter = np.full(n, max_iters)
@@ -1250,7 +1284,7 @@ def _refine_joint_spherical(
             lower_bounds=-bound,
             upper_bounds=bound,
             args=sh_args
-            + (exp, sq_norm, proj.coeffs, t_groups, m_onehot, sigma, bcat),
+            + (exp, sq_norm, proj.coeffs, t_stack, onehot_pad, p_signed, bcat),
             static_args=sh_static,
         )
         x_best, f_best, n_iter = res.x, res.fun, np.asarray(res.n_iter)

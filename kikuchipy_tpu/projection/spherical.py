@@ -394,12 +394,39 @@ class WignerTables:
     sigma: np.ndarray
 
     def device_arrays(self):
-        """``(t_groups, m_onehot, sigma)`` as float32 device arrays —
-        call OUTSIDE jit and pass through as traced arguments."""
+        """``(t_stack, onehot_pad, p_signed)`` as float32 device
+        arrays — call OUTSIDE jit and pass through as traced arguments.
+
+        PADDED-STACK layout: every group zero-padded to one 128-aligned
+        width ``W`` and stacked, so the whole zyz pipeline runs as
+        batched einsums on a single ``(G, n, W)`` array (see the
+        padded-stack section below for why: ragged/odd-offset forms
+        scalarize in the TPU backend into 28-113 MB of code per
+        pipeline)."""
+        G = len(self.group_bounds)
+        W = _stack_width(self.group_bounds)
+        L1 = self.m_onehot.shape[0]
+        t_stack = np.zeros((G, W, W), np.float32)
+        onehot_pad = np.zeros((L1, G, W), np.float32)
+        # Signed flip PERMUTATION MATRICES: p_signed[g, w, v] =
+        # sigma[v] * [w == flip_idx[v]], so the Z stage's
+        # ``sigma * flip(c)`` term is one batched MXU matmul
+        # (``c @ P``) instead of a 125M-element gather (measured
+        # ~1 s/stage on the gather unit vs ~ms on the MXU).
+        p_signed = np.zeros((G, W, W), np.float32)
+        flip_idx = _flip_idx_stack(self.group_bounds, W)
+        for g, ((s, z), blk) in enumerate(
+            zip(self.group_bounds, self.t_groups)
+        ):
+            t_stack[g, :z, :z] = blk
+            onehot_pad[:, g, :z] = self.m_onehot[:, s : s + z]
+            p_signed[g, flip_idx[g, :z], np.arange(z)] = self.sigma[
+                s : s + z
+            ]
         return (
-            tuple(jnp.asarray(g) for g in self.t_groups),
-            jnp.asarray(self.m_onehot),
-            jnp.asarray(self.sigma),
+            jnp.asarray(t_stack),
+            jnp.asarray(onehot_pad),
+            jnp.asarray(p_signed),
         )
 
 
@@ -469,37 +496,167 @@ def _flip_blocks(c: jnp.ndarray, L: int) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=-1)
 
 
-def _z_apply(c, c_flip, t, m_onehot, sigma):
-    """Apply ``D(Rz(t))`` given the block-flipped copy of ``c``:
-    ``c' = cos(|m| t) c + sigma sin(|m| t) flip(c)``.
+# ------------------------------------------------------------------
+# Padded-stack zyz pipeline. The rotation is GROUP-SEPARABLE: the Z
+# phase is diagonal in (l, m), the T conjugation block-diagonal per
+# packed group, and flips stay within l-blocks, hence within groups.
+# Every group is zero-padded to one 128-aligned width W and the whole
+# pipeline runs on a SINGLE stacked (G, n, W) array with batched
+# einsums — no wide concatenates, no ragged-width ops, no major-axis
+# reduces. This is TPU BINARY-SIZE discipline, not a FLOP optimization
+# (the padding costs ~1.3x FLOPs in the small T matmuls): the
+# full-width form's odd-offset group slices/concatenates scalarized in
+# the backend to ~28 MB of code per pipeline, and a ragged per-group
+# segment form measured 113 MB — 123-385 MB for the LM refinement
+# program whose JVPs replicate the pipeline, and binaries ship
+# server-side at tunnel speed on this stack (953 s first execution in
+# BENCH_r04). Measurements: tools/probe_codesize{4,5,6,7}.py.
+# ------------------------------------------------------------------
 
-    The per-point transcendentals are evaluated at width L+1 and
-    expanded to the coefficient layout by the one-hot matmul (kept at
-    HIGHEST — it is tiny and the cos/sin values must survive exactly).
-    """
-    L1 = m_onehot.shape[0]
+
+# Quaternion of the active Rx(+90 deg) offset used to escape gimbal
+# lock, and a neutral quaternion (beta = 90 deg) substituted into the
+# UNSELECTED variant so its zyz extraction never hits the atan2(0, 0)
+# singularity (NaN tangents would otherwise leak through jnp.where
+# under jax.jvp — the standard double-where hazard).
+_RX90 = np.array([np.cos(np.pi / 4), np.sin(np.pi / 4), 0.0, 0.0])
+_NEUTRAL = np.array([np.cos(np.pi / 4), 0.0, np.cos(np.pi / 4), 0.0])
+
+
+def _stack_width(bounds) -> int:
+    """Uniform 128-aligned padded group width (static)."""
+    return max(-(-z // 128) * 128 for _, z in bounds)
+
+
+@lru_cache(maxsize=8)
+def _flip_idx_stack(bounds, W: int) -> np.ndarray:
+    """``(G, W)`` int32 within-group column permutation mapping
+    ``(l, m) -> (l, -m)``; padded positions map to themselves (their
+    values are identically 0)."""
+    out = np.tile(np.arange(W, dtype=np.int32), (len(bounds), 1))
+    for g, (start, size) in enumerate(bounds):
+        l = int(np.floor(np.sqrt(start)))
+        off = 0
+        while off < size:
+            w = 2 * l + 1
+            out[g, off : off + w] = np.arange(off + w - 1, off - 1, -1)
+            off += w
+            l += 1
+    return out
+
+
+def _pad_to_stack(x: jnp.ndarray, bounds, W: int) -> jnp.ndarray:
+    """``(..., ncoef)`` -> zero-padded ``(G, ..., W)`` stack."""
+    parts = [
+        jnp.pad(x[..., s : s + z], [(0, 0)] * (x.ndim - 1) + [(0, W - z)])
+        for s, z in bounds
+    ]
+    return jnp.stack(parts, axis=0)
+
+
+def _unstack(cst: jnp.ndarray, bounds) -> jnp.ndarray:
+    """``(G, ..., W)`` stack -> full-width ``(..., ncoef)`` (one
+    concatenate; only full-width legacy callers pay it)."""
+    return jnp.concatenate(
+        [cst[g, ..., :z] for g, (_, z) in enumerate(bounds)], axis=-1
+    )
+
+
+def _z_apply_stack(cst, sflip_st, t, onehot_pad):
+    """Stacked :func:`_z_apply` with the signed flip PRE-APPLIED:
+    ``c' = cos(|m| t) c + sin(|m| t) sflip`` where
+    ``sflip = sigma * flip(c) = c @ P_signed`` (one batched matmul —
+    a take_along_axis flip gathered 125M elements per stage at the
+    ~115M elem/s gather bound; the MXU does it in milliseconds). The
+    per-point ``(n, L+1)`` transcendentals are evaluated once and
+    expanded onto the ``(G, n, W)`` layout by one batched one-hot
+    einsum (padded columns expand to 0, keeping the padding exactly
+    zero through the pipeline)."""
+    L1 = onehot_pad.shape[0]
     m = jnp.arange(L1, dtype=t.dtype)
-    ang = t[:, None] * m[None, :]  # (n, L+1)
-    cosv = jnp.matmul(
-        jnp.cos(ang), m_onehot, precision=jax.lax.Precision.HIGHEST
+    ang = t[:, None] * m[None, :]
+    cosv = jnp.einsum(
+        "nk,kgw->gnw", jnp.cos(ang), onehot_pad,
+        precision=jax.lax.Precision.HIGHEST,
     )
-    sinv = jnp.matmul(
-        jnp.sin(ang), m_onehot, precision=jax.lax.Precision.HIGHEST
+    sinv = jnp.einsum(
+        "nk,kgw->gnw", jnp.sin(ang), onehot_pad,
+        precision=jax.lax.Precision.HIGHEST,
     )
-    return cosv * c + (sigma[None, :] * sinv) * c_flip
+    return cosv * cst + sinv * sflip_st
 
 
-def _t_apply(c, t_groups, group_bounds, transpose: bool, precision):
-    """Batched ``T+ c`` (or ``T- c = T+^T c`` with ``transpose``) via the
-    grouped dense blocks: row vectors, so ``c' = c @ T+^T``."""
-    parts = []
-    for (start, size), g in zip(group_bounds, t_groups):
-        seg = c[..., start : start + size]
-        mat = g if transpose else g.T
-        parts.append(
-            jnp.matmul(seg, mat.astype(seg.dtype), precision=precision)
-        )
-    return jnp.concatenate(parts, axis=-1)
+def _t_apply_stack(cst, t_stack, transpose: bool, precision):
+    """Batched ``T+ c`` (or ``T- c = T+^T c``) over all groups in ONE
+    einsum; the zero padding of ``t_stack`` keeps padded coordinates
+    zero. Row-vector convention matches :func:`_t_apply`:
+    ``c' = c @ T^T`` (or ``c @ T`` with ``transpose``)."""
+    if transpose:
+        return jnp.einsum("gnw,gwv->gnv", cst, t_stack, precision=precision)
+    return jnp.einsum("gnw,gvw->gnv", cst, t_stack, precision=precision)
+
+
+def _synth_stack(cst, basis, bounds, precision) -> jnp.ndarray:
+    """Synthesis straight from the stack: ``sim = sum_g c_g B_g^T`` as
+    one batched einsum (zero-padded basis columns contribute nothing).
+    ``basis`` is the full ``(dpix, ncoef)`` matrix; its padded stack is
+    loop-invariant and hoisted by XLA out of solver loops."""
+    W = cst.shape[-1]
+    bst = _pad_to_stack(basis, bounds, W)  # (G, dpix, W)
+    return jnp.einsum("gnw,gdw->nd", cst, bst, precision=precision)
+
+
+def _sflip(cst, p_signed, precision):
+    """``sigma * flip(c)`` as one batched matmul with the signed flip
+    permutation: ``out[v] = sum_w c[w] P[w, v]``."""
+    return jnp.einsum("gnw,gwv->gnv", cst, p_signed, precision=precision)
+
+
+def _rotate_variant_stack(
+    mat, c_st, c_sflip_st, t_stack, onehot_pad, p_signed, precision
+):
+    """Stacked :func:`_rotate_variant`: Z(gamma), T+, Z(beta), T-,
+    Z(alpha), right to left, on the ``(G, n, W)`` stack."""
+    alpha, beta, gamma = _zyz_angles(mat)
+    c1 = _z_apply_stack(c_st, c_sflip_st, gamma, onehot_pad)
+    c2 = _t_apply_stack(c1, t_stack, False, precision)
+    c3 = _z_apply_stack(c2, _sflip(c2, p_signed, precision), beta, onehot_pad)
+    c4 = _t_apply_stack(c3, t_stack, True, precision)
+    return _z_apply_stack(
+        c4, _sflip(c4, p_signed, precision), alpha, onehot_pad
+    )
+
+
+def _rotate_zyz_preselected_stack(
+    quats, use_id, coeffs, t_stack, onehot_pad, p_signed, L, bounds,
+    mm_precision,
+):
+    """``D(q) c`` on the padded stack with the gimbal variant CHOSEN
+    PER POINT UP FRONT (see :func:`_rotate_zyz_preselected`); returns
+    the ``(G, n, W)`` stack — the refinement hot paths feed it straight
+    into :func:`_synth_stack` and never widen it."""
+    from kikuchipy_tpu.geometry.quaternion import multiply, to_matrix
+
+    precision = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "default": jax.lax.Precision.DEFAULT,
+    }[mm_precision]
+    W = t_stack.shape[-1]
+    dtype = coeffs.dtype
+    quats = quats.astype(dtype)
+    c_st = _pad_to_stack(coeffs, bounds, W)[:, None, :]
+    c_sflip_st = _sflip(c_st, p_signed, precision)
+    q_eff = jnp.where(
+        use_id[:, None],
+        quats,
+        multiply(jnp.asarray(_RX90, dtype=dtype), quats),
+    )
+    u = _rotate_variant_stack(
+        to_matrix(q_eff), c_st, c_sflip_st, t_stack, onehot_pad, p_signed,
+        precision,
+    )
+    u_undone = _t_apply_stack(u, t_stack, True, precision)
+    return jnp.where(use_id[None, :, None], u, u_undone)
 
 
 def _zyz_angles(mat: jnp.ndarray):
@@ -513,28 +670,6 @@ def _zyz_angles(mat: jnp.ndarray):
     )
     gamma = jnp.arctan2(mat[..., 2, 1], -mat[..., 2, 0])
     return alpha, beta, gamma
-
-
-def _rotate_variant(
-    mat, coeffs, coeffs_flip, t_groups, bounds, m_onehot, sigma, L, precision
-):
-    """``D(R) c`` for one batch of rotation matrices via the zyz
-    pipeline (right-to-left): Z(gamma), T+, Z(beta), T-, Z(alpha)."""
-    alpha, beta, gamma = _zyz_angles(mat)
-    c1 = _z_apply(coeffs[None, :], coeffs_flip[None, :], gamma, m_onehot, sigma)
-    c2 = _t_apply(c1, t_groups, bounds, transpose=False, precision=precision)
-    c3 = _z_apply(c2, _flip_blocks(c2, L), beta, m_onehot, sigma)
-    c4 = _t_apply(c3, t_groups, bounds, transpose=True, precision=precision)
-    return _z_apply(c4, _flip_blocks(c4, L), alpha, m_onehot, sigma)
-
-
-# Quaternion of the active Rx(+90 deg) offset used to escape gimbal
-# lock, and a neutral quaternion (beta = 90 deg) substituted into the
-# UNSELECTED variant so its zyz extraction never hits the atan2(0, 0)
-# singularity (NaN tangents would otherwise leak through jnp.where
-# under jax.jvp — the standard double-where hazard).
-_RX90 = np.array([np.cos(np.pi / 4), np.sin(np.pi / 4), 0.0, 0.0])
-_NEUTRAL = np.array([np.cos(np.pi / 4), 0.0, np.cos(np.pi / 4), 0.0])
 
 
 def rotate_coefficients_zyz(
@@ -576,11 +711,12 @@ def rotate_coefficients_zyz(
 
 @partial(jax.jit, static_argnames=("L", "bounds", "mm_precision"))
 def _rotate_zyz_impl(
-    quats, coeffs, t_groups, m_onehot, sigma, L, bounds, mm_precision
+    quats, coeffs, t_stack, onehot_pad, p_signed, L, bounds, mm_precision
 ):
     """Jitted core of :func:`rotate_coefficients_zyz` with the fixed
     tables as traced arguments (callable from other jitted programs via
-    explicit args — keeps the ~O(L^3) table floats out of the HLO)."""
+    explicit args — keeps the ~O(L^3) table floats out of the HLO).
+    Runs the padded-stack pipeline; one :func:`_unstack` at the exit."""
     from kikuchipy_tpu.geometry.quaternion import multiply, to_matrix
 
     precision = {
@@ -589,7 +725,9 @@ def _rotate_zyz_impl(
     }[mm_precision]
     dtype = coeffs.dtype
     quats = quats.astype(dtype)
-    coeffs_flip = _flip_blocks(coeffs, L)
+    W = t_stack.shape[-1]
+    c_st = _pad_to_stack(coeffs, bounds, W)[:, None, :]
+    c_sflip_st = _sflip(c_st, p_signed, precision)
 
     mat_id = to_matrix(quats)
     use_id = jnp.abs(mat_id[..., 2, 2]) <= 0.75
@@ -599,48 +737,40 @@ def _rotate_zyz_impl(
     q_rx = multiply(jnp.asarray(_RX90, dtype=dtype), quats)
     q_rx_safe = jnp.where(use_id[:, None], neutral[None, :], q_rx)
 
-    c_id = _rotate_variant(
-        to_matrix(q_id_safe), coeffs, coeffs_flip, t_groups, bounds,
-        m_onehot, sigma, L, precision,
+    c_id = _rotate_variant_stack(
+        to_matrix(q_id_safe), c_st, c_sflip_st, t_stack, onehot_pad,
+        p_signed, precision,
     )
-    c_rx = _rotate_variant(
-        to_matrix(q_rx_safe), coeffs, coeffs_flip, t_groups, bounds,
-        m_onehot, sigma, L, precision,
+    c_rx = _rotate_variant_stack(
+        to_matrix(q_rx_safe), c_st, c_sflip_st, t_stack, onehot_pad,
+        p_signed, precision,
     )
     # Undo the offset: D(q) = D(Rx90^-1) D(Rx90 q) = T- D(Rx90 q).
-    c_rx = _t_apply(c_rx, t_groups, bounds, transpose=True, precision=precision)
-    return jnp.where(use_id[:, None], c_id, c_rx)
+    c_rx = _t_apply_stack(c_rx, t_stack, True, precision)
+    return _unstack(jnp.where(use_id[None, :, None], c_id, c_rx), bounds)
 
 
 def _rotate_zyz_preselected(
-    quats, use_id, coeffs, t_groups, m_onehot, sigma, L, bounds, mm_precision
+    quats, use_id, coeffs, t_stack, onehot_pad, p_signed, L, bounds,
+    mm_precision,
 ):
     """``D(q) c`` with the gimbal variant CHOSEN PER POINT UP FRONT
     (``use_id`` boolean): runs ONE zyz pipeline instead of the general
     two-variant form of :func:`_rotate_zyz_impl` — the refinement hot
     path, where the variant is fixed from the start orientation (the
     trust region bounds how far ``cos(beta)`` can drift, so a selection
-    made with margin at setup stays safe through every LM step)."""
-    from kikuchipy_tpu.geometry.quaternion import multiply, to_matrix
+    made with margin at setup stays safe through every LM step).
 
-    precision = {
-        "highest": jax.lax.Precision.HIGHEST,
-        "default": jax.lax.Precision.DEFAULT,
-    }[mm_precision]
-    dtype = coeffs.dtype
-    quats = quats.astype(dtype)
-    coeffs_flip = _flip_blocks(coeffs, L)
-    q_eff = jnp.where(
-        use_id[:, None],
-        quats,
-        multiply(jnp.asarray(_RX90, dtype=dtype), quats),
+    Full-width wrapper over :func:`_rotate_zyz_preselected_stack` (one
+    concatenate at the exit); size-critical callers use the stack form
+    + :func:`_synth_stack` directly."""
+    return _unstack(
+        _rotate_zyz_preselected_stack(
+            quats, use_id, coeffs, t_stack, onehot_pad, p_signed, L,
+            bounds, mm_precision,
+        ),
+        bounds,
     )
-    u = _rotate_variant(
-        to_matrix(q_eff), coeffs, coeffs_flip, t_groups, bounds,
-        m_onehot, sigma, L, precision,
-    )
-    u_undone = _t_apply(u, t_groups, bounds, transpose=True, precision=precision)
-    return jnp.where(use_id[:, None], u, u_undone)
 
 
 @dataclasses.dataclass(frozen=True)

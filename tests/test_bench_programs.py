@@ -90,6 +90,7 @@ def tiny_secondary(monkeypatch):
     return bench
 
 
+@pytest.mark.slow
 class TestSecondaryPrograms:
     def test_preprocess_matches_oracle(self, tiny_secondary):
         import jax.numpy as jnp

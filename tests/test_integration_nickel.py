@@ -71,6 +71,7 @@ class TestLoadedSignal:
         assert master.hemisphere == "both"
 
 
+@pytest.mark.slow
 class TestEndToEndDI:
     def test_dictionary_indexing_recovers_orientations(self, nickel, master):
         s = nickel.remove_static_background()
@@ -142,6 +143,7 @@ class TestEndToEndDI:
         )
 
 
+@pytest.mark.slow
 class TestMultiPhaseWorkflow:
     def test_merge_prefers_correct_phase(self, nickel, master):
         """Two-phase indexing: the real (fcc Ni, dynamical) dictionary

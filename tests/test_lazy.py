@@ -142,6 +142,7 @@ class TestLazyH5:
         np.testing.assert_array_equal(src.read(0, 30), flat)
 
 
+@pytest.mark.slow
 class TestLazyIndexingRefinement:
     @pytest.fixture()
     def nickel(self):

@@ -241,6 +241,7 @@ class TestShardedFusedDI:
         np.testing.assert_allclose(scores, ref.scores, atol=1e-5)
 
 
+@pytest.mark.slow
 class TestShardedRefinement:
     def test_matches_single_device(self):
         from pathlib import Path
@@ -485,3 +486,19 @@ class TestMultihostTwoProcess:
             z = np.load(tmp_path / f"gathered_{pid}.npz")
             np.testing.assert_array_equal(z["idx"], exp_idx)
             np.testing.assert_allclose(z["scores"], exp_scores, atol=1e-5)
+
+        # Multihost refinement (VERDICT r4 item 5): per-host blocks must
+        # be BIT-identical to the same per-block LM program run
+        # single-process (host-major DP has zero cross-host coupling).
+        ref = np.load(tmp_path / "refine_expected.npz")
+        rblocks = []
+        for pid in range(2):
+            z = np.load(tmp_path / f"refine_{pid}.npz")
+            rblocks.append((int(z["start"]), z["rot"], z["scores"]))
+        rblocks.sort()
+        np.testing.assert_array_equal(
+            np.concatenate([b[1] for b in rblocks]), ref["rot"]
+        )
+        np.testing.assert_array_equal(
+            np.concatenate([b[2] for b in rblocks]), ref["scores"]
+        )

@@ -807,6 +807,7 @@ class TestReferenceRefinementBenchmarkParity:
             res.detector.pc_average, [0.417, 0.219, 0.503], atol=1e-3
         ), res.detector.pc_average
 
+    @pytest.mark.slow
     def test_refine_pc_spherical_matches_benchmark_average(self, setup):
         """The SH fast tier (PC-linearized basis + short bilinear
         polish) must land on the same reference criterion as the
@@ -820,6 +821,7 @@ class TestReferenceRefinementBenchmarkParity:
             res.detector.pc_average, [0.417, 0.219, 0.503], atol=1e-3
         ), res.detector.pc_average
 
+    @pytest.mark.slow
     def test_refine_joint_spherical_matches_bilinear_quality(self, setup):
         """SH joint (block-coordinate SH alternation + bilinear polish)
         must match the bilinear joint mode's solution quality (final
