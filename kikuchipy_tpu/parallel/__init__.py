@@ -1,7 +1,11 @@
 """Device-mesh parallelism (TPU-native; the reference has no
 distributed backend, SURVEY.md §2.12)."""
 
-from kikuchipy_tpu.parallel.refine import sharded_refine_orientation
+from kikuchipy_tpu.parallel.refine import (
+    sharded_refine_orientation,
+    sharded_refine_orientation_projection_center,
+    sharded_refine_projection_center,
+)
 from kikuchipy_tpu.parallel.mesh import (
     make_mesh,
     sharded_dictionary_index,
@@ -12,6 +16,7 @@ from kikuchipy_tpu.parallel.multihost import (
     host_navigation_slice,
     multihost_dictionary_index,
     multihost_mesh,
+    multihost_refine_orientation,
 )
 
 __all__ = [
@@ -19,8 +24,11 @@ __all__ = [
     "make_mesh",
     "multihost_dictionary_index",
     "multihost_mesh",
+    "multihost_refine_orientation",
     "sharded_dictionary_index",
     "sharded_fused_dictionary_index",
     "sharded_match_topk",
     "sharded_refine_orientation",
+    "sharded_refine_orientation_projection_center",
+    "sharded_refine_projection_center",
 ]

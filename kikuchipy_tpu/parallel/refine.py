@@ -1,10 +1,11 @@
-"""Multi-chip orientation refinement: map points data-parallel over the
-``scan`` mesh axis.
+"""Multi-chip refinement: map points data-parallel over the ``scan``
+mesh axis.
 
-The batched refinement objective is elementwise over map points, so
-partitioning is pure data parallelism: inputs are placed with a
-``P("scan")`` sharding and GSPMD partitions the whole Nelder-Mead /
-Adam program with no collectives in the hot loop (the reference has no
+The batched refinement objectives (orientation, projection center, and
+joint) are elementwise over map points — solver state is per point —
+so partitioning is pure data parallelism: inputs are placed with a
+``P("scan")`` sharding and GSPMD partitions the whole batched-solver
+program with no collectives in the hot loop (the reference has no
 distributed backend at all, SURVEY.md §2.12).
 """
 
@@ -15,10 +16,15 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["sharded_refine_orientation"]
+__all__ = [
+    "sharded_refine_orientation",
+    "sharded_refine_projection_center",
+    "sharded_refine_orientation_projection_center",
+]
 
 
-def sharded_refine_orientation(
+def _sharded_refine(
+    refine_fn,
     signal,
     xmap=None,
     detector=None,
@@ -27,17 +33,19 @@ def sharded_refine_orientation(
     mesh: Mesh | None = None,
     **kwargs,
 ):
-    """:func:`~kikuchipy_tpu.indexing.refinement.refine_orientation`
-    with experimental patterns and start orientations sharded over the
+    """Run ``refine_fn`` (one of the three refinement modes) with the
+    experimental patterns and start orientations sharded over the
     mesh's ``scan`` axis.
 
     Map points are padded to a multiple of the scan-axis size, the
     padded arrays are committed to a ``P("scan")`` sharding, and the
-    standard jitted refinement program runs partitioned; results are
+    standard jitted refinement program runs partitioned; results
+    (rotations, scores, per-point PCs for the PC/joint modes) are
     unpadded on the way out.
     """
     import dataclasses
 
+    from kikuchipy_tpu.crystallography.crystal_map import CrystalMap
     from kikuchipy_tpu.parallel.mesh import make_mesh
     from kikuchipy_tpu.signals.ebsd import EBSD
 
@@ -57,9 +65,6 @@ def sharded_refine_orientation(
 
     sharding = NamedSharding(mesh, P("scan"))
     data_sharded = jax.device_put(jnp.asarray(data), sharding)
-
-    from kikuchipy_tpu.crystallography.crystal_map import CrystalMap
-    from kikuchipy_tpu.indexing.refinement import refine_orientation
 
     det = detector if detector is not None else signal.detector
     if det is not None and det.navigation_size not in (1, n + pad):
@@ -82,7 +87,7 @@ def sharded_refine_orientation(
     padded_xmap = CrystalMap(
         rotations=q0, shape=(n + pad,), phases=xmap.phases
     )
-    res = refine_orientation(
+    res = refine_fn(
         padded_signal,
         xmap=padded_xmap,
         detector=detector,
@@ -90,26 +95,57 @@ def sharded_refine_orientation(
         energy=energy,
         **kwargs,
     )
-    if pad:
-        out = res.xmap
-        trimmed = CrystalMap(
-            rotations=out.rotations[:n],
-            phase_id=np.asarray(xmap.phase_id),
-            shape=signal.navigation_shape,
-            prop={k: np.asarray(v)[:n] for k, v in out.prop.items()},
-            phases=out.phases,
-        )
-        res = dataclasses.replace(res, xmap=trimmed)
-    else:
-        out = res.xmap
-        res = dataclasses.replace(
-            res,
-            xmap=CrystalMap(
-                rotations=out.rotations,
-                phase_id=np.asarray(xmap.phase_id),
-                shape=signal.navigation_shape,
-                prop=out.prop,
-                phases=out.phases,
+
+    out = res.xmap
+    trimmed_xmap = CrystalMap(
+        rotations=np.asarray(out.rotations)[:n],
+        phase_id=np.asarray(xmap.phase_id),
+        shape=signal.navigation_shape,
+        prop={k: np.asarray(v)[:n] for k, v in out.prop.items()},
+        phases=out.phases,
+    )
+    det_out = res.detector
+    if (
+        pad
+        and det_out is not None
+        and det_out.navigation_size == n + pad
+    ):
+        # PC/joint modes return one PC per (padded) point; trim.
+        nav_shape = signal.navigation_shape
+        pc = np.asarray(det_out.pc).reshape(-1, 3)[:n]
+        det_out = dataclasses.replace(
+            det_out,
+            pc=pc.reshape(
+                nav_shape + (3,) if len(nav_shape) == 2 else (-1, 3)
             ),
         )
-    return res
+    return dataclasses.replace(res, xmap=trimmed_xmap, detector=det_out)
+
+
+def sharded_refine_orientation(signal, **kwargs):
+    """:func:`~kikuchipy_tpu.indexing.refinement.refine_orientation`
+    scan-sharded over the mesh (see :func:`_sharded_refine`)."""
+    from kikuchipy_tpu.indexing.refinement import refine_orientation
+
+    return _sharded_refine(refine_orientation, signal, **kwargs)
+
+
+def sharded_refine_projection_center(signal, **kwargs):
+    """:func:`~kikuchipy_tpu.indexing.refinement.
+    refine_projection_center` scan-sharded over the mesh; per-point
+    refined PCs come back unpadded."""
+    from kikuchipy_tpu.indexing.refinement import refine_projection_center
+
+    return _sharded_refine(refine_projection_center, signal, **kwargs)
+
+
+def sharded_refine_orientation_projection_center(signal, **kwargs):
+    """:func:`~kikuchipy_tpu.indexing.refinement.
+    refine_orientation_projection_center` scan-sharded over the mesh."""
+    from kikuchipy_tpu.indexing.refinement import (
+        refine_orientation_projection_center,
+    )
+
+    return _sharded_refine(
+        refine_orientation_projection_center, signal, **kwargs
+    )

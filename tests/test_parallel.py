@@ -290,6 +290,62 @@ class TestShardedRefinement:
             sharded.xmap.prop["scores"], single.xmap.prop["scores"], atol=1e-4
         )
 
+    def test_pc_and_joint_match_single_device(self):
+        """PC and joint refinement are elementwise over map points too
+        (per-point solver state): the scan-sharded programs must agree
+        with single-device, including the per-point refined PCs coming
+        back unpadded (9 points pad to 16 over 8 devices)."""
+        from pathlib import Path
+
+        import kikuchipy_tpu as kp
+        from kikuchipy_tpu.crystallography.crystal_map import CrystalMap
+        from kikuchipy_tpu.parallel import make_mesh
+        from kikuchipy_tpu.parallel.refine import (
+            sharded_refine_orientation_projection_center,
+            sharded_refine_projection_center,
+        )
+
+        p = Path("/root/reference/src/kikuchipy/data/kikuchipy_h5ebsd/patterns.h5")
+        if not p.exists():
+            pytest.skip("reference data not available")
+        raw = kp.load(p)
+        s = raw.remove_static_background().remove_dynamic_background()
+        mp = kp.data.nickel_ebsd_master_pattern_small(
+            projection="lambert", hemisphere="both"
+        )
+        xmap0 = CrystalMap(
+            rotations=np.asarray(raw.xmap.best_rotations), shape=(3, 3),
+            phases=raw.xmap.phases,
+        )
+        mesh = make_mesh(n_scan=8)
+        kw = dict(
+            xmap=xmap0, detector=raw.detector, master_pattern=mp,
+            max_iters=40, method="lm",
+        )
+
+        single_pc = s.refine_projection_center(**kw)
+        sharded_pc = sharded_refine_projection_center(s, mesh=mesh, **kw)
+        pc_a = np.asarray(sharded_pc.detector.pc).reshape(-1, 3)
+        pc_b = np.asarray(single_pc.detector.pc).reshape(-1, 3)
+        assert pc_a.shape == (9, 3)
+        np.testing.assert_allclose(pc_a, pc_b, atol=1e-5)
+
+        single_j = s.refine_orientation_projection_center(**kw)
+        sharded_j = sharded_refine_orientation_projection_center(
+            s, mesh=mesh, **kw
+        )
+        assert sharded_j.xmap.rotations.shape == (9, 4)
+        np.testing.assert_allclose(
+            np.abs(np.sum(sharded_j.xmap.best_rotations
+                          * single_j.xmap.best_rotations, axis=1)),
+            1.0, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded_j.detector.pc).reshape(-1, 3),
+            np.asarray(single_j.detector.pc).reshape(-1, 3),
+            atol=1e-5,
+        )
+
 
 class TestMultihost:
     """Multi-host driver exercised in single-process mode (the 8
