@@ -542,11 +542,10 @@ def _refine_inputs():
     dc = np.asarray(direction_cosines_from_detector(det1))
     basis = np.asarray(proj.synthesis_basis(dc))
     tables = wigner_tables(SH_L)
-    t_stack, onehot_pad, p_signed = tables.device_arrays()
+    t_stack, onehot_pad, p_signed = tables.host_arrays()
     coeffs = np.asarray(proj.coeffs)
     return (
-        base9, truth9, dq, coeffs, np.asarray(t_stack),
-        np.asarray(onehot_pad), np.asarray(p_signed), basis,
+        base9, truth9, dq, coeffs, t_stack, onehot_pad, p_signed, basis,
     )
 
 
@@ -788,6 +787,10 @@ def _refine_stage(status: _Status) -> None:
     inputs = _refine_inputs()
     _log(f"refine inputs built in {time.monotonic() - t0:.1f}s "
          f"(basis {inputs[-1].nbytes / 1e6:.0f} MB)")
+    # Upload ONCE: numpy operands would re-transfer the ~95 MB basis
+    # (+ Wigner stacks) through the tunnel inside EVERY timed window,
+    # silently measuring the link instead of the chip on a slow day.
+    inputs = tuple(jax.device_put(x) for x in inputs)
 
     def call(k_pipelined=1):
         t0 = time.perf_counter()

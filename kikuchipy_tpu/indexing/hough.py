@@ -673,6 +673,47 @@ def _poles_and_lut(
     return g_unit, lut_angles, lut_pairs
 
 
+def _vote_and_polish(
+    normals, normals_ref, g_unit, lut_angles, lut_pairs, pair_idx, tol,
+    chunk,
+):
+    """Chunked triplet voting over integer-peak normals followed by the
+    3-round assignment + weighted-Kabsch polish on the sub-bin refined
+    normals — the shared core of :func:`hough_indexing` and
+    :func:`optimize_pc_batched`. Returns ``(R (n, 3, 3), err, n_in)``.
+    """
+    n = normals.shape[0]
+    normals_j = jnp.asarray(normals, jnp.float32)
+    g_j = jnp.asarray(g_unit, jnp.float32)
+    la_j = jnp.asarray(lut_angles, jnp.float32)
+    lp_j = jnp.asarray(lut_pairs, jnp.int32)
+    pi_j = jnp.asarray(pair_idx)
+    R_parts = []
+    for start in range(0, n, chunk):
+        block = normals_j[start : start + chunk]
+        if block.shape[0] < chunk and n > chunk:
+            # Pad the tail chunk to the full chunk size so every pass
+            # reuses ONE compilation (a fresh shape would recompile
+            # remotely, minutes on this stack).
+            pad = chunk - block.shape[0]
+            block = jnp.concatenate([block, block[:1].repeat(pad, 0)], axis=0)
+            R_b, _, _ = _vote_orientations(block, g_j, la_j, lp_j, pi_j, tol)
+            R_b = R_b[:-pad]
+        else:
+            R_b, _, _ = _vote_orientations(block, g_j, la_j, lp_j, pi_j, tol)
+        R_parts.append(R_b)
+    R_all = jnp.concatenate(R_parts, axis=0)
+    # Polish with the sub-bin refined normals, iterating assignment +
+    # weighted Kabsch (ICP): an improved R recovers inliers missed
+    # under the voted R, which improves R again (converges in 2-3
+    # rounds; each round is one fused device program).
+    normals_ref_j = jnp.asarray(normals_ref, jnp.float32)
+    err = nin = None
+    for _ in range(3):
+        R_all, err, nin = _refit_orientations(R_all, normals_ref_j, g_j, tol)
+    return R_all, err, nin
+
+
 def hough_indexing(
     signal,
     phase_list: PhaseList | Phase | None = None,
@@ -763,34 +804,10 @@ def hough_indexing(
     )
     # Chunk patterns to bound the candidate-scoring intermediate
     # (chunk x 960 candidates x nb x ng floats).
-    normals_j = jnp.asarray(normals, jnp.float32)
-    g_j = jnp.asarray(g_unit, jnp.float32)
-    la_j = jnp.asarray(lut_angles, jnp.float32)
-    lp_j = jnp.asarray(lut_pairs, jnp.int32)
-    pi_j = jnp.asarray(pair_idx)
-    R_parts, err_parts, nin_parts = [], [], []
-    for start in range(0, n, chunk):
-        block = normals_j[start : start + chunk]
-        if block.shape[0] < chunk and n > chunk:
-            pad = chunk - block.shape[0]
-            block = jnp.concatenate([block, block[:1].repeat(pad, 0)], axis=0)
-            R_b, e_b, c_b = _vote_orientations(block, g_j, la_j, lp_j, pi_j, tol)
-            R_b, e_b, c_b = R_b[:-pad], e_b[:-pad], c_b[:-pad]
-        else:
-            R_b, e_b, c_b = _vote_orientations(block, g_j, la_j, lp_j, pi_j, tol)
-        R_parts.append(R_b)
-        err_parts.append(e_b)
-        nin_parts.append(c_b)
-    R_all = jnp.concatenate(R_parts, axis=0)
-    # Polish the voted orientations with the sub-bin refined normals,
-    # iterating assignment + weighted Kabsch (ICP): an improved R
-    # recovers inliers missed under the voted R, which improves R again
-    # (converges in 2-3 rounds; each round is one fused device program).
-    normals_j = jnp.asarray(normals_ref, jnp.float32)
-    for _ in range(3):
-        R_all, err_ref, nin_ref = _refit_orientations(
-            R_all, normals_j, g_j, tol
-        )
+    R_all, err_ref, nin_ref = _vote_and_polish(
+        normals, normals_ref, g_unit, lut_angles, lut_pairs, pair_idx,
+        tol, chunk,
+    )
     quats = np.asarray(quat.from_matrix(R_all))
     err = np.asarray(err_ref)
     fit = np.where(np.isfinite(err), np.rad2deg(err), np.nan)
@@ -1012,25 +1029,10 @@ def optimize_pc_batched(
         list(combinations(range(min(n_bands, 6)), 2)), dtype=np.int32
     )
     g_j = jnp.asarray(g_unit, jnp.float32)
-    la_j = jnp.asarray(lut_angles, jnp.float32)
-    lp_j = jnp.asarray(lut_pairs, jnp.int32)
-    pi_j = jnp.asarray(pair_idx)
-    normals_j = jnp.asarray(normals, jnp.float32)
-    R_parts = []
-    for start in range(0, n, chunk):
-        block = normals_j[start : start + chunk]
-        if block.shape[0] < chunk and n > chunk:
-            pad = chunk - block.shape[0]
-            block = jnp.concatenate([block, block[:1].repeat(pad, 0)], axis=0)
-            R_b, _, _ = _vote_orientations(block, g_j, la_j, lp_j, pi_j, tol)
-            R_b = R_b[:-pad]
-        else:
-            R_b, _, _ = _vote_orientations(block, g_j, la_j, lp_j, pi_j, tol)
-        R_parts.append(R_b)
-    R_all = jnp.concatenate(R_parts, axis=0)
-    normals_ref_j = jnp.asarray(normals_ref, jnp.float32)
-    for _ in range(3):
-        R_all, _, _ = _refit_orientations(R_all, normals_ref_j, g_j, tol)
+    R_all, _, _ = _vote_and_polish(
+        normals, normals_ref, g_unit, lut_angles, lut_pairs, pair_idx,
+        tol, chunk,
+    )
 
     # Alternating block-coordinate descent: the voted R best-fits the
     # band normals computed AT pc0, so a single PC pass from frozen

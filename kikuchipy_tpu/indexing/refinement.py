@@ -983,16 +983,28 @@ def _sh_pc_bases(
     L=80/3600 pixels; cached on the projector per (PC, shape, mask))."""
     from kikuchipy_tpu.projection.spherical import sh_basis
 
+    import zlib
+
     proj = master_pattern.spherical_projector(energy=energy, L=sh_L)
     pc0 = np.asarray(detector.pc_average, dtype=np.float64)
     mask_np = None if mask_idx is None else np.asarray(mask_idx)
+    # The key must cover EVERYTHING the direction cosines depend on —
+    # the basis is cached on the projector (itself cached per
+    # (energy, L) on the master pattern), so two detectors differing
+    # only in a tilt would otherwise silently share a stale basis; the
+    # mask hash is a crc32 of the index bytes (an xor of indices
+    # collides for distinct masks of equal length).
     key = (
         "pc_bases",
         tuple(np.round(pc0, 9)),
         tuple(detector.shape),
+        round(float(detector.sample_tilt), 9),
+        round(float(detector.tilt), 9),
+        round(float(getattr(detector, "azimuthal", 0.0)), 9),
+        round(float(getattr(detector, "twist", 0.0)), 9),
         None
         if mask_np is None
-        else (len(mask_np), int(np.bitwise_xor.reduce(mask_np.astype(np.int64)))),
+        else zlib.crc32(np.ascontiguousarray(mask_np).tobytes()),
         h,
     )
     cache = getattr(proj, "_pc_bases_cache", None)

@@ -147,9 +147,15 @@ def multihost_refine_orientation(
 
     Returns
     -------
-    RefinementResult
-        This host's block — plus, with ``gather_results=True``, the
-        tuple ``(result, rotations (n_total, 4), scores (n_total,))``.
+    RefinementResult or tuple
+        With ``gather_results=False`` (default): this host's block's
+        :class:`RefinementResult`. With ``gather_results=True``: the
+        tuple ``(result, rotations (n_total, 4), scores (n_total,),
+        pcs)`` where ``pcs`` is the assembled ``(n_total, 3)``
+        per-point PC field for ``mode="pc"``/``"joint"`` and ``None``
+        for ``mode="orientation"`` — the SAME arity regardless of the
+        process count, so single-process smoke runs of multihost
+        scripts unpack identically.
     """
     from kikuchipy_tpu.parallel import refine as _refine
 
@@ -174,34 +180,62 @@ def multihost_refine_orientation(
         mesh=local_mesh,
         **kwargs,
     )
-    if not gather_results or jax.process_count() == 1:
+    if not gather_results:
         return res
+
+    n_local = local_signal.navigation_size
+    rot = np.asarray(res.xmap.best_rotations).reshape(-1, 4)
+    scores = np.asarray(res.xmap.prop["scores"]).reshape(-1)
+    det_res = res.detector
+    pcs = (
+        np.asarray(det_res.pc).reshape(-1, 3)
+        if det_res is not None and det_res.navigation_size == n_local
+        else None
+    )
+
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return res, rot, scores, pcs
 
     from jax.experimental import multihost_utils
 
-    n_proc = jax.process_count()
-    n_local = local_signal.navigation_size
     if n_total is None:
         n_total = n_local * n_proc
     per_host = -(-n_total // n_proc)
-
-    rot = np.asarray(res.xmap.best_rotations).reshape(-1, 4)
-    scores = np.asarray(res.xmap.prop["scores"]).reshape(-1)
     pad = per_host - rot.shape[0]
-    if pad:
-        rot = np.concatenate([rot, np.zeros((pad, 4), rot.dtype)])
-        scores = np.concatenate([scores, np.zeros(pad, scores.dtype)])
-    rot_all, scores_all = multihost_utils.process_allgather(
-        (rot, scores), tiled=False
+
+    def _pad(a):
+        if not pad:
+            return a
+        return np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+
+    # Gather the per-point PC field too: for mode="pc"/"joint" it IS
+    # the primary output (the xmap rotations are unchanged in PC mode).
+    payload = (_pad(rot), _pad(scores))
+    if pcs is not None:
+        payload = payload + (_pad(pcs),)
+    gathered = multihost_utils.process_allgather(payload, tiled=False)
+    rot_all = np.asarray(gathered[0]).reshape(n_proc, per_host, 4)
+    scores_all = np.asarray(gathered[1]).reshape(n_proc, per_host)
+    pcs_all = (
+        np.asarray(gathered[2]).reshape(n_proc, per_host, 3)
+        if pcs is not None
+        else None
     )
-    rot_all = np.asarray(rot_all).reshape(n_proc, per_host, 4)
-    scores_all = np.asarray(scores_all).reshape(n_proc, per_host)
-    parts_r, parts_s = [], []
+    parts_r, parts_s, parts_p = [], [], []
     for p in range(n_proc):
         sl = host_navigation_slice(n_total, p, n_proc)
-        parts_r.append(rot_all[p][: sl.stop - sl.start])
-        parts_s.append(scores_all[p][: sl.stop - sl.start])
-    return res, np.concatenate(parts_r), np.concatenate(parts_s)
+        k = sl.stop - sl.start
+        parts_r.append(rot_all[p][:k])
+        parts_s.append(scores_all[p][:k])
+        if pcs_all is not None:
+            parts_p.append(pcs_all[p][:k])
+    return (
+        res,
+        np.concatenate(parts_r),
+        np.concatenate(parts_s),
+        np.concatenate(parts_p) if parts_p else None,
+    )
 
 
 def multihost_dictionary_index(

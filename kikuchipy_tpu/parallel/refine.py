@@ -105,12 +105,11 @@ def _sharded_refine(
         phases=out.phases,
     )
     det_out = res.detector
-    if (
-        pad
-        and det_out is not None
-        and det_out.navigation_size == n + pad
-    ):
-        # PC/joint modes return one PC per (padded) point; trim.
+    if det_out is not None and det_out.navigation_size == n + pad:
+        # PC/joint modes return one PC per (padded) point: trim the
+        # padding and restore the navigation shape UNCONDITIONALLY —
+        # gating on `pad` would make the returned pc's shape depend on
+        # whether the scan size happened to divide the mesh.
         nav_shape = signal.navigation_shape
         pc = np.asarray(det_out.pc).reshape(-1, 3)[:n]
         det_out = dataclasses.replace(

@@ -402,7 +402,28 @@ class WignerTables:
         batched einsums on a single ``(G, n, W)`` array (see the
         padded-stack section below for why: ragged/odd-offset forms
         scalarize in the TPU backend into 28-113 MB of code per
-        pipeline)."""
+        pipeline).
+
+        The device arrays are cached on this (lru-cached) instance:
+        rebuilding + re-uploading the ~70 MB of stacks per call would
+        pay the host link on EVERY rotate_coefficients_zyz invocation
+        (the joint-refinement alternation makes several per call)."""
+        cached = getattr(self, "_device_arrays", None)
+        if cached is not None:
+            return cached
+        out = tuple(jnp.asarray(a) for a in self.host_arrays())
+        object.__setattr__(self, "_device_arrays", out)
+        return out
+
+    def host_arrays(self):
+        """The same ``(t_stack, onehot_pad, p_signed)`` stacks as HOST
+        NumPy arrays (cached) — for callers that manage device
+        placement themselves (e.g. bench.py serializes them as
+        executable inputs and must not bounce them through the
+        default device)."""
+        cached = getattr(self, "_host_arrays", None)
+        if cached is not None:
+            return cached
         G = len(self.group_bounds)
         W = _stack_width(self.group_bounds)
         L1 = self.m_onehot.shape[0]
@@ -423,11 +444,9 @@ class WignerTables:
             p_signed[g, flip_idx[g, :z], np.arange(z)] = self.sigma[
                 s : s + z
             ]
-        return (
-            jnp.asarray(t_stack),
-            jnp.asarray(onehot_pad),
-            jnp.asarray(p_signed),
-        )
+        out = (t_stack, onehot_pad, p_signed)
+        object.__setattr__(self, "_host_arrays", out)
+        return out
 
 
 def _pack_group_bounds(L: int, target: int = 512) -> tuple[tuple[int, int], ...]:

@@ -308,9 +308,11 @@ class EBSD:
 
         if batch:
             det0 = self.detector
+            reflectors = None
             if indexer is not None:
                 if phase_list is None:
                     phase_list = getattr(indexer, "phase_list", None)
+                reflectors = getattr(indexer, "reflectors", None)
                 for key, value in getattr(indexer, "kwargs", {}).items():
                     hough_kwargs.setdefault(key, value)
                 det0 = getattr(indexer, "detector", None) or det0
@@ -321,6 +323,7 @@ class EBSD:
                 sig,
                 pc0=pc0,
                 phase_list=phase_list,
+                reflectors=reflectors,
                 trust_region=trust_region,
                 max_iters=max_iters,
                 **hough_kwargs,

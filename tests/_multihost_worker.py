@@ -159,6 +159,18 @@ def main() -> None:
         stop=sl_r.stop,
     )
 
+    # gather_results leg: every host assembles the identical full map
+    # (DCN all-gather of the compact per-block results only).
+    _, rot_all, scores_all, pcs_all = multihost_refine_orientation(
+        sig_local, xmap=xmap_local, detector=det, n_total=n_ref_total,
+        gather_results=True, **kw
+    )
+    assert pcs_all is None  # orientation mode: single-PC detector
+    np.savez(
+        os.path.join(outdir, f"refine_gathered_{pid}.npz"),
+        rot=rot_all, scores=scores_all,
+    )
+
     if pid == 0:
         # Expected: the same per-block program on this host's devices.
         local_mesh = Mesh(

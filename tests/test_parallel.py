@@ -558,3 +558,9 @@ class TestMultihostTwoProcess:
         np.testing.assert_array_equal(
             np.concatenate([b[2] for b in rblocks]), ref["scores"]
         )
+
+        # Both hosts' gathered refinement copies hold the full map.
+        for pid in range(2):
+            z = np.load(tmp_path / f"refine_gathered_{pid}.npz")
+            np.testing.assert_array_equal(z["rot"], ref["rot"])
+            np.testing.assert_array_equal(z["scores"], ref["scores"])

@@ -1,5 +1,10 @@
 """Probe 4: which op inside the SH-LM refine bench program bloats its
-TPU binary to 123 MB (warm_bench_exec round-5 first build)?"""
+TPU binary to 123 MB (warm_bench_exec round-5 first build)?
+
+HISTORICAL CONTEXT: the 123 MB it diagnosed came from the FULL-WIDTH
+zyz pipeline, since replaced by the padded stack (probe 7). The probe
+still runs — it now measures the CURRENT pipeline's components through
+the same entry points (useful as a regression probe)."""
 
 import sys
 import time

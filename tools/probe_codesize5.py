@@ -1,6 +1,16 @@
-"""Probe 5: which op inside the zyz rotation pipeline accounts for its
-28 MB of code (probe 4) — suspects: the per-l-block lane reverses in
-_flip_blocks, the grouped matmuls, or the z-phase application."""
+"""Probe 5 (HISTORICAL): which op inside the FULL-WIDTH zyz rotation
+pipeline accounted for its 28 MB of code (probe 4) — the measured
+answer: the grouped-matmul concatenates (14.35 MB) and lane reverses
+(4.28 MB), with a static-gather flip at 0.43 MB. The full-width
+helpers it measured (_z_apply/_t_apply) were REPLACED by the
+padded-stack pipeline (probe 7); this probe no longer runs and is kept
+as the measurement record."""
+
+raise SystemExit(
+    "probe_codesize5 is a historical record: the full-width _z_apply/"
+    "_t_apply it measured were replaced by the padded-stack pipeline "
+    "(see probe_codesize7.py for the shipped form's numbers)."
+)
 
 import sys
 import time

@@ -5,6 +5,12 @@ was removed in favour of the padded-stack pipeline (probe 7: 9.35 MB
 rotation, 41 MB residual+JVPs, 153 ms/call); this probe no longer runs
 (the _seg functions are gone) and is kept as the measurement record."""
 
+raise SystemExit(
+    "probe_codesize6 is a historical record: the ragged segment form "
+    "it measured was removed (see probe_codesize7.py for the shipped "
+    "padded-stack pipeline's numbers)."
+)
+
 import sys
 import time
 from pathlib import Path
