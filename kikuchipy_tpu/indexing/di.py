@@ -194,6 +194,13 @@ def _group_topk_T(simT: jnp.ndarray, k: int, group: int = 32):
     G = c // group
     if G < k:
         return jax.lax.top_k(simT.T.astype(jnp.float32), k)
+    # Evaluated and rejected (round 5): packing (f16 score, 5-bit g)
+    # into one sortable int32 per fold slot — fewer state arrays and a
+    # gather-free tail, but the per-element pack arithmetic (bitcast +
+    # monotone map + shifts) costs MORE than it saves on the VPU:
+    # full pass 153 -> 181 ms measured at 16384 x 100k
+    # (tools/probe_di_breakdown.py). The plain f16-compare fold below
+    # stays the production selection.
     # Per-group top-2 (best and runner-up): a true rank-r candidate is
     # lost only when >= 2 better-scoring candidates share its group
     # (probability ~(k/n_groups)^2 per rank — negligible), against

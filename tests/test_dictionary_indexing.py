@@ -197,6 +197,29 @@ class TestApproxTopk:
         np.testing.assert_allclose(approx.scores, exact.scores, atol=1e-6)
 
 
+class TestGroupSelectionTail:
+    """General-path selection invariants at awkward shapes (the f16
+    tier's production fold; a packed int32 variant was evaluated and
+    rejected on measured speed, see di.py:_group_topk_T)."""
+
+    def test_dispatch_conditions(self):
+        import jax.numpy as jnp
+
+        from kikuchipy_tpu.indexing.di import _group_topk_T
+
+        rng = np.random.default_rng(4)
+        # c not a multiple of group: must take the general path (with
+        # the singleton tail) and still return exact top-1.
+        c, n, k = 3210, 32, 9
+        simT = jnp.asarray(rng.standard_normal((c, n)).astype(np.float16))
+        s, i = (np.asarray(x) for x in _group_topk_T(simT, k, 32))
+        sim = np.asarray(simT, np.float32).T
+        np.testing.assert_allclose(s[:, 0], sim.max(axis=1), atol=0)
+        np.testing.assert_allclose(
+            np.take_along_axis(sim, i, axis=1), s, atol=1e-3
+        )
+
+
 class TestChanceLevelWarning:
     """dictionary_index warns when the best scores sit at the chance
     level for unrelated patterns (wrong PC / tilts / phase)."""
