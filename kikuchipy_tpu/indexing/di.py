@@ -462,6 +462,17 @@ def _index_resident(
     # slower per tile, compile-time bounded.
     n_full = m // tile
     if n_full > _MAX_UNROLL_TILES and tile >= k_carry:
+        # Trace-time notice (fires once per compilation): the scan path
+        # measured ~44% slower per tile than the unrolled loop at wafer
+        # scale (BENCH_NOTES round 5) — callers can often avoid it by
+        # raising n_per_iteration so m // tile <= _MAX_UNROLL_TILES.
+        _logger.info(
+            "dictionary tiling: %d tiles exceed the %d-tile unroll "
+            "limit; using the lax.scan carried-top-k path (~40%% "
+            "slower per tile). A larger n_per_iteration may avoid it.",
+            n_full,
+            _MAX_UNROLL_TILES,
+        )
         d_feat = dict_prepared.shape[1]
         m_main = n_full * tile
 
